@@ -1,0 +1,201 @@
+"""Mergeable sketches, pure-python/numpy, Arrow-serializable as binary.
+
+From-scratch implementations based on the published algorithms:
+- HyperLogLog (Flajolet et al. 2007) for APPROX_UNIQUE_COUNT — the reference
+  uses a CPC sketch at lgK=8 (~1200B) (reference: aggregator/base/
+  SimpleAggregators.scala:602-652); we use a dense HLL with the same lgK
+  default and the same mergeable-binary-IR contract.
+- A KLL-style quantile sketch (Karnin-Lang-Liberty 2016, simplified fixed-k
+  compactor) for APPROX_PERCENTILE (reference: SimpleAggregators.scala:654-694,
+  k=128 default).
+
+Both expose: empty() -> state, update_many(state, values), merge(a, b),
+serialize(state) -> bytes, deserialize(bytes) -> state, estimate/quantiles.
+"""
+
+from __future__ import annotations
+
+import pickle
+import struct
+from typing import Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------- HyperLogLog
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of arbitrary values (vectorized).
+
+    Strings are hashed via a vectorized FNV-1a over a fixed-width prefix plus
+    python hash fallback for the rest; numerics via splitmix64.
+    """
+    if values.dtype.kind in "iuf":
+        x = values.astype(np.uint64, copy=True).view(np.uint64)
+        # splitmix64
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+    # object/strings: stable per-process via md5 of utf-8
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(str(v).encode()).digest()[:8]
+        out[i] = struct.unpack("<Q", h)[0]
+    return out
+
+
+class HLL:
+    """Dense HyperLogLog; state = uint8 register array of size 2**lgk."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def empty(lgk: int = 8) -> np.ndarray:
+        return np.zeros(1 << lgk, dtype=np.uint8)
+
+    @staticmethod
+    def update_many(state: np.ndarray, values: np.ndarray) -> np.ndarray:
+        m = len(state)
+        lgk = int(m).bit_length() - 1
+        h = _hash64(values)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        rest = h >> np.uint64(lgk)
+        # rank = number of leading... use trailing-zero count of remaining bits + 1
+        rank = np.ones(len(h), dtype=np.uint8)
+        nonzero = rest != 0
+        # position of lowest set bit (1-based)
+        r = rest[nonzero]
+        low = (r & (~r + np.uint64(1)))  # isolate lowest bit
+        rank_nz = np.log2(low.astype(np.float64)).astype(np.uint8) + 1
+        rank[nonzero] = rank_nz
+        rank[~nonzero] = 64 - lgk + 1
+        np.maximum.at(state, idx, rank)
+        return state
+
+    @staticmethod
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.maximum(a, b)
+
+    @staticmethod
+    def estimate(state: np.ndarray) -> int:
+        m = len(state)
+        inv = np.ldexp(1.0, -state.astype(np.int64))
+        e = _alpha(m) * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((state == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return int(round(e))
+
+    @staticmethod
+    def serialize(state: np.ndarray) -> bytes:
+        return state.tobytes()
+
+    @staticmethod
+    def deserialize(buf: bytes) -> np.ndarray:
+        return np.frombuffer(buf, dtype=np.uint8).copy()
+
+
+# ------------------------------------------------------------- KLL quantiles
+
+
+class KLL:
+    """Simplified KLL quantile sketch: level-0 buffer of capacity 2k; when full,
+    sort + keep every other item (random offset) and push to next level with
+    weight doubling. State = list of numpy arrays per level + k.
+    """
+
+    @staticmethod
+    def empty(k: int = 128) -> dict:
+        return {"k": k, "levels": [np.empty(0, dtype=np.float64)], "seed": 0}
+
+    @staticmethod
+    def update_many(state: dict, values: np.ndarray) -> dict:
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        state["levels"][0] = np.concatenate([state["levels"][0], vals])
+        KLL._compact(state)
+        return state
+
+    @staticmethod
+    def _cap(k: int, level: int, n_levels: int) -> int:
+        # capacity shrinks geometrically for lower levels (c=2/3), floor 8
+        c = 2.0 / 3.0
+        return max(8, int(k * (c ** (n_levels - 1 - level))) * 2)
+
+    @staticmethod
+    def _compact(state: dict) -> None:
+        k = state["k"]
+        levels = state["levels"]
+        i = 0
+        while i < len(levels):
+            cap = KLL._cap(k, i, len(levels))
+            if len(levels[i]) > cap:
+                buf = np.sort(levels[i])
+                state["seed"] = (state["seed"] * 1103515245 + 12345) & 0x7FFFFFFF
+                off = state["seed"] & 1
+                promoted = buf[off::2]
+                levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 >= len(levels):
+                    levels.append(np.empty(0, dtype=np.float64))
+                levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+            i += 1
+
+    @staticmethod
+    def merge(a: dict, b: dict) -> dict:
+        la, lb = a["levels"], b["levels"]
+        n = max(len(la), len(lb))
+        levels = []
+        for i in range(n):
+            xs = la[i] if i < len(la) else np.empty(0)
+            ys = lb[i] if i < len(lb) else np.empty(0)
+            levels.append(np.concatenate([xs, ys]))
+        out = {"k": a["k"], "levels": levels, "seed": a["seed"] ^ b["seed"]}
+        KLL._compact(out)
+        return out
+
+    @staticmethod
+    def quantiles(state: dict, qs: list[float]) -> np.ndarray:
+        items = []
+        weights = []
+        for lvl, arr in enumerate(state["levels"]):
+            if len(arr):
+                items.append(arr)
+                weights.append(np.full(len(arr), 1 << lvl, dtype=np.int64))
+        if not items:
+            return np.full(len(qs), np.nan, dtype=np.float32)
+        vals = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out = np.empty(len(qs), dtype=np.float32)
+        for j, q in enumerate(qs):
+            target = q * total
+            idx = int(np.searchsorted(cw, target, side="left"))
+            idx = min(idx, len(vals) - 1)
+            out[j] = vals[idx]
+        return out
+
+    @staticmethod
+    def serialize(state: dict) -> bytes:
+        return pickle.dumps(
+            {"k": state["k"], "levels": [l for l in state["levels"]], "seed": state["seed"]}
+        )
+
+    @staticmethod
+    def deserialize(buf: bytes) -> dict:
+        return pickle.loads(buf)

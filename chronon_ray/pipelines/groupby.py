@@ -1,0 +1,205 @@
+"""Snapshot GroupBy: partial-aggregate per batch, shuffle partials, merge+finalize.
+
+The physical pattern mirrors the reference's `aggregateByKey(init)(seqOp,
+combOp)` (reference: spark/GroupBy.scala:128-133, 364-378) as the classic Ray
+Data combiner: a stateless `map_batches` stage computes one IR row per key per
+batch (vectorized pandas/numpy via RowAggregator), keyed by
+``_part = hash(keys) % P``; a `groupby("_part").map_groups` stage merges all
+partials of a hash partition **vectorized across keys** (no per-key python
+call) and finalizes. Only the small partial-IR rows cross the shuffle — the
+raw input never does.
+
+Bucketed aggregations (map output per bucket value — reference
+aggregator/row/BucketedColumnAggregator.scala:1-94) run the same pipeline at
+(keys + bucket) granularity, partitioned by hash(keys) only, so the pivot to a
+map column happens inside the same merge task with no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..api import AggregationPart, GroupByConf
+from ..aggregators.row import RowAggregator
+
+DEFAULT_NUM_PARTITIONS = 200
+
+
+def stable_key_hash(df: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
+    """Deterministic 64-bit hash of the key columns (process-independent —
+    pandas hash_pandas_object uses a fixed siphash key). The explicit analog
+    of the reference's murmur3 KeyWithHash (spark/FastHashing.scala:44-119)."""
+    h = pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy()
+    return h
+
+
+def _factorize_keys(pdf: pd.DataFrame, keys: Sequence[str]):
+    if len(keys) == 1:
+        codes, uniques = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
+        kdf = pd.DataFrame({keys[0]: uniques})
+    else:
+        idx = pd.MultiIndex.from_frame(pdf[list(keys)])
+        codes, uniques = idx.factorize(use_na_sentinel=False)
+        kdf = uniques.to_frame(index=False)
+        kdf.columns = list(keys)
+    return codes.astype(np.int64), kdf
+
+
+class PartialAgg:
+    """Stage-1 callable: Arrow batch in → Arrow IR-partials out."""
+
+    def __init__(self, conf_keys: Sequence[str], parts: list[AggregationPart],
+                 input_schema: pa.Schema, num_partitions: int,
+                 tie_break: Optional[str] = None, part_keys: Optional[Sequence[str]] = None):
+        self.keys = list(conf_keys)  # granularity of aggregation (may incl. bucket)
+        self.part_keys = list(part_keys or conf_keys)  # granularity of partitioning
+        self.num_partitions = num_partitions
+        self.agg = RowAggregator(parts, input_schema, tie_break_column=tie_break)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key_cols = batch.select(self.keys).to_pandas()
+        # drop rows where ALL keys are null (reference GroupBy.scala:510-512)
+        valid = ~key_cols.isna().all(axis=1)
+        if not valid.all():
+            batch = batch.filter(pa.array(valid.to_numpy()))
+            key_cols = key_cols[valid.to_numpy()].reset_index(drop=True)
+        if len(batch) == 0:
+            fields = ([pa.field(k, batch.schema.field(k).type) for k in self.keys]
+                      + [pa.field("_part", pa.int64())] + self.agg.ir_fields())
+            return pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in fields], schema=pa.schema(fields))
+        codes, kdf = _factorize_keys(key_cols, self.keys)
+        irf = self.agg.partial_frame(batch, codes, len(kdf))
+        # irf 'g' indexes into kdf rows
+        sel = irf["g"].to_numpy()
+        key_arrays = {}
+        for k in self.keys:
+            key_arrays[k] = pa.array(kdf[k].to_numpy(dtype=object)[sel],
+                                     type=batch.schema.field(k).type)
+        part_hash = stable_key_hash(kdf.iloc[sel], self.part_keys) % self.num_partitions
+        key_arrays["_part"] = pa.array(part_hash.astype(np.int64))
+        return self.agg.ir_frame_to_arrow(irf, key_arrays)
+
+
+class MergeFinalize:
+    """Stage-2 callable: all partial rows of one hash partition (pandas) →
+    finalized feature rows. Vectorized across every key in the partition."""
+
+    def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
+                 input_schema: pa.Schema, tie_break: Optional[str] = None,
+                 pivot_bucket: Optional[str] = None, out_keys: Optional[Sequence[str]] = None):
+        self.__name__ = type(self).__name__  # ray map_groups wraps fn.__name__
+        self.keys = list(keys)
+        self.agg = RowAggregator(parts, input_schema, tie_break_column=tie_break)
+        self.pivot_bucket = pivot_bucket  # bucket column to pivot into map outputs
+        self.out_keys = list(out_keys or self.keys)
+        self.input_schema = input_schema
+
+    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
+        pdf = pdf.reset_index(drop=True)
+        codes, kdf = _factorize_keys(pdf, self.keys)
+        irf = self.agg.ir_frame_from_pandas(pdf)
+        irf = irf.drop(columns=[c for c in (*self.keys, "_part") if c in irf.columns])
+        irf["g"] = codes
+        merged = self.agg.merge_frame(irf)
+        fin = self.agg.finalize_frame(merged)
+        sel = fin["g"].to_numpy()
+        out_cols: dict[str, pa.Array] = {}
+        if self.pivot_bucket is None:
+            for k in self.keys:
+                out_cols[k] = pa.array(kdf[k].to_numpy(dtype=object)[sel],
+                                       type=self.input_schema.field(k).type)
+            for f in self.agg.output_fields():
+                out_cols[f.name] = pa.array(fin[f.name].tolist(), type=f.type)
+            return pa.table(out_cols)
+        # pivot: keys = out_keys + [bucket]; one output row per out_keys combo,
+        # each part becomes map<bucket, value>
+        fin_keys = kdf.iloc[sel].reset_index(drop=True)
+        fin = pd.concat([fin_keys, fin.drop(columns="g").reset_index(drop=True)], axis=1)
+        grouped = fin.groupby(self.out_keys, dropna=False, sort=True)
+        out_rows = {k: [] for k in self.out_keys}
+        maps: dict[str, list] = {f.name: [] for f in self.agg.output_fields()}
+        for gk, gdf in grouped:
+            if not isinstance(gk, tuple):
+                gk = (gk,)
+            for k, v in zip(self.out_keys, gk):
+                out_rows[k].append(v)
+            for f in self.agg.output_fields():
+                entries = [
+                    (b, v) for b, v in zip(gdf[self.pivot_bucket], gdf[f.name]) if v is not None
+                ]
+                entries.sort(key=lambda t: str(t[0]))
+                maps[f.name].append(entries if entries else None)
+        for k in self.out_keys:
+            out_cols[k] = pa.array(out_rows[k], type=self.input_schema.field(k).type)
+        for f in self.agg.output_fields():
+            # bucketed output name carries the _by_ suffix
+            out_cols[f.name] = pa.array(maps[f.name], type=pa.map_(pa.string(), f.type))
+        return pa.table(out_cols)
+
+
+def _strip_bucket(parts: list[AggregationPart]) -> list[AggregationPart]:
+    """Compute bucketed parts as plain parts at keys+bucket granularity; keep
+    the _by_ output name."""
+    return [replace(p, bucket=None) for p in parts]
+
+
+def aggregate_snapshot(
+    ds: ray.data.Dataset,
+    conf: GroupByConf,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    input_schema: Optional[pa.Schema] = None,
+) -> ray.data.Dataset:
+    """GroupBy with no windows/time dimension: one output row per key.
+
+    Returns one Dataset per bucket-granularity merged into one (outer join on
+    keys) when bucketed parts exist; plain single pipeline otherwise.
+    """
+    schema = input_schema or ds.schema().base_schema
+    keys = list(conf.key_columns)
+    parts = conf.parts()
+    plain = [p for p in parts if p.bucket is None]
+    bucket_cols = sorted({p.bucket for p in parts if p.bucket is not None})
+
+    outputs = []
+    if plain:
+        stage1 = ds.map_batches(
+            PartialAgg(keys, plain, schema, num_partitions),
+            batch_format="pyarrow",
+        )
+        out = stage1.groupby("_part").map_groups(
+            MergeFinalize(keys, plain, schema), batch_format="pandas"
+        )
+        outputs.append(out)
+    for bcol in bucket_cols:
+        bparts = [p for p in parts if p.bucket == bcol]
+        cparts = _strip_bucket(bparts)
+        # rename outputs to carry the bucket suffix: RowAggregator is built on
+        # bucket-stripped parts; the pivot writes map columns under the
+        # stripped names, renamed after.
+        gran_keys = keys + [bcol]
+        stage1 = ds.map_batches(
+            PartialAgg(gran_keys, cparts, schema, num_partitions, part_keys=keys),
+            batch_format="pyarrow",
+        )
+        out = stage1.groupby("_part").map_groups(
+            MergeFinalize(gran_keys, cparts, schema, pivot_bucket=bcol, out_keys=keys),
+            batch_format="pandas",
+        )
+        rename = {p_c.output_name: p_b.output_name for p_c, p_b in zip(cparts, bparts)}
+        out = out.map_batches(
+            lambda t, r=rename: t.rename_columns([r.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow",
+        )
+        outputs.append(out)
+    if len(outputs) == 1:
+        return outputs[0]
+    from .assembly import key_partitioned_join
+
+    return key_partitioned_join(outputs[0], outputs[1:], keys, num_partitions=num_partitions)

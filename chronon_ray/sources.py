@@ -1,0 +1,163 @@
+"""Source scanning: Parquet → ray.data.Dataset with query rendering.
+
+Analog of the reference's rendered source query (reference:
+spark/src/main/scala/ai/chronon/spark/GroupBy.scala:608-680
+renderDataSourceQuery; api/QueryUtils.scala:20-57) re-expressed as: partition
+pruning by path selection → `ray.data.read_parquet(columns=...)` → vectorized
+`map_batches` projection/filter. For SNAPSHOT event sources without a time
+column the end-of-day timestamp `(epoch(ds)+1d)*1000-1` is synthesized
+(GroupBy.scala:640-652).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .api import EntitySource, EventSource, Source, TQuery
+
+#: reserved column names (reference api/Constants.scala:22-28)
+TS_COL = "ts"
+DS_COL = "ds"
+
+MILLIS_DAY = 86_400_000
+
+
+def partition_paths(
+    table: str,
+    start: Optional[str] = None,
+    end: Optional[str] = None,
+    partition_col: str = DS_COL,
+) -> list[str]:
+    """Resolve a table path to concrete parquet paths with ds-range pruning.
+
+    A table is either a single parquet file or a directory of
+    ``ds=YYYY-MM-DD/`` subdirs (the Hive-partitioned layout the reference
+    assumes everywhere — spark/TableUtils.scala:291-295). Pruning == path
+    selection; no footer is touched for out-of-range days.
+    """
+    if os.path.isfile(table) or table.endswith(".parquet"):
+        return [table]
+    subdirs = sorted(d for d in os.listdir(table) if d.startswith(f"{partition_col}="))
+    if not subdirs:
+        return [table]
+    picked = []
+    for d in subdirs:
+        ds_val = d.split("=", 1)[1]
+        if start is not None and ds_val < start:
+            continue
+        if end is not None and ds_val > end:
+            continue
+        picked.append(os.path.join(table, d))
+    return picked
+
+
+def list_partitions(table: str, partition_col: str = DS_COL) -> list[str]:
+    if os.path.isfile(table) or table.endswith(".parquet"):
+        return []
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(table) if d.startswith(f"{partition_col}=")
+    )
+
+
+class _Render:
+    """Vectorized select/where application, one call per Arrow batch."""
+
+    def __init__(self, query: TQuery, keep_columns: Optional[Sequence[str]] = None,
+                 synthesize_eod_ts: bool = False):
+        self.query = query
+        self.keep = list(keep_columns) if keep_columns else None
+        self.synthesize_eod_ts = synthesize_eod_ts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self.query
+        for where in q.wheres:
+            mask = where(batch)
+            if isinstance(mask, np.ndarray):
+                mask = pa.array(mask)
+            batch = batch.filter(mask)
+        if q.selects is not None:
+            arrays, names = [], []
+            for out_name, expr in q.selects:
+                if isinstance(expr, str):
+                    arr = batch[expr]
+                else:
+                    arr = expr(batch)
+                    if isinstance(arr, np.ndarray):
+                        arr = pa.array(arr)
+                arrays.append(arr)
+                names.append(out_name)
+            batch = pa.table(dict(zip(names, arrays)))
+        if q.time_column != TS_COL and q.time_column in batch.column_names:
+            idx = batch.column_names.index(q.time_column)
+            batch = batch.set_column(idx, TS_COL, batch.column(idx))
+        if TS_COL in batch.column_names:
+            ts = batch[TS_COL]
+            if pa.types.is_timestamp(ts.type):
+                ts = pc.cast(pc.cast(ts, pa.int64()), pa.int64())
+                unit = batch[TS_COL].type.unit
+                div = {"s": 0.001, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+                if div != 1:
+                    ts = pc.cast(pc.divide(ts, int(div)) if div > 1 else pc.multiply(ts, 1000),
+                                 pa.int64())
+                batch = batch.set_column(batch.column_names.index(TS_COL), TS_COL, ts)
+        elif self.synthesize_eod_ts and DS_COL in batch.column_names:
+            # EOD ts for snapshot/cumulative event tables (GroupBy.scala:640-652)
+            days = pc.cast(pc.strptime(batch[DS_COL], format="%Y-%m-%d", unit="ms"), pa.int64())
+            eod = pc.add(days, MILLIS_DAY - 1)
+            batch = batch.append_column(TS_COL, eod)
+        if self.keep:
+            keep = [c for c in self.keep if c in batch.column_names]
+            batch = batch.select(keep)
+        return batch
+
+
+def scan_table(
+    table: str,
+    query: TQuery = TQuery(),
+    columns: Optional[Sequence[str]] = None,
+    keep_columns: Optional[Sequence[str]] = None,
+    synthesize_eod_ts: bool = False,
+) -> ray.data.Dataset:
+    """read_parquet with partition pruning + column pruning, then render."""
+    paths = partition_paths(table, query.start_partition, query.end_partition,
+                            query.partition_column)
+    read_cols = list(columns) if columns else None
+    ds = ray.data.read_parquet(paths, columns=read_cols)
+    return ds.map_batches(
+        _Render(query, keep_columns, synthesize_eod_ts), batch_format="pyarrow"
+    )
+
+
+def scan_source(
+    source: Source,
+    columns: Optional[Sequence[str]] = None,
+    keep_columns: Optional[Sequence[str]] = None,
+) -> ray.data.Dataset:
+    if isinstance(source, EventSource):
+        return scan_table(source.table, source.query, columns, keep_columns,
+                          synthesize_eod_ts=True)
+    return scan_table(source.snapshot_table, source.query, columns, keep_columns)
+
+
+def required_columns(query: TQuery, needed: Sequence[str]) -> Optional[list[str]]:
+    """Columns to push into read_parquet: source columns referenced by simple
+    selects plus ``needed`` physical columns. Returns None (= all) when any
+    select is a callable (unknown inputs)."""
+    if query.selects is None:
+        return None
+    cols = set()
+    for _out, expr in query.selects:
+        if isinstance(expr, str):
+            cols.add(expr)
+        else:
+            return None
+    if query.wheres:
+        return None
+    cols.update(needed)
+    return sorted(cols)
