@@ -1,0 +1,448 @@
+"""Point-in-time-correct temporal as-of join (the flagship pipeline).
+
+Semantics parity with the reference's temporalEvents path (reference:
+spark/GroupBy.scala:278-357; oracle SQL in spark/test/JoinTest.scala:566-582:
+``AGG(IF(q.ts > e.ts AND e.ts >= round(q.ts - W, hop), v, NULL)) GROUP BY
+key, q.ts``): for every left row (key, ts) and every AggregationPart, the
+aggregate over events with ``hop_round(q.ts − W) ≤ e.ts < q.ts`` (strict
+head, hop-rounded tail per Resolution policy; unbounded → all ``e.ts <
+q.ts``).
+
+Physical plan (canonical, SURVEY.md §7.1 — replaces the reference's Spark
+groupByKey+leftOuterJoin chain with one co-partitioned pass):
+
+1. queries and events are tagged, schema-aligned, unioned;
+2. one hash shuffle on ``_part = hash(entity_key) % P`` co-locates every
+   key's queries and events (groupby("_part"));
+3. each partition is processed as a whole, **vectorized across keys**:
+   events sorted by (key, ts, tie_break) once; per-query window boundaries
+   found with a single composite searchsorted (key-code × relative-ts
+   encoding); then per aggregation family:
+
+   - prefix family (SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS, incl. list
+     auto-explode): running power-sum prefixes, feature = prefix[head] −
+     prefix[tail] — O(E + Q) per partition, no python loop;
+   - slice family (FIRST/LAST/FIRST_K/LAST_K): non-null event positions +
+     searchsorted → direct index arithmetic; payloads (e.g. token arrays)
+     are gathered with Arrow ``take`` — zero-copy, bit-exact;
+   - sawtooth family (UNIQUE_COUNT/APPROX_*/HISTOGRAM/TOP_K/BOTTOM_K/MIN/
+     MAX and all bucketed parts): per-key hop-tiled two-stack engine
+     (windowing/sawtooth.py) with hop-IR caching across windows.
+
+No stage materializes the dataset; the output streams out of the groupby.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..api import AggregationPart, GroupByConf, Operation, Window
+from ..aggregators.ops import OPS, AggOp
+from ..windowing.resolution import tail_hop_millis, window_tail
+from ..windowing.sawtooth import sawtooth_one_key
+from .groupby import stable_key_hash
+
+DEFAULT_NUM_PARTITIONS = 200
+
+_PREFIX_OPS = {Operation.SUM, Operation.COUNT, Operation.AVERAGE, Operation.VARIANCE,
+               Operation.SKEW, Operation.KURTOSIS}
+_SLICE_OPS = {Operation.FIRST, Operation.LAST, Operation.FIRST_K, Operation.LAST_K}
+_MOMENTS_NEEDED = {Operation.COUNT: 0, Operation.SUM: 1, Operation.AVERAGE: 1,
+                   Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}
+
+
+class BucketedPyOp(AggOp):
+    """Scalar-path adapter: IR = {bucket: inner IR}; values are (bucket, v)
+    pairs. Mirrors BucketedColumnAggregator's map output (reference:
+    aggregator/row/BucketedColumnAggregator.scala:1-94)."""
+
+    def __init__(self, inner: AggOp):
+        self.inner = inner
+        self.needs_ts = inner.needs_ts
+
+    def py_update(self, ir, v, ts, part):
+        bucket, value = v
+        if ir is None:
+            ir = {}
+        ir[bucket] = self.inner.py_update(ir.get(bucket), value, ts, part)
+        return ir
+
+    def py_merge(self, a, b, part):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = self.inner.py_merge(out.get(k), v, part)
+        return out
+
+    def py_finalize(self, ir, part):
+        return sorted((k, self.inner.py_finalize(v, part)) for k, v in ir.items())
+
+
+def _family(part: AggregationPart) -> str:
+    if part.bucket is not None:
+        return "sawtooth"
+    if part.operation in _PREFIX_OPS:
+        return "prefix"
+    if part.operation in _SLICE_OPS:
+        return "slice"
+    return "sawtooth"
+
+
+class TemporalPartition:
+    """Processes one co-partitioned group of tagged query+event rows."""
+
+    def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
+                 right_schema: pa.Schema, left_cols: list[str],
+                 tie_break: Optional[str] = None):
+        self.__name__ = type(self).__name__
+        self.keys = list(keys)
+        self.parts = parts
+        self.right_schema = right_schema
+        self.left_cols = left_cols  # passthrough output columns incl. keys+ts
+        self.tie_break = tie_break
+        self.out_fields = []
+        for p in parts:
+            in_type = right_schema.field(p.input_column).type
+            explode = (pa.types.is_list(in_type) or pa.types.is_large_list(in_type)) \
+                and p.operation in _PREFIX_OPS
+            el_type = in_type.value_type if explode else in_type
+            base = OPS[p.operation].output_arrow_type(el_type, replace(p, bucket=None))
+            t = pa.map_(pa.string(), base) if p.bucket is not None else base
+            self.out_fields.append(pa.field(p.output_name, t))
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        is_q = tbl["_is_q"].to_numpy(zero_copy_only=False).astype(bool)
+        q_tbl = tbl.filter(pa.array(is_q)).select(self.left_cols)
+        e_tbl = tbl.filter(pa.array(~is_q))
+        nq = len(q_tbl)
+        if nq == 0:
+            return pa.table({
+                **{c: q_tbl[c] for c in self.left_cols},
+                **{f.name: pa.nulls(0, f.type) for f in self.out_fields},
+            })
+
+        # ---- unified key codes over queries + events
+        if len(self.keys) == 1:
+            kq = q_tbl[self.keys[0]].to_pandas()
+            ke = e_tbl[self.keys[0]].to_pandas()
+            codes_all, _ = pd.factorize(pd.concat([kq, ke], ignore_index=True),
+                                        use_na_sentinel=False)
+        else:
+            kq = q_tbl.select(self.keys).to_pandas()
+            ke = e_tbl.select(self.keys).to_pandas()
+            idx = pd.MultiIndex.from_frame(pd.concat([kq, ke], ignore_index=True))
+            codes_all, _ = idx.factorize(use_na_sentinel=False)
+        codes_all = codes_all.astype(np.int64)
+        q_key = codes_all[:nq]
+        e_key = codes_all[nq:]
+
+        q_ts = q_tbl["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e_ts = e_tbl["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # ---- sort events by (key, ts, tie_break); queries by (key, ts)
+        if self.tie_break and self.tie_break in e_tbl.column_names:
+            tb = e_tbl[self.tie_break].to_numpy(zero_copy_only=False)
+            e_perm = np.lexsort((tb, e_ts, e_key))
+        else:
+            e_perm = np.lexsort((e_ts, e_key))
+        e_key = e_key[e_perm]
+        e_ts = e_ts[e_perm]
+        e_tbl = e_tbl.take(pa.array(e_perm))
+        q_perm = np.lexsort((q_ts, q_key))
+        q_key = q_key[q_perm]
+        q_ts = q_ts[q_perm]
+        q_tbl = q_tbl.take(pa.array(q_perm))
+
+        # ---- composite (key, ts) encoding for one-shot searchsorted
+        base_ts = int(min(e_ts.min() if len(e_ts) else q_ts.min(), q_ts.min()))
+        max_rel = int(max((e_ts.max() if len(e_ts) else base_ts), q_ts.max())) - base_ts
+        shift = 1 << (max_rel + 2).bit_length()
+        n_keys = int(codes_all.max()) + 1
+        if n_keys * shift >= (1 << 63):
+            raise ValueError(
+                "partition too wide for composite encoding; raise num_partitions"
+            )
+        comp_e = e_key * shift + (e_ts - base_ts)
+        head_idx = np.searchsorted(comp_e, q_key * shift + (q_ts - base_ts), side="left")
+
+        def tail_index(window: Window) -> np.ndarray:
+            tail_ts = window_tail(q_ts, window)
+            if tail_ts is None:
+                return np.searchsorted(comp_e, q_key * shift, side="left")
+            rel = np.clip(tail_ts - base_ts, 0, None)
+            return np.searchsorted(comp_e, q_key * shift + rel, side="left")
+
+        # ---- per-part feature computation
+        feature_arrays: dict[str, pa.Array] = {}
+        saw_parts = [ (i, p) for i, p in enumerate(self.parts) if _family(p) == "sawtooth" ]
+        for i, p in enumerate(self.parts):
+            fam = _family(p)
+            if fam == "prefix":
+                feature_arrays[p.output_name] = self._prefix_feature(
+                    p, e_tbl, head_idx, tail_index, self.out_fields[i].type)
+            elif fam == "slice":
+                feature_arrays[p.output_name] = self._slice_feature(
+                    p, e_tbl, head_idx, tail_index, self.out_fields[i].type)
+        if saw_parts:
+            saw = self._sawtooth_features(saw_parts, e_tbl, e_key, e_ts, q_key, q_ts)
+            feature_arrays.update(saw)
+
+        cols = {c: q_tbl[c] for c in self.left_cols}
+        for f in self.out_fields:
+            cols[f.name] = feature_arrays[f.name]
+        return pa.table(cols)
+
+    # ------------------------------------------------------------ prefix
+
+    def _event_moments(self, p: AggregationPart, e_tbl: pa.Table, n_moments: int):
+        """Per-event contributions (n_i, s1_i..sk_i) with list auto-explode."""
+        col = e_tbl[p.input_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ne = len(col)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lengths = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.flatten()
+            fv = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            fnull = ~pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            fv = np.where(fnull, 0.0, fv)
+            offs = np.zeros(ne + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            cs_null = np.concatenate([[0], np.cumsum(fnull.astype(np.int64))])
+            n_i = lengths - (cs_null[offs[1:]] - cs_null[offs[:-1]])
+            moments = []
+            powv = np.ones_like(fv)
+            for k in range(1, n_moments + 1):
+                powv = powv * fv
+                cs = np.concatenate([[0.0], np.cumsum(powv)])
+                moments.append(cs[offs[1:]] - cs[offs[:-1]])
+            return n_i.astype(np.float64), moments
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(valid, v, 0.0)
+        n_i = valid.astype(np.float64)
+        moments = []
+        powv = np.ones_like(v)
+        for k in range(1, n_moments + 1):
+            powv = powv * v
+            moments.append(np.where(valid, powv, 0.0))
+        return n_i, moments
+
+    def _prefix_feature(self, p: AggregationPart, e_tbl, head_idx, tail_index,
+                        out_type) -> pa.Array:
+        nm = _MOMENTS_NEEDED[p.operation]
+        n_i, moments = self._event_moments(p, e_tbl, nm)
+        l = tail_index(p.window)
+        r = head_idx
+        cn = np.concatenate([[0.0], np.cumsum(n_i)])
+        n = cn[r] - cn[l]
+        empty = n == 0
+        s = []
+        for m in moments:
+            cs = np.concatenate([[0.0], np.cumsum(m)])
+            s.append(cs[r] - cs[l])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if p.operation == Operation.COUNT:
+                out = n
+            elif p.operation == Operation.SUM:
+                out = s[0]
+            elif p.operation == Operation.AVERAGE:
+                out = s[0] / n
+            elif p.operation == Operation.VARIANCE:
+                out = (s[1] - s[0] * s[0] / n) / n
+                out = np.maximum(out, 0.0)
+            elif p.operation == Operation.SKEW:
+                mean = s[0] / n
+                m2 = s[1] - n * mean**2
+                m3 = s[2] - 3 * mean * s[1] + 2 * n * mean**3
+                out = np.sqrt(n) * m3 / np.power(m2, 1.5)
+                out = np.where((n < 3) | (m2 <= 0), np.nan, out)
+                empty = empty | (n < 3)
+            elif p.operation == Operation.KURTOSIS:
+                mean = s[0] / n
+                m2 = s[1] - n * mean**2
+                m4 = s[3] - 4 * mean * s[2] + 6 * mean**2 * s[1] - 3 * n * mean**4
+                out = n * m4 / (m2 * m2) - 3.0
+                out = np.where((n < 4) | (m2 <= 0), np.nan, out)
+                empty = empty | (n < 4)
+            else:  # pragma: no cover
+                raise KeyError(p.operation)
+        mask = empty
+        arr = pa.array(np.where(mask, 0, out), mask=mask)
+        return arr.cast(out_type, safe=False)
+
+    # ------------------------------------------------------------- slice
+
+    def _slice_feature(self, p: AggregationPart, e_tbl, head_idx, tail_index,
+                       out_type) -> pa.Array:
+        col = e_tbl[p.input_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        nn_pos = np.flatnonzero(valid)
+        l = tail_index(p.window)
+        r = head_idx
+        j_l = np.searchsorted(nn_pos, l, side="left")
+        j_r = np.searchsorted(nn_pos, r, side="left")
+        have = j_r > j_l
+        op = p.operation
+        if op in (Operation.FIRST, Operation.LAST):
+            if len(nn_pos) == 0:
+                return pa.nulls(len(have), col.type).cast(out_type, safe=False)
+            if op == Operation.FIRST:
+                pos = nn_pos[np.minimum(j_l, len(nn_pos) - 1)]
+            else:
+                pos = nn_pos[np.clip(j_r - 1, 0, len(nn_pos) - 1)]
+            taken = col.take(pa.array(np.where(have, pos, 0).astype(np.int64)))
+            if (~have).any():
+                taken = pc.if_else(pa.array(have), taken, pa.nulls(len(have), col.type))
+            return taken
+        # FIRST_K / LAST_K
+        k = p.get_int("k")
+        lens = np.minimum(j_r - j_l, k)
+        lens = np.where(have, lens, 0)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        total = int(offs[-1])
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+        if op == Operation.LAST_K:
+            # most-recent first (reference LastK finalize: ts-descending)
+            j = np.repeat(j_r - 1, lens) - within
+        else:
+            j = np.repeat(j_l, lens) + within
+        flat_idx = nn_pos[j] if len(nn_pos) else np.array([], dtype=np.int64)
+        inner = col.take(pa.array(flat_idx))
+        mask = ~have
+        list_arr = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), inner,
+            mask=pa.array(mask) if mask.any() else None)
+        return list_arr.cast(out_type, safe=False) if list_arr.type != out_type else list_arr
+
+    # ---------------------------------------------------------- sawtooth
+
+    def _sawtooth_features(self, saw_parts, e_tbl: pa.Table, e_key, e_ts, q_key, q_ts):
+        nq = len(q_key)
+        results: dict[str, list] = {self.parts[i].output_name: [None] * nq
+                                    for i, _ in saw_parts}
+        # prepare per-part value accessors (nulls filtered per key slice later)
+        col_cache: dict[str, Any] = {}
+
+        def col_values(p: AggregationPart):
+            key = (p.input_column, p.bucket)
+            if key in col_cache:
+                return col_cache[key]
+            col = e_tbl[p.input_column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+                vals = col.to_numpy(zero_copy_only=False)
+            else:
+                vals = np.asarray(col.to_pylist(), dtype=object)
+            if p.bucket is not None:
+                bcol = e_tbl[p.bucket]
+                bvalid = pc.is_valid(bcol).to_numpy(zero_copy_only=False)
+                valid = valid & bvalid
+                bvals = np.asarray(bcol.to_pylist(), dtype=object)
+                vals = np.array(list(zip(bvals, vals)), dtype=object)
+            col_cache[key] = (vals, valid)
+            return col_cache[key]
+
+        # iterate keys that have queries
+        q_bounds = np.flatnonzero(np.diff(q_key)) + 1
+        q_starts = np.concatenate([[0], q_bounds, [nq]])
+        ne = len(e_key)
+        for s_i in range(len(q_starts) - 1):
+            a, b = q_starts[s_i], q_starts[s_i + 1]
+            kcode = q_key[a]
+            e_a = np.searchsorted(e_key, kcode, side="left")
+            e_b = np.searchsorted(e_key, kcode, side="right")
+            qts = q_ts[a:b]
+            for i, p in saw_parts:
+                vals, valid = col_values(p)
+                vmask = valid[e_a:e_b]
+                ets = e_ts[e_a:e_b][vmask]
+                evs = vals[e_a:e_b][vmask]
+                inner = OPS[p.operation]
+                op = BucketedPyOp(inner) if p.bucket is not None else inner
+                cache: dict = {}
+                res = sawtooth_one_key(op, replace(p, bucket=None), p.window,
+                                       ets, evs, qts, hops_cache=cache)
+                out_list = results[p.output_name]
+                for t, v in enumerate(res):
+                    out_list[a + t] = v
+        out: dict[str, pa.Array] = {}
+        for i, p in saw_parts:
+            t = self.out_fields[i].type
+            out[p.output_name] = pa.array(results[p.output_name], type=t)
+        return out
+
+
+class _TagAlign:
+    """Pad queries/events to the union schema + tag + partition id."""
+
+    def __init__(self, is_q: bool, union_fields: list[pa.Field], keys: Sequence[str],
+                 num_partitions: int):
+        self.is_q = is_q
+        self.union_fields = union_fields
+        self.keys = list(keys)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for f in self.union_fields:
+            if f.name in batch.column_names:
+                c = batch[f.name]
+                cols[f.name] = c if c.type == f.type else pc.cast(c, f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        kdf = batch.select([k for k in self.keys]).to_pandas()
+        part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
+        cols["_part"] = pa.array(part)
+        cols["_is_q"] = pa.array(np.full(n, 1 if self.is_q else 0, dtype=np.int8))
+        return pa.table(cols)
+
+
+def temporal_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    conf: GroupByConf,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
+) -> ray.data.Dataset:
+    """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC."""
+    keys = list(conf.key_columns)
+    parts = conf.parts()
+    left_schema = left_schema or left_ds.schema().base_schema
+    right_schema = right_schema or right_ds.schema().base_schema
+    left_cols = list(left_schema.names)
+    union_fields: list[pa.Field] = []
+    seen: set[str] = set()
+    for sch in (left_schema, right_schema):
+        for f in sch:
+            if f.name not in seen:
+                seen.add(f.name)
+                union_fields.append(f)
+    tagged_q = left_ds.map_batches(
+        _TagAlign(True, union_fields, keys, num_partitions), batch_format="pyarrow")
+    tagged_e = right_ds.map_batches(
+        _TagAlign(False, union_fields, keys, num_partitions), batch_format="pyarrow")
+    unioned = tagged_q.union(tagged_e)
+    proc = TemporalPartition(keys, parts, right_schema, left_cols,
+                             tie_break=conf.tie_break_column)
+    return unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")

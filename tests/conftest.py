@@ -22,6 +22,7 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    ctx.enable_tensor_extension_casting = False  # ragged list cols stay Arrow lists
     yield
     ray.shutdown()
 
