@@ -1,0 +1,501 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+No reference analog (the reference only has key-level dropDuplicates —
+spark/Join.scala:582-585); built from the published algorithms (Broder 1997
+MinHash; Charikar 2002 SimHash; Leskovec-Rajaraman-Ullman MMDS ch.3 LSH
+banding) as Ray Data pipelines:
+
+    shingle/sign per batch (stateless, vectorized numpy)
+      → explode to (band, band_hash, id) rows
+      → groupby(band, band_hash) emits candidate pairs
+      → verify (signature-estimated or exact Jaccard)
+      → connected components by iterative min-label propagation
+        (a groupby per round — no driver-side union-find, so the edge set
+        never has to fit on one node)
+
+Every stage is a `map_batches`/`groupby` over Arrow; cluster output is
+(id, cluster_id) where cluster_id = min id of the component.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# --------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    ds: ray.data.Dataset,
+    on: Sequence[str],
+    id_col: str,
+    num_partitions: int = 200,
+) -> ray.data.Dataset:
+    """Keep one row per distinct `on` values — the one with the minimum id
+    (hash-partition by content hash → per-group first)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        pdf = batch.select(list(on)).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        batch = batch.append_column("_h", pa.array(h.astype(np.int64)))
+        return batch.append_column(
+            "_part", pa.array((h % num_partitions).astype(np.int64)))
+
+    def keep_first(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*on, id_col], kind="stable")
+        out = pdf.drop_duplicates(list(on), keep="first")
+        return out.drop(columns=["_h", "_part"])
+
+    keep_first.__name__ = "keep_first"
+    tagged = ds.map_batches(add_hash, batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(keep_first, batch_format="pandas")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def _char_shingles(texts: "pd.Series", k: int) -> list[np.ndarray]:
+    """k-char shingle hash sets per doc (vectorized per doc via numpy strides)."""
+    out = []
+    for t in texts:
+        if t is None or len(t) < k:
+            out.append(np.array([], dtype=np.uint64))
+            continue
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(np.array([], dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        weights = np.power(np.uint64(31), np.arange(k, dtype=np.uint64),
+                           dtype=np.uint64)
+        h = (win * weights).sum(axis=1)
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        out.append(np.unique(h))
+    return out
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*x+b) mod p over the shingle set."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = shingles.astype(np.uint64) % np.uint64(_MERSENNE)
+    # (P, S) = a[:,None]*x[None,:] + b — python ints avoid uint64 overflow wrap
+    prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+class MinHashStage:
+    """Actor-pool stage: text → minhash signature (+ band hashes).
+    Permutation params are built once per actor in __init__."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
+                 bands: int = 16, shingle_k: int = 5):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col]
+        sh = _char_shingles(texts, self.k)
+        sigs = np.stack([_minhash_sig(s, self.a, self.b) for s in sh])
+        r = self.rows_per_band
+        band_hash = np.empty((len(texts), self.bands), dtype=np.int64)
+        for bi in range(self.bands):
+            seg = sigs[:, bi * r:(bi + 1) * r]
+            hh = np.zeros(len(texts), dtype=np.uint64)
+            for c in range(r):
+                hh = hh * np.uint64(1099511628211) + seg[:, c]
+            band_hash[:, bi] = (hh >> np.uint64(1)).astype(np.int64)
+        n = len(texts)
+        sig_rows = sigs.view(np.int64)
+        sig_list = pa.array(np.tile(sig_rows, (self.bands, 1)).tolist(),
+                            type=pa.list_(pa.int64()))
+        return pa.table({
+            self.id_col: _tile_array(ids, self.bands),  # band-major layout
+            "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.T.reshape(-1)),
+            "sig": sig_list,
+        })
+
+
+def _tile_array(arr, times: int) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.concat_arrays([arr] * times)
+
+
+class _BandPairs:
+    """Per (band, band_hash) bucket → candidate pairs with sig-estimated
+    Jaccard. Emits each unordered pair once per bucket."""
+
+    def __init__(self, id_col: str, threshold: float):
+        self.__name__ = type(self).__name__
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        pdf = pdf.drop_duplicates(self.id_col)
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        ids = pdf[self.id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
+        n = len(ids)
+        out_a, out_b, out_j = [], [], []
+        # buckets are tiny (docs agreeing on a full band) — pairwise is fine
+        for i in range(n):
+            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(eq >= self.threshold)
+            for j in hit:
+                x, y = ids[i], ids[i + 1 + j]
+                if x > y:
+                    x, y = y, x
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(float(eq[j]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate candidate pairs (a, b, jaccard-estimate), deduplicated."""
+    kw = dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+              shingle_k=shingle_k)
+    if concurrency:
+        sigs = ds.map_batches(MinHashStage, fn_constructor_kwargs=kw,
+                              batch_format="pyarrow", concurrency=concurrency)
+    else:  # plain tasks — cheap init, no CPU reservation
+        sigs = ds.map_batches(MinHashStage(**kw), batch_format="pyarrow")
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        _BandPairs(id_col, threshold), batch_format="pandas")
+    # a pair can surface from several bands — keep one
+    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(["a", "b"])
+    dedup_pairs.__name__ = "dedup_pairs"
+    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def _label_checksum(labels: ray.data.Dataset) -> int:
+    """Order-insensitive content hash of (node, label) rows — equal across
+    rounds ⇔ converged (w.h.p.). One cheap pass over materialized blocks."""
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        pdf = t.select(["node", "label"]).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return pa.table({"s": pa.array([int(h.astype(np.uint64).sum()) & 0x7FFFFFFFFFFFFFFF])})
+
+    return labels.map_batches(block_sum, batch_format="pyarrow").sum("s")
+
+
+class _PropagatePartition:
+    """One co-partitioned round: rows are either label rows (node,label) or
+    edge rows (src=node, dst); emits min label per node ∪ propagated labels
+    to edge destinations. Vectorized pandas within the partition."""
+
+    __name__ = "PropagatePartition"
+
+    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
+        lab = pdf[pdf["_kind"] == 0][["node", "label"]]
+        edg = pdf[pdf["_kind"] == 1][["node", "dst"]]
+        cur = lab.groupby("node", sort=False)["label"].min().reset_index()
+        if len(edg):
+            prop = edg.merge(cur, on="node", how="inner")
+            out = pd.concat([
+                cur,
+                pd.DataFrame({"node": prop["dst"], "label": prop["label"]}),
+            ], ignore_index=True)
+        else:
+            out = cur
+        return pa.table({"node": pa.array(out["node"].to_numpy()),
+                         "label": pa.array(out["label"].to_numpy())})
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    ids: ray.data.Dataset,
+    id_col: str,
+    max_iters: int = 10,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Min-label propagation over undirected edges: every node's label
+    converges to the min id in its component. Each round = ONE hash shuffle
+    co-partitioning labels with the edges whose src lives in the partition
+    (no driver-side union-find, no broadcast of the label table — scales to
+    edge/node sets that don't fit one node). Rounds ≈ component diameter;
+    near-dup components are shallow."""
+    labels = ids.map_batches(
+        lambda t: pa.table({"node": t[id_col], "label": t[id_col]}),
+        batch_format="pyarrow").materialize()
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([_as_arr(t["a"]), _as_arr(t["b"])]),
+            "dst": pa.concat_arrays([_as_arr(t["b"]), _as_arr(t["a"])]),
+        }), batch_format="pyarrow")
+
+    def tag(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            pdf = t.select(["node"]).to_pandas()
+            part = (stable_hash_series(pdf["node"]) % num_partitions).astype(np.int64)
+            cols = {"node": t["node"],
+                    "dst": t["dst"] if kind == 1 else pa.nulls(len(t), t["node"].type),
+                    "label": t["label"] if kind == 0 else pa.nulls(len(t), t["node"].type),
+                    "_kind": pa.array(np.full(len(t), kind, dtype=np.int8)),
+                    "_part": pa.array(part)}
+            return pa.table(cols)
+        f.__name__ = f"tag{kind}"
+        return f
+
+    edges_tagged = edges.map_batches(tag(1), batch_format="pyarrow").materialize()
+    prev_sum = _label_checksum(labels)
+    for _ in range(max_iters):
+        lab_tagged = labels.map_batches(tag(0), batch_format="pyarrow")
+        merged = lab_tagged.union(edges_tagged)
+        # propagated labels land at dst nodes → second pass min per node
+        prop = merged.groupby("_part").map_groups(
+            _PropagatePartition(), batch_format="pandas")
+
+        def min_per_node(pdf: pd.DataFrame) -> pa.Table:
+            m = pdf.groupby("node", sort=False)["label"].min().reset_index()
+            return pa.table({"node": pa.array(m["node"].to_numpy()),
+                             "label": pa.array(m["label"].to_numpy())})
+
+        min_per_node.__name__ = "min_per_node"
+        labels = prop.groupby("node").map_groups(
+            min_per_node, batch_format="pandas").materialize()
+        new_sum = _label_checksum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")
+
+
+def stable_hash_series(s: pd.Series) -> np.ndarray:
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+
+
+def _as_arr(c):
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    **kw,
+) -> ray.data.Dataset:
+    """(id, cluster_id) near-dup clusters; cluster representative = min id."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **kw)
+    ids = ds.map_batches(lambda t: t.select([id_col]), batch_format="pyarrow")
+    return connected_components(pairs, ids, id_col)
+
+
+# -------------------------------------------------------------- SimHash
+
+
+class SimHashStage:
+    """64-bit SimHash over char-shingle hashes; near-dups share band values.
+    (Charikar 2002; banding over 4×16-bit chunks for hamming ≤ 3-ish.)"""
+
+    def __init__(self, text_col: str, id_col: str, shingle_k: int = 5,
+                 n_bands: int = 4):
+        self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        sh = _char_shingles(texts, self.k)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, s in enumerate(sh):
+            if len(s) == 0:
+                continue
+            bits = ((s[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            score = bits.sum(axis=0) * 2 - len(s)
+            sim = (score > 0).astype(np.uint64)
+            out[i] = (sim << np.arange(64, dtype=np.uint64)).sum()
+        cols = {self.id_col: batch[self.id_col],
+                "simhash": pa.array(out.astype(np.int64))}
+        width = 64 // self.n_bands
+        for bi in range(self.n_bands):
+            band = (out >> np.uint64(bi * width)) & np.uint64((1 << width) - 1)
+            cols[f"simband_{bi}"] = pa.array(band.astype(np.int64))
+        return pa.table(cols)
+
+
+def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                  max_hamming: int = 3, shingle_k: int = 5,
+                  concurrency: int | None = None) -> ray.data.Dataset:
+    """Candidate near-dup pairs by simhash banding, verified by hamming
+    distance (pigeonhole over 4 bands ⇒ recalls all pairs with ≤3 bits)."""
+    n_bands = 4
+    kw = dict(text_col=text_col, id_col=id_col, shingle_k=shingle_k, n_bands=n_bands)
+    if concurrency:
+        sigs = ds.map_batches(SimHashStage, fn_constructor_kwargs=kw,
+                              batch_format="pyarrow", concurrency=concurrency)
+    else:
+        sigs = ds.map_batches(SimHashStage(**kw), batch_format="pyarrow")
+
+    class BandPairs:
+        def __init__(self, band: int):
+            self.__name__ = f"SimBandPairs{band}"
+            self.band = band
+
+        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop_duplicates(id_col)
+            if len(pdf) < 2:
+                return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            ids = pdf[id_col].to_numpy()
+            hs = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            a_, b_, d_ = [], [], []
+            for i in range(len(ids)):
+                x = hs[i + 1:] ^ hs[i]
+                dist = np.array([bin(int(v)).count("1") for v in x])
+                hit = np.flatnonzero(dist <= max_hamming)
+                for j in hit:
+                    x1, y1 = ids[i], ids[i + 1 + j]
+                    if x1 > y1:
+                        x1, y1 = y1, x1
+                    a_.append(x1)
+                    b_.append(y1)
+                    d_.append(int(dist[j]))
+            return pd.DataFrame({"a": a_, "b": b_, "hamming": d_})
+
+    per_band = [
+        sigs.groupby(f"simband_{bi}").map_groups(BandPairs(bi), batch_format="pandas")
+        for bi in range(n_bands)
+    ]
+    pairs = per_band[0].union(*per_band[1:])
+
+    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(["a", "b"])
+
+    dedup_pairs.__name__ = "dedup_pairs"
+    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
+                        shingle_k: int = 5, threshold: float = 0.8,
+                        concurrency: int | None = None) -> ray.data.Dataset:
+    """Exact Jaccard verification over MinHash-LSH candidates: candidates
+    from banding, then exact shingle-set Jaccard via a broadcast of candidate
+    docs' shingles (small side only)."""
+    cands = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold * 0.8,
+                              concurrency=concurrency)
+    cand_pdf = cands.to_pandas()
+    need_ids = set(cand_pdf["a"]).union(cand_pdf["b"])
+
+    def collect(batch: pa.Table) -> pa.Table:
+        pdf = batch.select([id_col, text_col]).to_pandas()
+        pdf = pdf[pdf[id_col].isin(need_ids)]
+        sh = _char_shingles(pdf[text_col], shingle_k)
+        return pa.table({id_col: pa.array(pdf[id_col].to_numpy()),
+                         "shingles": pa.array([s.tolist() for s in sh],
+                                              type=pa.list_(pa.uint64()))})
+
+    docs = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    sets = {r[id_col]: set(r["shingles"]) for _, r in docs.iterrows()}
+    out_a, out_b, out_j = [], [], []
+    for _, r in cand_pdf.iterrows():
+        sa, sb = sets.get(r["a"], set()), sets.get(r["b"], set())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out_a.append(r["a"])
+            out_b.append(r["b"])
+            out_j.append(j)
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array(out_a), "b": pa.array(out_b),
+        "jaccard": pa.array(out_j, type=pa.float64())}))
+
+
+# ------------------------------------------------ embedding near-dup
+
+
+class CosineBucketStage:
+    """Random-hyperplane LSH signature for unit-normalized embeddings
+    (Charikar 2002 SRP-LSH): docs sharing a signature bucket are near-dup
+    candidates; cosine verified within the bucket group."""
+
+    def __init__(self, emb_col: str, id_col: str, n_planes: int = 16, dim: int = 64,
+                 seed: int = 7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.normal(size=(dim, n_planes))
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[self.emb_col].to_pandas().to_numpy())
+        proj = emb @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        sig = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "bucket": pa.array(sig.astype(np.int64)),
+            self.emb_col: batch[self.emb_col],
+        })
+
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
+                            threshold: float = 0.95, n_planes: int = 12,
+                            dim: int = 64,
+                            concurrency: int | None = None) -> ray.data.Dataset:
+    kw = dict(emb_col=emb_col, id_col=id_col, n_planes=n_planes, dim=dim)
+    if concurrency:
+        sigs = ds.map_batches(CosineBucketStage, fn_constructor_kwargs=kw,
+                              batch_format="pyarrow", concurrency=concurrency)
+    else:
+        sigs = ds.map_batches(CosineBucketStage(**kw), batch_format="pyarrow")
+
+    class Pairs:
+        __name__ = "CosPairs"
+
+        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[emb_col].to_numpy())
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sim = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hits = sim[iu] >= threshold
+            aa, bb = iu[0][hits], iu[1][hits]
+            return pd.DataFrame({"a": ids[aa], "b": ids[bb],
+                                 "cosine": sim[iu][hits]})
+
+    return sigs.groupby("bucket").map_groups(Pairs(), batch_format="pandas")

@@ -1,0 +1,191 @@
+"""Feature-engineering extras: lag/lead shifting and gap-based sessionization.
+
+No direct reference analog (the reference delegates row-window functions to
+Spark SQL; these are named first-class by the north rule). Same physical
+pattern as the temporal engine: one hash shuffle on the entity key, then
+whole-partition vectorized processing — sort by (key, order, tie_break) once,
+compute shifts / session boundaries with numpy on the sorted arrays, masking
+at key boundaries. No per-key python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .groupby import stable_key_hash
+
+DEFAULT_NUM_PARTITIONS = 200
+
+
+class _AddPart:
+    def __init__(self, keys: Sequence[str], num_partitions: int):
+        self.keys = list(keys)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kdf = batch.select(self.keys).to_pandas()
+        part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
+        return batch.append_column("_part", pa.array(part))
+
+
+def _sorted_partition(tbl: pa.Table, keys, order_col, tie_break):
+    """Sort one partition by (key, order, tie) and return (tbl, key_codes)."""
+    if len(keys) == 1:
+        codes, _ = pd.factorize(tbl[keys[0]].to_pandas(), use_na_sentinel=False)
+    else:
+        codes, _ = pd.MultiIndex.from_frame(
+            tbl.select(keys).to_pandas()).factorize(use_na_sentinel=False)
+    codes = codes.astype(np.int64)
+    order = tbl[order_col].to_numpy(zero_copy_only=False)
+    if tie_break and tie_break in tbl.column_names:
+        tb = tbl[tie_break].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((tb, order, codes))
+    else:
+        perm = np.lexsort((order, codes))
+    return tbl.take(pa.array(perm)), codes[perm]
+
+
+class _LagLead:
+    def __init__(self, keys, order_col, value_cols, lags, leads, tie_break):
+        self.__name__ = type(self).__name__
+        self.keys, self.order_col, self.tie_break = list(keys), order_col, tie_break
+        self.value_cols, self.lags, self.leads = list(value_cols), list(lags), list(leads)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["_part"])
+        tbl, codes = _sorted_partition(tbl, self.keys, self.order_col, self.tie_break)
+        n = len(tbl)
+        same_prev = np.zeros(n, dtype=bool)
+        if n:
+            same_prev[1:] = codes[1:] == codes[:-1]
+        out = tbl
+        for col in self.value_cols:
+            arr = out[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            for k in self.lags:
+                idx = np.arange(n, dtype=np.int64) - k
+                # valid only if the row k back belongs to the same key
+                ok = _same_key_within(codes, k)
+                taken = arr.take(pa.array(np.where(ok, idx, 0)))
+                taken = pa.compute.if_else(pa.array(ok), taken, pa.nulls(n, arr.type))
+                out = out.append_column(f"{col}_lag{k}", taken)
+            for k in self.leads:
+                idx = np.arange(n, dtype=np.int64) + k
+                ok = _same_key_within(codes, -k)
+                taken = arr.take(pa.array(np.where(ok, np.minimum(idx, n - 1), 0)))
+                taken = pa.compute.if_else(pa.array(ok), taken, pa.nulls(n, arr.type))
+                out = out.append_column(f"{col}_lead{k}", taken)
+        return out
+
+
+def _same_key_within(codes: np.ndarray, k: int) -> np.ndarray:
+    """ok[i] = codes[i-k] exists and equals codes[i] (k may be negative)."""
+    n = len(codes)
+    ok = np.zeros(n, dtype=bool)
+    if n == 0:
+        return ok
+    if k >= 0:
+        if n > k:
+            ok[k:] = codes[k:] == codes[:n - k]
+    else:
+        m = -k
+        if n > m:
+            ok[:n - m] = codes[:n - m] == codes[m:]
+    return ok
+
+
+def lag_lead(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (1,),
+    order_col: str = "ts",
+    tie_break: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Adds {col}_lag{k} / {col}_lead{k} columns per key in order-col order."""
+    tagged = ds.map_batches(_AddPart(keys, num_partitions), batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(
+        _LagLead(keys, order_col, value_cols, lags, leads, tie_break),
+        batch_format="pyarrow")
+
+
+class _Sessionize:
+    def __init__(self, keys, order_col, gap_ms, tie_break):
+        self.__name__ = type(self).__name__
+        self.keys, self.order_col = list(keys), order_col
+        self.gap_ms, self.tie_break = gap_ms, tie_break
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["_part"])
+        tbl, codes = _sorted_partition(tbl, self.keys, self.order_col, self.tie_break)
+        n = len(tbl)
+        ts = tbl[self.order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            same = codes[1:] == codes[:-1]
+            gap_ok = (ts[1:] - ts[:-1]) <= self.gap_ms
+            new_sess[1:] = ~(same & gap_ok)
+        # session ordinal within key: cumsum of new_sess, minus value at key start
+        sess_global = np.cumsum(new_sess)
+        key_change = np.ones(n, dtype=bool)
+        if n > 1:
+            key_change[1:] = codes[1:] != codes[:-1]
+        base = np.maximum.accumulate(np.where(key_change, sess_global, 0))
+        session_id = sess_global - base  # 0-based ordinal within key
+        out = tbl.append_column("session_id", pa.array(session_id.astype(np.int64)))
+        return out
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    gap_ms: int,
+    order_col: str = "ts",
+    tie_break: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Adds a 0-based ``session_id`` per key: a new session starts when the
+    gap to the previous event exceeds ``gap_ms``."""
+    tagged = ds.map_batches(_AddPart(keys, num_partitions), batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(
+        _Sessionize(keys, order_col, gap_ms, tie_break), batch_format="pyarrow")
+
+
+class _SessionStats:
+    def __init__(self, keys, order_col, gap_ms, tie_break):
+        self.__name__ = type(self).__name__
+        self.inner = _Sessionize(keys, order_col, gap_ms, tie_break)
+        self.keys, self.order_col = list(keys), order_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        with_sess = self.inner(tbl.append_column("_part", pa.nulls(len(tbl), pa.int64()))) \
+            if "_part" not in tbl.column_names else self.inner(tbl)
+        pdf = with_sess.select([*self.keys, self.order_col, "session_id"]).to_pandas()
+        gb = pdf.groupby([*self.keys, "session_id"], sort=True)
+        out = gb[self.order_col].agg(["min", "max", "size"]).reset_index()
+        out = out.rename(columns={"min": "session_start", "max": "session_end",
+                                  "size": "n_events"})
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def session_stats(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    gap_ms: int,
+    order_col: str = "ts",
+    tie_break: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """One row per (key, session): start, end, event count."""
+    tagged = ds.map_batches(_AddPart(keys, num_partitions), batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(
+        _SessionStats(keys, order_col, gap_ms, tie_break), batch_format="pyarrow")

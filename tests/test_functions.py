@@ -1,0 +1,226 @@
+"""Dedup / text-analysis / KNN / multimodal function tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from chronon_ray.functions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from chronon_ray.functions.knn import brute_force_knn, build_ivf, ivf_knn
+from chronon_ray.functions.multimodal import (
+    AudioFrameStage,
+    DecodeImageStage,
+    ImageFeatureStage,
+    VideoFrameSampleStage,
+    synth_media_table,
+)
+from chronon_ray.functions.text import (
+    FingerprintStage,
+    LangIdStage,
+    QualityScoreStage,
+    TokenCountStage,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(ray_session):
+    """50 base docs + near-copies (1-char edits) + exact copies."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    # large vocabulary so unrelated docs have genuinely low shingle overlap
+    words = ["w" + format(x, "06x") for x in rng.integers(0, 1 << 24, size=2000)]
+    rows = []
+    did = 0
+    for b in range(50):
+        base = " ".join(rng.choice(words, size=60))
+        rows.append((did, base, b))
+        did += 1
+        if b % 3 == 0:  # near-copy: swap one word
+            toks = base.split()
+            toks[5] = "CHANGED"
+            rows.append((did, " ".join(toks), b))
+            did += 1
+        if b % 5 == 0:  # exact copy
+            rows.append((did, base, b))
+            did += 1
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "base": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    return tbl
+
+
+def test_exact_dedup_vs_duckdb(docs_ds, duck):
+    out = exact_dedup(docs_ds, on=["text"], id_col="doc_id", num_partitions=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = duck.sql("""
+        select min(doc_id) as doc_id from documents group by text order by doc_id
+    """).df()
+    np.testing.assert_array_equal(out["doc_id"].to_numpy(), exp["doc_id"].to_numpy())
+
+
+def test_minhash_finds_neardups(ray_session, neardup_docs):
+    ds = ray.data.from_arrow(neardup_docs)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5,
+                              concurrency=None).to_pandas()
+    pdf = neardup_docs.to_pandas()
+    base_of = dict(zip(pdf["doc_id"], pdf["base"]))
+    # every found pair shares a base (no false positives across bases)
+    for _, r in pairs.iterrows():
+        assert base_of[r["a"]] == base_of[r["b"]], (r["a"], r["b"])
+    # every base with >1 doc is recalled as at least one pair
+    sizes = pdf.groupby("base").size()
+    multi = set(sizes[sizes > 1].index)
+    found_bases = {base_of[a] for a in pairs["a"]}
+    recall = len(found_bases & multi) / len(multi)
+    assert recall >= 0.9, recall
+
+
+def test_minhash_clusters(ray_session, neardup_docs):
+    ds = ray.data.from_arrow(neardup_docs)
+    clusters = minhash_dedup(ds, "text", "doc_id", threshold=0.5,
+                             concurrency=None).to_pandas()
+    pdf = neardup_docs.to_pandas().merge(clusters, on="doc_id")
+    # docs in the same cluster must share a base
+    for _, grp in pdf.groupby("cluster_id"):
+        assert grp["base"].nunique() == 1
+
+
+def test_simhash_pairs(ray_session, neardup_docs):
+    ds = ray.data.from_arrow(neardup_docs)
+    pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=6).to_pandas()
+    pdf = neardup_docs.to_pandas()
+    base_of = dict(zip(pdf["doc_id"], pdf["base"]))
+    assert len(pairs) > 0
+    ok = sum(base_of[r["a"]] == base_of[r["b"]] for _, r in pairs.iterrows())
+    assert ok / len(pairs) >= 0.9  # precision
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.Generator(np.random.PCG64(4))
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    dup = base[:10] + rng.normal(scale=0.01, size=(10, 64)).astype(np.float32)
+    emb = np.concatenate([base, dup])
+    ids = np.arange(len(emb))
+    tbl = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(list(emb), type=pa.list_(pa.float32()))})
+    pairs = embedding_neardup_pairs(ray.data.from_arrow(tbl), "embedding",
+                                    "vec_id", threshold=0.98, dim=64,
+                                    concurrency=None).to_pandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(pairs["a"], pairs["b"])}
+    expected = {(i, 40 + i) for i in range(10)}
+    assert len(found & expected) >= 8  # LSH recall
+    assert all(abs(a - b) == 40 for a, b in found)  # precision on this fixture
+
+
+def test_brute_force_knn_exact(ray_session, sf_dir):
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = corpus.to_pandas()
+    emb = np.stack(pdf["embedding"].to_numpy())
+    qm = emb[:5]
+    qids = pdf["vec_id"].to_numpy()[:5]
+    out = brute_force_knn(corpus, qids, qm, k=5).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # numpy oracle
+    norm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    qn = norm[:5]
+    sim = qn @ norm.T
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -sim[qi]))
+        exp_ids = pdf["vec_id"].to_numpy()[order[:5]]
+        got = out[out["query_id"] == qid]["neighbor_id"].to_numpy()
+        np.testing.assert_array_equal(got, exp_ids)
+
+
+def test_ivf_knn_recall(ray_session, sf_dir):
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = corpus.to_pandas()
+    emb = np.stack(pdf["embedding"].to_numpy())
+    qm = emb[:5]
+    qids = pdf["vec_id"].to_numpy()[:5]
+    cent, assigned = build_ivf(corpus, n_clusters=8)
+    out = ivf_knn(assigned, cent, qids, qm, k=5, nprobe=3).to_pandas()
+    bf = brute_force_knn(corpus, qids, qm, k=5).to_pandas()
+    recall = 0
+    for qid in qids:
+        a = set(out[out["query_id"] == qid]["neighbor_id"])
+        b = set(bf[bf["query_id"] == qid]["neighbor_id"])
+        recall += len(a & b) / len(b)
+    assert recall / len(qids) >= 0.5
+
+
+def test_text_stages(docs_ds, duck):
+    out = docs_ds.map_batches(LangIdStage(), batch_format="pandas") \
+        .map_batches(QualityScoreStage(), batch_format="pandas") \
+        .map_batches(TokenCountStage(), batch_format="pandas") \
+        .map_batches(FingerprintStage(), batch_format="pandas") \
+        .to_pandas()
+    # token count matches SQL whitespace split
+    exp = duck.sql("""
+        select doc_id, len(string_split_regex(trim(text), '\\s+')) as n
+        from documents order by doc_id
+    """).df()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["n_tokens_ws"].to_numpy(), exp["n"].to_numpy())
+    # the synthetic docs' text doesn't vary by the lang label — just check the
+    # stage runs and emits known labels; real-language accuracy below
+    assert got["lang_pred"].isin(["en", "de", "fr", "es", "zh", "unknown"]).all()
+    # fingerprints: equal texts ⇒ equal fingerprints, distinct mostly distinct
+    fp = got.groupby("text")["fingerprint"].nunique()
+    assert (fp == 1).all()
+    assert got["fingerprint"].nunique() > 0.9 * got["text"].nunique()
+    assert got["quality_score"].between(0, 1).all()
+
+
+def test_langid_real_sentences(ray_session):
+    samples = {
+        "en": "the quick brown fox jumped over the lazy dog and it was not seen again for days",
+        "de": "der schnelle braune fuchs sprang über den faulen hund und die katze ist nicht mit ihm",
+        "fr": "le renard brun rapide saute dans les bois et il est dans une maison pour la nuit",
+        "es": "el zorro marrón salta sobre el perro perezoso y es una historia que se cuenta por la noche",
+        "zh": "敏捷的棕色狐狸跳过了懒狗然后消失在森林里再也没有人见过它",
+    }
+    tbl = pa.table({"text": pa.array(list(samples.values())),
+                    "lang": pa.array(list(samples.keys()))})
+    out = ray.data.from_arrow(tbl).map_batches(
+        LangIdStage(), batch_format="pandas").to_pandas()
+    assert (out["lang_pred"] == out["lang"]).all(), out[["lang", "lang_pred"]]
+
+
+def test_multimodal_plumbing(ray_session):
+    tbl = synth_media_table(64)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(DecodeImageStage, fn_constructor_kwargs=dict(out_h=8, out_w=8),
+                         batch_format="pyarrow", batch_size=16, concurrency=2) \
+        .map_batches(ImageFeatureStage, fn_constructor_kwargs=dict(h=8, w=8),
+                     batch_format="pyarrow", batch_size=16, concurrency=2)
+    pdf = out.to_pandas()
+    assert len(pdf) == 64
+    assert len(pdf["pixels"].iloc[0]) == 8 * 8 * 3
+    assert len(pdf["img_features"].iloc[0]) == 6
+    # determinism: same payload → same pixels
+    p0 = np.asarray(pdf["pixels"].iloc[0])
+    again = ds.map_batches(DecodeImageStage(out_h=8, out_w=8),
+                           batch_format="pyarrow", batch_size=16).to_pandas()
+    np.testing.assert_array_equal(p0, np.asarray(again["pixels"].iloc[0]))
+    # audio + video stages
+    a = ds.map_batches(AudioFrameStage(), batch_format="pyarrow", batch_size=16).to_pandas()
+    assert len(a["frame_energy"].iloc[0]) == 16
+    v = ds.map_batches(VideoFrameSampleStage(), batch_format="pyarrow",
+                       batch_size=16).to_pandas()
+    assert len(v["frames"].iloc[0]) == 4
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(fake=False)
