@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown(). Each ``queries()`` callable takes an
+``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table;
+``oracle_sql()`` holds the DuckDB-equivalent SQL (same column names — the
+driver hash-compares values after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float aggregates are rounded to 4 decimals on BOTH sides so that the
+value-hash compare is robust to summation-order differences between engines.
 """
 
 from __future__ import annotations
@@ -18,27 +15,562 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+GAP_MS = 30 * 60 * 1000
+MS_1D = 86_400_000
+MS_7D = 7 * 86_400_000
+HOP_1D = 3_600_000  # tail hop for a 1d window (>=12h → 1h)  [Resolution policy]
+HOP_7D = 3_600_000  # 7d window is < 12d → 1h hops
+
+
+def _ctx():
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    return ctx
+
+
+def _events(sf_dir: str):
+    from chronon_ray.api import TQuery
+    from chronon_ray.sources import scan_table
+
+    return scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+
+
+def _purchase_left(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import TQuery
+    from chronon_ray.functions.dedup import exact_dedup
+    from chronon_ray.sources import scan_table
+
+    left = scan_table(
+        f"{sf_dir}/events.parquet",
+        TQuery.of(selects={"user_id": "user_id", "ts": "ts"},
+                  wheres=[lambda t: pc.equal(t["event_type"], "purchase")]),
+    )
+    # dedupe exact (user_id, ts) so the SQL GROUP BY oracle aligns rowwise
+    return exact_dedup(left, on=["user_id", "ts"], id_col="user_id",
+                       num_partitions=32)
+
+
+def _round(df: pd.DataFrame, cols: list[str], nd: int = 4) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype(float), nd)
+    return df
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_groupby_user_stats(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="user_stats", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum"), agg("value", "count"),
+                      agg("value", "average"), agg("value", "min"),
+                      agg("value", "max"), agg("value", "variance"),
+                      agg("event_type", "unique_count")),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    out["value_count"] = out["value_count"].astype(np.int64)
+    out["event_type_unique_count"] = out["event_type_unique_count"].astype(np.int64)
+    for c in ["value_sum", "value_average", "value_variance"]:
+        out[c] = out[c].astype(float)
+    return _round(out, ["value_sum", "value_average", "value_variance"])
+
+
+def q_asof_window_sums(sf_dir: str):
+    from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    conf = GroupByConf(
+        name="asof", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(1, "d"), window(7, "d"), UNBOUNDED]),
+                      agg("value", "count", [window(7, "d")])),
+    )
+    _ctx()
+    out = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
+                        num_partitions=32).to_pandas()
+    out["value_count_7d"] = out["value_count_7d"].fillna(0).astype(np.int64)
+    return _round(out, ["value_sum_1d", "value_sum_7d", "value_sum"])
+
+
+def q_asof_first_last(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    conf = GroupByConf(
+        name="asof_fl", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "last", [window(7, "d")]),
+                      agg("value", "first", [window(7, "d")])),
+        tie_break_column="event_id",
+    )
+    _ctx()
+    return temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
+                         num_partitions=32).to_pandas()
+
+
+def q_lag_lead(sf_dir: str):
+    from chronon_ray.pipelines.extras import lag_lead
+
+    _ctx()
+    out = lag_lead(_events(sf_dir), keys=["user_id"], value_cols=["value"],
+                   lags=[1], leads=[1], tie_break="event_id",
+                   num_partitions=32).to_pandas()
+    return out[["user_id", "ts", "event_id", "value", "value_lag1", "value_lead1"]]
+
+
+def q_sessionize(sf_dir: str):
+    from chronon_ray.pipelines.extras import sessionize
+
+    _ctx()
+    out = sessionize(_events(sf_dir), keys=["user_id"], gap_ms=GAP_MS,
+                     tie_break="event_id", num_partitions=32).to_pandas()
+    return out[["user_id", "ts", "event_id", "session_id"]]
+
+
+def q_session_stats(sf_dir: str):
+    from chronon_ray.pipelines.extras import session_stats
+
+    _ctx()
+    out = session_stats(_events(sf_dir), keys=["user_id"], gap_ms=GAP_MS,
+                        tie_break="event_id", num_partitions=32).to_pandas()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
+
+
+def q_topk_per_user(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="topk", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "top_k", k=3),),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        for i, v in enumerate(r["value_top3"], start=1):
+            rows.append((r["user_id"], i, v))
+    return pd.DataFrame(rows, columns=["user_id", "rnk", "value"])
+
+
+def q_histogram_user_event(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="hist", sources=(), key_columns=("user_id",),
+        aggregations=(agg("event_type", "histogram"),),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        for k, v in r["event_type_histogram"]:
+            rows.append((r["user_id"], k, v))
+    return pd.DataFrame(rows, columns=["user_id", "event_type", "cnt"]) \
+        .astype({"cnt": np.int64})
+
+
+def q_bucketed_sums(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="bsum", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", buckets=["event_type"]),),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        for k, v in r["value_sum_by_event_type"]:
+            rows.append((r["user_id"], k, round(float(v), 4)))
+    return pd.DataFrame(rows, columns=["user_id", "event_type", "value_sum"])
+
+
+def q_snapshot_join(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.pipelines.assembly import key_partitioned_join
+
+    _ctx()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow")
+    out = key_partitioned_join(orders, [cust], keys=["o_custkey"], how="left",
+                               num_partitions=32).to_pandas()
+    return out[["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"]]
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import exact_dedup
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs, on=["text"], id_col="doc_id", num_partitions=32) \
+        .to_pandas()
+    return out[["doc_id"]]
+
+
+def q_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.text import TokenCountStage
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(TokenCountStage(), batch_format="pandas").to_pandas()
+    return out[["doc_id", "n_tokens_ws"]]
+
+
+def q_skew_kurtosis(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="moments", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "skew"), agg("value", "kurtosis")),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    out = _round(out, ["value_skew", "value_kurtosis"])
+    # engine yields NaN where the SQL CASE yields NULL — align
+    for c in ["value_skew", "value_kurtosis"]:
+        out[c] = out[c].where(~out[c].isna(), None)
+    return out
+
+
+def q_knn_top5(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.knn import brute_force_knn
+
+    _ctx()
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = corpus.filter(expr="vec_id < 10").to_pandas()
+    qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qids = head["vec_id"].to_numpy()
+    out = brute_force_knn(corpus, qids, qm, k=5).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+# ---- rows-only checks (non-SQL-expressible: sketches, LSH, heuristics) ----
+
+
+def q_token_backfill(sf_dir: str):
+    """Flagship: windowed as-of backfill over the input_hint-shaped token
+    table (deterministic synthetic, scaled by sf)."""
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
+    from chronon_ray.pipelines.temporal import temporal_join
+    from chronon_ray.testing.tokengen import ensure_fixture
+
+    _ctx()
+    scale = "t2" if "0.01" in sf_dir else ("bench" if "0.1" in sf_dir else "t1")
+    paths = ensure_fixture(scale)
+    ev = rd.read_parquet(paths["events_file"])
+    left = rd.read_parquet(paths["queries_file"])
+    conf = GroupByConf(
+        name="token_backfill", sources=(), key_columns=("doc_id",),
+        aggregations=(
+            agg("n_tok", "sum", [window(1, "d"), window(7, "d"), UNBOUNDED]),
+            agg("n_tok", "average", [window(7, "d")]),
+            agg("n_tok", "count", [window(1, "d")]),
+            agg("tokens", "last_k", [window(7, "d")], k=2),
+            agg("source", "unique_count", [window(7, "d")]),
+        ),
+    )
+    return temporal_join(left, ev, conf, num_partitions=32)
+
+
+def q_approx_unique(sf_dir: str):
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="approx", sources=(), key_columns=("user_id",),
+        aggregations=(agg("event_id", "approx_unique_count"),
+                      agg("value", "approx_percentile", k=128,
+                          percentiles="0.5,0.9")),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    out["value_approx_percentile"] = out["value_approx_percentile"].map(
+        lambda v: [float(x) for x in v])
+    return out
+
+
+def q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import minhash_lsh_pairs
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import simhash_pairs
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import embedding_neardup_pairs
+
+    _ctx()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.95)
+
+
+def q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.text import (FingerprintStage, LangIdStage,
+                                            QualityScoreStage)
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    out = docs.map_batches(LangIdStage(), batch_format="pandas") \
+        .map_batches(QualityScoreStage(), batch_format="pandas") \
+        .map_batches(FingerprintStage(), batch_format="pandas").to_pandas()
+    return out[["doc_id", "lang_pred", "quality_score", "stopword_ratio",
+                "fingerprint"]]
+
+
+def q_ivf_knn(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.knn import build_ivf, ivf_knn
+
+    _ctx()
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = corpus.filter(expr="vec_id < 10").to_pandas()
+    qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    cent, assigned = build_ivf(corpus, n_clusters=8)
+    return ivf_knn(assigned, cent, head["vec_id"].to_numpy(), qm, k=5, nprobe=3)
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from chronon_ray.functions.multimodal import (DecodeImageStage,
+                                                  ImageFeatureStage,
+                                                  synth_media_table)
+
+    _ctx()
+    ds = rd.from_arrow(synth_media_table(256))
+    out = ds.map_batches(DecodeImageStage(out_h=16, out_w=16),
+                         batch_format="pyarrow", batch_size=64) \
+        .map_batches(ImageFeatureStage(h=16, w=16), batch_format="pyarrow",
+                     batch_size=64)
+    return out.map_batches(lambda t: t.select(["media_id", "img_features"]),
+                           batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: PITC as-of join of purchase queries
+    against windowed event aggregates."""
+    _ctx()
+    return q_asof_window_sums("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "groupby_user_stats": q_groupby_user_stats,
+        "asof_window_sums": q_asof_window_sums,
+        "asof_first_last": q_asof_first_last,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "topk_per_user": q_topk_per_user,
+        "histogram_user_event": q_histogram_user_event,
+        "bucketed_sums": q_bucketed_sums,
+        "snapshot_join": q_snapshot_join,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_counts": q_token_counts,
+        "skew_kurtosis": q_skew_kurtosis,
+        "knn_top5": q_knn_top5,
+        "token_backfill": q_token_backfill,
+        "approx_unique": q_approx_unique,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "text_quality": q_text_quality,
+        "ivf_knn": q_ivf_knn,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "groupby_user_stats": """
+            select user_id,
+                   round(sum(value), 4) as value_sum,
+                   count(value) as value_count,
+                   round(avg(value), 4) as value_average,
+                   min(value) as value_min,
+                   max(value) as value_max,
+                   round(var_pop(value), 4) as value_variance,
+                   count(distinct event_type) as event_type_unique_count
+            from events group by user_id
+        """,
+        "asof_window_sums": f"""
+            with q as (select distinct user_id, epoch_ms(ts) as ts from events
+                       where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, value from events)
+            select q.user_id, q.ts,
+                round(sum(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_1D}) // {HOP_1D}) * {HOP_1D}
+                     then e.value end), 4) as value_sum_1d,
+                round(sum(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.value end), 4) as value_sum_7d,
+                round(sum(case when e.ts < q.ts then e.value end), 4) as value_sum,
+                count(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.value end) as value_count_7d
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts
+        """,
+        "asof_first_last": f"""
+            with q as (select distinct user_id, epoch_ms(ts) as ts from events
+                       where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, event_id, value
+                       from events)
+            select q.user_id, q.ts,
+                arg_max(e.value, case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.ts * 1000000 + e.event_id end) as value_last_7d,
+                arg_min(e.value, case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.ts * 1000000 + e.event_id end) as value_first_7d
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts
+        """,
+        "lag_lead": """
+            select user_id, epoch_ms(ts) as ts, event_id, value,
+                   lag(value) over w as value_lag1,
+                   lead(value) over w as value_lead1
+            from events
+            window w as (partition by user_id order by epoch_ms(ts), event_id)
+        """,
+        "sessionize": f"""
+            with t as (
+                select user_id, epoch_ms(ts) as ts, event_id,
+                       case when epoch_ms(ts) - lag(epoch_ms(ts)) over w > {GAP_MS}
+                            or lag(epoch_ms(ts)) over w is null then 1 else 0 end
+                           as new_sess
+                from events
+                window w as (partition by user_id order by epoch_ms(ts), event_id)
+            )
+            select user_id, ts, event_id,
+                   sum(new_sess) over (partition by user_id order by ts, event_id)
+                       - 1 as session_id
+            from t
+        """,
+        "session_stats": f"""
+            with t as (
+                select user_id, epoch_ms(ts) as ts, event_id,
+                       case when epoch_ms(ts) - lag(epoch_ms(ts)) over w > {GAP_MS}
+                            or lag(epoch_ms(ts)) over w is null then 1 else 0 end
+                           as new_sess
+                from events
+                window w as (partition by user_id order by epoch_ms(ts), event_id)
+            ), s as (
+                select user_id, ts,
+                       sum(new_sess) over (partition by user_id order by ts, event_id)
+                           - 1 as session_id
+                from t
+            )
+            select user_id, session_id, min(ts) as session_start,
+                   max(ts) as session_end, count(*) as n_events
+            from s group by user_id, session_id
+        """,
+        "topk_per_user": """
+            select user_id, rnk, value from (
+                select user_id, value,
+                       row_number() over (partition by user_id
+                                          order by value desc) as rnk
+                from events)
+            where rnk <= 3
+        """,
+        "histogram_user_event": """
+            select user_id, event_type, count(*) as cnt
+            from events group by user_id, event_type
+        """,
+        "bucketed_sums": """
+            select user_id, event_type, round(sum(value), 4) as value_sum
+            from events group by user_id, event_type
+        """,
+        "snapshot_join": """
+            select o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+            from orders left join customer on o_custkey = c_custkey
+        """,
+        "dedup_exact_docs": """
+            select min(doc_id) as doc_id from documents group by text
+        """,
+        "token_counts": """
+            select doc_id, len(string_split_regex(trim(text), '\\s+'))
+                as n_tokens_ws
+            from documents
+        """,
+        "skew_kurtosis": """
+            with mu as (select user_id, avg(value) as m from events
+                        where value is not null group by user_id)
+            select e.user_id,
+                round(case when count(*) >= 3 and sum(pow(value - m, 2)) > 0
+                    then sqrt(count(*)) * sum(pow(value - m, 3))
+                         / pow(sum(pow(value - m, 2)), 1.5) end, 4) as value_skew,
+                round(case when count(*) >= 4 and sum(pow(value - m, 2)) > 0
+                    then count(*) * sum(pow(value - m, 4))
+                         / pow(sum(pow(value - m, 2)), 2) - 3 end, 4)
+                    as value_kurtosis
+            from events e join mu on e.user_id = mu.user_id
+            where value is not null
+            group by e.user_id
+        """,
+        "knn_top5": """
+            select query_id, neighbor_id, rank from (
+                select q.vec_id as query_id, c.vec_id as neighbor_id,
+                       row_number() over (
+                           partition by q.vec_id
+                           order by list_cosine_similarity(q.embedding,
+                                                           c.embedding) desc,
+                                    c.vec_id) as rank
+                from (select * from embeddings where vec_id < 10) q
+                cross join embeddings c)
+            where rank <= 5
+        """,
+    }

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship backfill — PITC temporal as-of join + windowed GroupBy
+over the input_hint-shaped pre-tokenized sequence table (deterministic
+synthetic, scale matched to $GRAFT_SF_DIR) — reported as seconds + feature
+rows/sec. Secondary pipelines run over the $GRAFT_SF_DIR tables directly.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "headline_rows": R, "rows_per_sec": ...}
+
+`--scaling`: runs the headline twice in fresh processes (RAY_GRAFT_CPUS=8 and
+32) on the same input and reports both throughputs + scaling efficiency —
+the sandbox evidence for the N→4N-nodes criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    for tok in ("0.001", "0.01", "0.1"):
+        if tok in sf_dir:
+            return float(tok)
+    return -1.0
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, TQuery, UNBOUNDED, agg, window
+    from chronon_ray.functions.dedup import exact_dedup, minhash_lsh_pairs
+    from chronon_ray.functions.knn import brute_force_knn
+    from chronon_ray.pipelines.extras import session_stats
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+    from chronon_ray.pipelines.temporal import temporal_join
+    from chronon_ray.sources import scan_table
+    from chronon_ray.testing.tokengen import ensure_fixture
+
+    num_partitions = max(2 * ncpu, 32)
+    scale = "bench" if "0.1" in sf_dir else ("t2" if "0.01" in sf_dir else "t1")
+    paths = ensure_fixture(scale)
+
+    times: dict[str, float] = {}
+
+    nblocks = 2 * ncpu
+
+    # warm the page cache (untimed) so we measure compute+shuffle, not cold IO
+    rd.read_parquet(paths["events_file"], override_num_blocks=nblocks).count()
+    rd.read_parquet(f"{sf_dir}/events.parquet").count()
+
+    # ---------------- headline: token backfill
+    conf = GroupByConf(
+        name="token_backfill", sources=(), key_columns=("doc_id",),
+        aggregations=(
+            agg("n_tok", "sum", [window(1, "h"), window(1, "d"), window(7, "d"),
+                                 UNBOUNDED]),
+            agg("n_tok", "average", [window(7, "d")]),
+            agg("n_tok", "count", [window(1, "d")]),
+            agg("tokens", "last_k", [window(7, "d")], k=2),
+            agg("tokens", "last", [window(7, "d")]),
+            agg("source", "unique_count", [window(7, "d")]),
+        ),
+    )
+    def _headline_once() -> tuple[int, float]:
+        ev = rd.read_parquet(paths["events_file"], override_num_blocks=nblocks)
+        left = rd.read_parquet(paths["queries_file"],
+                               override_num_blocks=max(4, ncpu // 2))
+        t0 = time.perf_counter()
+        n = temporal_join(left, ev, conf, num_partitions=num_partitions).count()
+        return n, time.perf_counter() - t0
+
+    _headline_once()  # untimed warmup: absorbs ray worker startup
+    headline_rows, headline = _headline_once()
+    times["token_backfill"] = round(headline, 3)
+
+    # ---------------- secondary pipelines over the sf tables
+    ev_ds = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    t0 = time.perf_counter()
+    conf2 = GroupByConf(
+        name="asof", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(1, "d"), window(7, "d"),
+                                           UNBOUNDED]),
+                      agg("value", "count", [window(7, "d")])),
+    )
+    import pyarrow.compute as pc
+
+    left2 = scan_table(
+        f"{sf_dir}/events.parquet",
+        TQuery.of(selects={"user_id": "user_id", "ts": "ts"},
+                  wheres=[lambda t: pc.equal(t["event_type"], "purchase")]))
+    temporal_join(left2, ev_ds, conf2, num_partitions=num_partitions).count()
+    times["asof_events"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    conf3 = GroupByConf(
+        name="stats", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum"), agg("value", "average"),
+                      agg("value", "variance"), agg("value", "min"),
+                      agg("value", "max"),
+                      agg("event_type", "unique_count"),
+                      agg("value", "approx_percentile", k=128,
+                          percentiles="0.5,0.9")),
+    )
+    aggregate_snapshot(ev_ds, conf3, num_partitions=num_partitions).count()
+    times["groupby_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    session_stats(ev_ds, ["user_id"], gap_ms=30 * 60 * 1000,
+                  num_partitions=num_partitions).count()
+    times["session_stats"] = round(time.perf_counter() - t0, 3)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    exact_dedup(docs, on=["text"], id_col="doc_id",
+                num_partitions=num_partitions).count()
+    times["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8).count()
+    times["minhash_pairs"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    head = emb.limit(10).to_pandas()
+    brute_force_knn(emb, head["vec_id"].to_numpy(),
+                    np.stack(head["embedding"].to_numpy()), k=5).count()
+    times["knn_top5"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "token_backfill_wall_sec (as-of join + windowed GroupBy over "
+                  "pre-tokenized sequences)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": ncpu,
+        "headline_rows": headline_rows,
+        "rows_per_sec": round(headline_rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["rows_per_sec"]
+    tput_hi = r_hi["rows_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (rows/sec at 32 cpus vs 8 cpus / 4x)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "rows_per_sec_lo": tput_lo, "rows_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

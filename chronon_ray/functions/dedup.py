@@ -48,10 +48,11 @@ def exact_dedup(
         return batch.append_column(
             "_part", pa.array((h % num_partitions).astype(np.int64)))
 
-    def keep_first(pdf: pd.DataFrame) -> pd.DataFrame:
+    def keep_first(pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.sort_values([*on, id_col], kind="stable")
         out = pdf.drop_duplicates(list(on), keep="first")
-        return out.drop(columns=["_h", "_part"])
+        out = out.drop(columns=["_h", "_part"])
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     keep_first.__name__ = "keep_first"
     tagged = ds.map_batches(add_hash, batch_format="pyarrow")

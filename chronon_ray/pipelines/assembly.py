@@ -109,7 +109,9 @@ def key_partitioned_join(
 ) -> ray.data.Dataset:
     """left ⋈ each right on `keys` with a single hash shuffle."""
     all_ds = [left, *rights]
-    schemas = schemas or [d.schema().base_schema for d in all_ds]
+    from ..util import dataset_schema
+
+    schemas = schemas or [dataset_schema(d) for d in all_ds]
     union_fields: list[pa.Field] = []
     seen = set()
     for sch in schemas:

@@ -161,7 +161,9 @@ def aggregate_snapshot(
     Returns one Dataset per bucket-granularity merged into one (outer join on
     keys) when bucketed parts exist; plain single pipeline otherwise.
     """
-    schema = input_schema or ds.schema().base_schema
+    from ..util import dataset_schema
+
+    schema = input_schema or dataset_schema(ds)
     keys = list(conf.key_columns)
     parts = conf.parts()
     plain = [p for p in parts if p.bucket is None]

@@ -428,9 +428,26 @@ def temporal_join(
     """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC."""
     keys = list(conf.key_columns)
     parts = conf.parts()
-    left_schema = left_schema or left_ds.schema().base_schema
-    right_schema = right_schema or right_ds.schema().base_schema
+    from ..util import dataset_schema
+
+    left_schema = left_schema or dataset_schema(left_ds)
+    right_schema = right_schema or dataset_schema(right_ds)
     left_cols = list(left_schema.names)
+    # prune the right side to what the aggregation actually reads — only these
+    # columns pay the shuffle (a 'tokens' payload not referenced by any part
+    # must not cross the exchange)
+    needed = set(keys) | {"ts"}
+    for p in parts:
+        needed.add(p.input_column)
+        if p.bucket is not None:
+            needed.add(p.bucket)
+    if conf.tie_break_column:
+        needed.add(conf.tie_break_column)
+    right_keep = [n for n in right_schema.names if n in needed]
+    right_schema = pa.schema([right_schema.field(n) for n in right_keep])
+    right_ds = right_ds.map_batches(
+        lambda t, cols=tuple(right_keep): t.select(list(cols)),
+        batch_format="pyarrow")
     union_fields: list[pa.Field] = []
     seen: set[str] = set()
     for sch in (left_schema, right_schema):

@@ -117,18 +117,62 @@ class _Render:
         return batch
 
 
+TARGET_BLOCK_BYTES = 32 << 20  # ~32 MiB input per block
+
+
+def _estimate_blocks(paths: Sequence[str]) -> int:
+    """Block count sized to data volume. Ray's default parallelism creates
+    ~200 blocks even for tiny files, and each downstream sort/groupby task
+    then pays fixed overhead per near-empty block — measurably dominating
+    small-to-medium scans. One block per ~32 MiB, capped."""
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        else:
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files if f.endswith(".parquet"))
+    return max(1, min(1000, total // TARGET_BLOCK_BYTES + 1))
+
+
 def scan_table(
     table: str,
     query: TQuery = TQuery(),
     columns: Optional[Sequence[str]] = None,
     keep_columns: Optional[Sequence[str]] = None,
     synthesize_eod_ts: bool = False,
+    override_num_blocks: Optional[int] = None,
 ) -> ray.data.Dataset:
-    """read_parquet with partition pruning + column pruning, then render."""
+    """read_parquet with partition pruning + column pruning, then render.
+
+    ds-partitioned dirs are read with a hive PathPartitionFilter (prunes at
+    the path level, no out-of-range footer is touched) and the partition
+    column is injected by Ray's hive partitioning."""
     paths = partition_paths(table, query.start_partition, query.end_partition,
                             query.partition_column)
     read_cols = list(columns) if columns else None
-    ds = ray.data.read_parquet(paths, columns=read_cols)
+    blocks = override_num_blocks or _estimate_blocks(paths)
+    is_partitioned_dir = not (os.path.isfile(table) or table.endswith(".parquet")) \
+        and any(d.startswith(f"{query.partition_column}=")
+                for d in os.listdir(table))
+    if is_partitioned_dir:
+        from ray.data.datasource.partitioning import PathPartitionFilter
+
+        start, end, col = query.start_partition, query.end_partition, \
+            query.partition_column
+
+        def keep(kv, _s=start, _e=end, _c=col):
+            v = kv.get(_c)
+            return (_s is None or v >= _s) and (_e is None or v <= _e)
+
+        flt = PathPartitionFilter.of(keep, style="hive")
+        ds = ray.data.read_parquet(table, columns=read_cols,
+                                   partition_filter=flt,
+                                   override_num_blocks=blocks)
+    else:
+        ds = ray.data.read_parquet(paths, columns=read_cols,
+                                   override_num_blocks=blocks)
     return ds.map_batches(
         _Render(query, keep_columns, synthesize_eod_ts), batch_format="pyarrow"
     )

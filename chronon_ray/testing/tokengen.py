@@ -120,6 +120,8 @@ _SCALES = {
     "t1": (6_000, 1_000, 300),
     "t2": (60_000, 10_000, 1_000),
     "bench": (600_000, 100_000, 5_000),
+    # scaling runs need enough work per core for 32-way parallelism to matter
+    "bench_lg": (6_000_000, 600_000, 20_000),
 }
 
 

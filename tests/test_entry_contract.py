@@ -1,0 +1,71 @@
+"""Mimics the driver's correctness gate: every queries() entry with an
+oracle_sql() must match DuckDB on row-count + order-insensitive values."""
+
+import importlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None or
+                              (isinstance(v, float) and np.isnan(v)) else v)
+        try:
+            df[c] = df[c].astype("float64")
+        except (ValueError, TypeError):
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_vs_oracle(ray_session, duck, sf_dir, name):
+    q = entrymod.queries()[name]
+    got = _canon(_to_pandas(q(sf_dir)))
+    exp = _canon(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        if a.dtype.kind == "f":
+            an, bn = a.isna(), b.isna()
+            assert (an == bn).all(), f"{name}.{c} null mismatch"
+            np.testing.assert_allclose(a[~an], b[~bn], rtol=1e-9,
+                                       err_msg=f"{name}.{c}")
+        else:
+            assert (a == b).all(), f"{name}.{c}"
+
+
+def test_rows_only_queries(ray_session, sf_dir):
+    names = [k for k in entrymod.queries() if k not in entrymod.oracle_sql()]
+    for name in names:
+        res = _to_pandas(entrymod.queries()[name](sf_dir))
+        assert res is not None and len(res) >= 0, name
+
+
+def test_entry(ray_session):
+    res = _to_pandas(entrymod.entry())
+    assert len(res) > 0
