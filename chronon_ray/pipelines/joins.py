@@ -1,0 +1,193 @@
+"""Join orchestration: multi-part PITC joins, snapshot unrolling, derivations.
+
+Re-expression of the reference's Join lifecycle (reference: spark/Join.scala
+computeJoin; spark/JoinBase.scala:70-130 joinWithLeft; spark/GroupBy.scala:
+143-168 snapshotEvents multi-day unrolling; api/Extensions.scala:1069-1120
+derivations), Ray-Data-first:
+
+- each joinPart's features are computed on the DEDUPED (key, ts) set
+  (duplicate left rows ask the same question — compute once, fan out at
+  assembly), via the temporal engine;
+- assembly is ONE hash shuffle: left + every part's features co-partitioned
+  on (keys, ts) and merged per partition (assembly.key_partitioned_join);
+- SNAPSHOT accuracy reuses the same engine with DailyResolution hops and
+  end-of-day query timestamps — no separate daily codepath.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..api import Accuracy, EventSource, GroupByConf, JoinConf, TQuery
+from ..sources import scan_source
+from ..util import dataset_schema
+from .assembly import key_partitioned_join
+from .groupby import stable_key_hash
+from .temporal import temporal_join
+
+MILLIS_DAY = 86_400_000
+DEFAULT_NUM_PARTITIONS = 64
+
+
+def apply_derivations(ds: ray.data.Dataset, derivations: Sequence[tuple],
+                      base_columns: Optional[Sequence[str]] = None) -> ray.data.Dataset:
+    """Post-agg projection (reference derivationProjection, Extensions.scala:
+    1069-1120): entries are (out_name, expr) with expr ∈ {"*" passthrough,
+    source column name, callable(batch)->Array}."""
+    if not derivations:
+        return ds
+
+    def derive(batch: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array] = {}
+        for name, expr in derivations:
+            if name == "*" or expr == "*":
+                for c in batch.column_names:
+                    out.setdefault(c, batch[c])
+            elif isinstance(expr, str):
+                out[name] = batch[expr]
+            else:
+                arr = expr(batch)
+                if isinstance(arr, np.ndarray):
+                    arr = pa.array(arr)
+                out[name] = arr
+        return pa.table(out)
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def skew_filter(ds: ray.data.Dataset, skew_keys: Sequence[tuple]) -> ray.data.Dataset:
+    """Drop rows whose key is a declared hot key (reference skewFilter,
+    api/Extensions.scala:950-1000) — those keys are served by a dedicated
+    salted path or excluded outright."""
+    if not skew_keys:
+        return ds
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, values in skew_keys:
+            if col not in batch.column_names:
+                continue
+            m = pc.invert(pc.is_in(batch[col], value_set=pa.array(list(values))))
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask) if mask is not None else batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def distinct_rows(ds: ray.data.Dataset, cols: Sequence[str],
+                  num_partitions: int = DEFAULT_NUM_PARTITIONS) -> ray.data.Dataset:
+    """Distinct over `cols`: per-batch unique → hash shuffle → per-partition
+    unique. Only the already-deduped rows cross the exchange."""
+    cols = list(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        pdf = batch.select(cols).to_pandas().drop_duplicates()
+        part = (stable_key_hash(pdf, cols) % num_partitions).astype(np.int64)
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        return t.append_column("_part", pa.array(part))
+
+    def global_(pdf: pd.DataFrame) -> pa.Table:
+        out = pdf.drop_duplicates(cols)[cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    global_.__name__ = "distinct_merge"
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("_part").map_groups(global_, batch_format="pandas")
+
+
+def snapshot_events_unrolled(
+    events: ray.data.Dataset,
+    conf: GroupByConf,
+    ds_values: Sequence[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    events_schema: Optional[pa.Schema] = None,
+) -> ray.data.Dataset:
+    """Multi-day snapshot GroupBy: one row per (key, ds) with end-of-day
+    accuracy — the reference's snapshotEventsBase unrolling (GroupBy.scala:
+    143-168) expressed as a temporal join against a synthesized left grid of
+    (distinct keys × requested days) with EOD query timestamps and
+    DailyResolution tails."""
+    keys = list(conf.key_columns)
+    schema = events_schema or dataset_schema(events)
+    keys_ds = distinct_rows(events, keys, num_partitions)
+    eods = {ds_val: (int(pd.Timestamp(ds_val).timestamp()) // 86400 + 1) * MILLIS_DAY
+            for ds_val in ds_values}
+
+    def explode_days(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        reps = len(eods)
+        cols = {k: pa.concat_arrays([batch[k].combine_chunks()
+                                     if isinstance(batch[k], pa.ChunkedArray)
+                                     else batch[k]] * reps)
+                for k in keys}
+        ds_arr, ts_arr = [], []
+        for ds_val, eod in sorted(eods.items()):
+            ds_arr.extend([ds_val] * n)
+            ts_arr.extend([eod] * n)
+        cols["ds"] = pa.array(ds_arr, type=pa.string())
+        cols["ts"] = pa.array(ts_arr, type=pa.int64())
+        return pa.table(cols)
+
+    grid = keys_ds.map_batches(explode_days, batch_format="pyarrow")
+    return temporal_join(grid, events, conf, num_partitions=num_partitions,
+                         right_schema=schema, daily=True)
+
+
+def compute_join(
+    jc: JoinConf,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Full multi-part join: left ⟕ features of every joinPart, PITC."""
+    left = scan_source(jc.left)
+    left = skew_filter(left, jc.skew_keys)
+    feats = []
+    part_left_keys: Optional[list[str]] = None
+    for part in jc.parts:
+        gb = part.group_by
+        right = None
+        right_schema = None
+        for src in gb.sources:
+            s = scan_source(src)
+            if right is None:
+                right, right_schema = s, dataset_schema(s)
+            else:
+                right = right.union(s)
+        # left column for each right key (keyMapping, JoinBase.scala:87-101)
+        r2l = part.right_to_left()
+        left_key_cols = [r2l.get(k, k) for k in gb.key_columns]
+        if part_left_keys is None:
+            part_left_keys = left_key_cols
+        elif part_left_keys != left_key_cols:
+            raise NotImplementedError(
+                "parts with different left key sets need per-part assembly "
+                "keys; split the join")
+        kt = left.map_batches(
+            lambda t, cols=tuple([*left_key_cols, "ts"]),
+            names=tuple([*gb.key_columns, "ts"]):
+                t.select(list(cols)).rename_columns(list(names)),
+            batch_format="pyarrow")
+        kt = distinct_rows(kt, [*gb.key_columns, "ts"], num_partitions)
+        accuracy = gb.accuracy or Accuracy.TEMPORAL
+        f = temporal_join(kt, right, gb, num_partitions=num_partitions,
+                          right_schema=right_schema,
+                          daily=(accuracy == Accuracy.SNAPSHOT))
+        prefix = part.full_prefix
+        rename = {p.output_name: f"{prefix}_{p.output_name}" for p in gb.parts()}
+        rename.update(dict(zip(gb.key_columns, left_key_cols)))
+
+        def fix_names(t: pa.Table, r=tuple(rename.items())):
+            m = dict(r)
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+        f = f.map_batches(fix_names, batch_format="pyarrow")
+        feats.append(f)
+    join_keys = [*(part_left_keys or []), "ts"]
+    out = key_partitioned_join(left, feats, keys=join_keys, how="left",
+                               num_partitions=num_partitions)
+    return apply_derivations(out, jc.derivations)

@@ -103,8 +103,9 @@ class TemporalPartition:
 
     def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
                  right_schema: pa.Schema, left_cols: list[str],
-                 tie_break: Optional[str] = None):
+                 tie_break: Optional[str] = None, daily: bool = False):
         self.__name__ = type(self).__name__
+        self.daily = daily  # SNAPSHOT accuracy → DailyResolution hops
         self.keys = list(keys)
         self.parts = parts
         self.right_schema = right_schema
@@ -178,7 +179,7 @@ class TemporalPartition:
         head_idx = np.searchsorted(comp_e, q_key * shift + (q_ts - base_ts), side="left")
 
         def tail_index(window: Window) -> np.ndarray:
-            tail_ts = window_tail(q_ts, window)
+            tail_ts = window_tail(q_ts, window, self.daily)
             if tail_ts is None:
                 return np.searchsorted(comp_e, q_key * shift, side="left")
             rel = np.clip(tail_ts - base_ts, 0, None)
@@ -380,7 +381,8 @@ class TemporalPartition:
                 op = BucketedPyOp(inner) if p.bucket is not None else inner
                 cache: dict = {}
                 res = sawtooth_one_key(op, replace(p, bucket=None), p.window,
-                                       ets, evs, qts, hops_cache=cache)
+                                       ets, evs, qts, hops_cache=cache,
+                                       daily=self.daily)
                 out_list = results[p.output_name]
                 for t, v in enumerate(res):
                     out_list[a + t] = v
@@ -424,8 +426,12 @@ def temporal_join(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     left_schema: Optional[pa.Schema] = None,
     right_schema: Optional[pa.Schema] = None,
+    daily: bool = False,
 ) -> ray.data.Dataset:
-    """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC."""
+    """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC.
+
+    ``daily=True`` switches tail hops to DailyResolution (SNAPSHOT accuracy —
+    windows must be whole days)."""
     keys = list(conf.key_columns)
     parts = conf.parts()
     from ..util import dataset_schema
@@ -461,5 +467,5 @@ def temporal_join(
         _TagAlign(False, union_fields, keys, num_partitions), batch_format="pyarrow")
     unioned = tagged_q.union(tagged_e)
     proc = TemporalPartition(keys, parts, right_schema, left_cols,
-                             tie_break=conf.tie_break_column)
+                             tie_break=conf.tie_break_column, daily=daily)
     return unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")

@@ -29,9 +29,11 @@ MILLIS_DAY = 86_400_000
 HOP_SIZES = (MILLIS_DAY, MILLIS_HOUR, MILLIS_FIVE_MIN)
 
 
-def tail_hop_millis(window: Window) -> int:
+def tail_hop_millis(window: Window, daily: bool = False) -> int:
     if window.unbounded:
         return 0  # no tail
+    if daily:
+        return DailyResolution.tail_hop_millis(window)
     w = window.millis
     if w >= 12 * MILLIS_DAY:
         return MILLIS_DAY
@@ -45,11 +47,11 @@ def round_ts(ts, hop):
     return (ts // hop) * hop
 
 
-def window_tail(query_ts, window: Window):
+def window_tail(query_ts, window: Window, daily: bool = False):
     """Hop-rounded inclusive window start for a query time (vectorized)."""
     if window.unbounded:
         return None
-    return round_ts(query_ts - window.millis, tail_hop_millis(window))
+    return round_ts(query_ts - window.millis, tail_hop_millis(window, daily))
 
 
 class DailyResolution:

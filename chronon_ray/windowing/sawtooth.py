@@ -110,6 +110,7 @@ def sawtooth_one_key(
     ev_vals,  # aligned values (indexable)
     q_ts: np.ndarray,  # sorted asc
     hops_cache: Optional[dict] = None,  # hop_millis -> (hop_starts, irs)
+    daily: bool = False,
 ) -> list:
     """Finalized feature value per query (aligned to sorted q_ts order)."""
     nq = len(q_ts)
@@ -129,7 +130,7 @@ def sawtooth_one_key(
             out[qi] = op.py_finalize(ir, part) if ir is not None else None
         return out
 
-    hop = tail_hop_millis(window)
+    hop = tail_hop_millis(window, daily)
     if hops_cache is not None and hop in hops_cache:
         hop_starts, hop_irs = hops_cache[hop]
     else:

@@ -1,0 +1,126 @@
+"""Multi-part join assembly, snapshot unrolling, derivations, skew filter —
+vs DuckDB oracles in the reference JoinTest style."""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from chronon_ray.api import (
+    Accuracy,
+    EventSource,
+    GroupByConf,
+    JoinConf,
+    JoinPart,
+    TQuery,
+    UNBOUNDED,
+    agg,
+    window,
+)
+from chronon_ray.pipelines.joins import (
+    apply_derivations,
+    compute_join,
+    distinct_rows,
+    skew_filter,
+    snapshot_events_unrolled,
+)
+from chronon_ray.sources import scan_table
+from chronon_ray.windowing.resolution import tail_hop_millis
+
+
+HOP7 = tail_hop_millis(window(7, "d"))
+MS7 = 7 * 86_400_000
+
+
+def test_compute_join_two_parts(ray_session, duck, sf_dir):
+    events_src = EventSource(table=f"{sf_dir}/events.parquet", query=TQuery())
+    left_src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"},
+                        wheres=[lambda t: pc.equal(t["event_type"], "purchase")]))
+    gb_sum = GroupByConf(name="gb_sum", sources=(events_src,),
+                         key_columns=("user_id",),
+                         aggregations=(agg("value", "sum", [window(7, "d")]),))
+    gb_cnt = GroupByConf(name="gb_cnt", sources=(events_src,),
+                         key_columns=("user_id",),
+                         aggregations=(agg("value", "count", [UNBOUNDED]),))
+    jc = JoinConf(name="j", left=left_src,
+                  parts=(JoinPart(group_by=gb_sum), JoinPart(group_by=gb_cnt,
+                                                             prefix="p2")))
+    out = compute_join(jc, num_partitions=8).to_pandas()
+    out = out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp = duck.sql(f"""
+        with q as (select user_id, epoch_ms(ts) as ts, event_id from events
+                   where event_type = 'purchase'),
+             e as (select user_id, epoch_ms(ts) as ts, value from events)
+        select q.user_id, q.ts, q.event_id,
+            sum(case when e.ts < q.ts
+                 and e.ts >= ((q.ts - {MS7}) // {HOP7}) * {HOP7}
+                 then e.value end) as s7,
+            count(case when e.ts < q.ts then e.value end) as cnt
+        from q left join e on q.user_id = e.user_id
+        group by q.user_id, q.ts, q.event_id
+        order by q.user_id, q.ts, q.event_id
+    """).df()
+    assert len(out) == len(exp)
+    g = out["gb_sum_value_sum_7d"].astype(float).to_numpy()
+    w = exp["s7"].astype(float).to_numpy()
+    nan = np.isnan(g) & np.isnan(w)
+    assert (np.isnan(g) == np.isnan(w)).all()
+    np.testing.assert_allclose(g[~nan], w[~nan], rtol=1e-9)
+    got_cnt = out["p2_gb_cnt_value_count"].fillna(0).astype(int).to_numpy()
+    np.testing.assert_array_equal(got_cnt, exp["cnt"].astype(int))
+
+
+def test_snapshot_unrolled_vs_duckdb(ray_session, duck, sf_dir):
+    """EOD-accurate multi-day groupby: value per (user, ds) for 3 days."""
+    ev = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    conf = GroupByConf(name="snap", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum", [window(7, "d")]),
+                                     agg("value", "count", [window(2, "d")])))
+    days = ["2024-01-10", "2024-01-11", "2024-01-12"]
+    out = snapshot_events_unrolled(ev, conf, days, num_partitions=8).to_pandas()
+    out = out.sort_values(["user_id", "ds"]).reset_index(drop=True)
+    exp = duck.sql("""
+        with days as (select unnest(['2024-01-10','2024-01-11','2024-01-12']) as ds),
+             keys as (select distinct user_id from events),
+             grid as (select user_id, ds,
+                      epoch_ms(cast(ds as date) + interval 1 day) as eod
+                      from keys cross join days),
+             e as (select user_id, epoch_ms(ts) as ts, value from events)
+        select g.user_id, g.ds,
+            sum(case when e.ts < g.eod and e.ts >= g.eod - 7*86400000
+                 then e.value end) as s7,
+            count(case when e.ts < g.eod and e.ts >= g.eod - 2*86400000
+                 then e.value end) as c2
+        from grid g left join e on g.user_id = e.user_id
+        group by g.user_id, g.ds order by g.user_id, g.ds
+    """).df()
+    assert len(out) == len(exp)
+    g = out["value_sum_7d"].astype(float).to_numpy()
+    w = exp["s7"].astype(float).to_numpy()
+    nan = np.isnan(g) & np.isnan(w)
+    assert (np.isnan(g) == np.isnan(w)).all()
+    np.testing.assert_allclose(g[~nan], w[~nan], rtol=1e-9)
+    np.testing.assert_array_equal(out["value_count_2d"].fillna(0).astype(int),
+                                  exp["c2"].astype(int))
+
+
+def test_derivations_and_skew_filter(ray_session, sf_dir):
+    ev = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    filtered = skew_filter(ev, [("event_type", ("error",))]).to_pandas()
+    assert "error" not in set(filtered["event_type"])
+    derived = apply_derivations(
+        ev, [("*", "*"), ("value_x2", lambda t: pc.multiply(t["value"], 2)),
+             ("etype", "event_type")]).to_pandas()
+    np.testing.assert_allclose(derived["value_x2"], derived["value"] * 2)
+    assert (derived["etype"] == derived["event_type"]).all()
+
+
+def test_distinct_rows(ray_session, sf_dir, duck):
+    ev = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    out = distinct_rows(ev, ["user_id", "event_type"], num_partitions=8).to_pandas()
+    exp = duck.sql("select count(*) c from (select distinct user_id, event_type "
+                   "from events)").fetchone()[0]
+    assert len(out) == exp
+    assert not out.duplicated().any()
