@@ -60,7 +60,8 @@ def run_bench() -> dict:
     from chronon_ray.testing.tokengen import ensure_fixture
 
     num_partitions = max(2 * ncpu, 32)
-    scale = "bench" if "0.1" in sf_dir else ("t2" if "0.01" in sf_dir else "t1")
+    scale = os.environ.get("BENCH_FIXTURE") or (
+        "bench" if "0.1" in sf_dir else ("t2" if "0.01" in sf_dir else "t1"))
     paths = ensure_fixture(scale)
 
     times: dict[str, float] = {}
@@ -89,7 +90,8 @@ def run_bench() -> dict:
         left = rd.read_parquet(paths["queries_file"],
                                override_num_blocks=max(4, ncpu // 2))
         t0 = time.perf_counter()
-        n = temporal_join(left, ev, conf, num_partitions=num_partitions).count()
+        n = temporal_join(left, ev, conf, num_partitions=num_partitions,
+                          hot_keys="auto").count()
         return n, time.perf_counter() - t0
 
     _headline_once()  # untimed warmup: absorbs ray worker startup
@@ -168,7 +170,10 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling evidence runs on the larger fixture so per-core work
+        # dominates fixed orchestration overhead
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_FIXTURE=os.environ.get("BENCH_FIXTURE", "bench_lg"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])

@@ -1,0 +1,223 @@
+"""Hot-key skew handling for the temporal engine: salted re-splits.
+
+A key holding a large fraction of events turns its hash partition into a
+straggler (the reference only *excludes* declared skew keys —
+api/Extensions.scala:950-1000; the north rule requires salted re-splits).
+Plan:
+
+    events(hot k)  → S salt shards, partitioned by hash(k, salt)
+    queries(hot k) → replicated to all S shards with a unique _qid
+    per shard: the SAME vectorized engine runs in **partial mode**, emitting
+               mergeable per-query IRs instead of finalized values
+               (prefix → power sums; first/last → (ts, payload);
+               first_k/last_k → item lists; sawtooth → pickled op IR)
+    second (tiny) shuffle on _qid: merge the S partials per query → finalize
+
+Cold keys flow through the normal single-pass path; outputs are unioned.
+The merge traffic is proportional to hot-key QUERIES (small), while hot-key
+EVENT processing — the actual skew — is split S ways.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..api import AggregationPart, GroupByConf, Operation
+from ..aggregators.ops import OPS
+
+_PREFIX_OPS = {Operation.SUM, Operation.COUNT, Operation.AVERAGE, Operation.VARIANCE,
+               Operation.SKEW, Operation.KURTOSIS}
+_MOMENTS_NEEDED = {Operation.COUNT: 0, Operation.SUM: 1, Operation.AVERAGE: 1,
+                   Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}
+
+
+def detect_hot_keys(
+    right_ds: ray.data.Dataset,
+    key: str,
+    num_partitions: int,
+    sample_frac: float = 0.05,
+    factor: float = 2.0,
+    max_sample: int = 500_000,
+) -> list:
+    """Sample the event stream; keys holding more than ``factor / P`` of the
+    sampled rows would dominate their partition → hot. (Analyzer-style
+    heavy-hitter sampling — reference spark/Analyzer.scala:64-152.)"""
+    sample = right_ds.random_sample(sample_frac, seed=42).limit(max_sample)
+    pdf = sample.to_pandas()
+    if len(pdf) == 0:
+        return []
+    counts = pdf[key].value_counts(normalize=True)
+    return counts[counts > factor / num_partitions].index.tolist()
+
+
+# ------------------------------------------------------- partial emission
+
+
+def partial_fields(parts: list[AggregationPart], right_schema: pa.Schema) -> list[pa.Field]:
+    fields: list[pa.Field] = []
+    for p in parts:
+        name = p.output_name
+        fam = _family(p)
+        if fam == "prefix":
+            nm = _MOMENTS_NEEDED[p.operation]
+            fields.append(pa.field(f"{name}__n", pa.float64()))
+            for k in range(1, nm + 1):
+                fields.append(pa.field(f"{name}__s{k}", pa.float64()))
+        elif fam == "slice":
+            in_type = right_schema.field(p.input_column).type
+            if p.operation in (Operation.FIRST, Operation.LAST):
+                fields.append(pa.field(f"{name}__ts", pa.float64()))
+                fields.append(pa.field(f"{name}__payload", in_type))
+            else:
+                fields.append(pa.field(f"{name}__o", pa.list_(pa.int64())))
+                fields.append(pa.field(f"{name}__p", pa.list_(in_type)))
+        else:
+            fields.append(pa.field(f"{name}__pkl", pa.binary()))
+    return fields
+
+
+def _family(p: AggregationPart) -> str:
+    if p.bucket is not None:
+        return "sawtooth"
+    if p.operation in _PREFIX_OPS:
+        return "prefix"
+    if p.operation in (Operation.FIRST, Operation.LAST, Operation.FIRST_K,
+                       Operation.LAST_K):
+        return "slice"
+    return "sawtooth"
+
+
+class SaltedMerge:
+    """Second stage: all S partial rows of each _qid → one finalized row.
+    Vectorized across queries for the prefix family (grouped sums + formula);
+    scalar merges only for slice-K and sawtooth parts of hot queries."""
+
+    def __init__(self, parts: list[AggregationPart], left_cols: list[str],
+                 out_fields: list[pa.Field]):
+        self.__name__ = type(self).__name__
+        self.parts = parts
+        self.left_cols = left_cols
+        self.out_fields = out_fields
+
+    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
+        pdf = pdf.reset_index(drop=True)
+        codes, uniq = pd.factorize(pdf["_qid"], use_na_sentinel=False)
+        ng = len(uniq)
+        first_idx = np.zeros(ng, dtype=np.int64)
+        seen = np.zeros(ng, dtype=bool)
+        for i, c in enumerate(codes):
+            if not seen[c]:
+                seen[c] = True
+                first_idx[c] = i
+        out_cols: dict[str, Any] = {}
+        for c in self.left_cols:
+            out_cols[c] = pdf[c].to_numpy()[first_idx]
+        g = pd.Series(codes)
+        for p, f in zip(self.parts, self.out_fields):
+            name = p.output_name
+            fam = _family(p)
+            op = OPS[p.operation]
+            if fam == "prefix":
+                nm = _MOMENTS_NEEDED[p.operation]
+                n = pdf[f"{name}__n"].fillna(0).groupby(codes).sum().to_numpy()
+                s = [pdf[f"{name}__s{k}"].fillna(0).groupby(codes).sum().to_numpy()
+                     for k in range(1, nm + 1)]
+                vals = _finalize_prefix(p.operation, n, s)
+                mask = n == 0
+                if p.operation == Operation.SKEW:
+                    mask = mask | (n < 3)
+                if p.operation == Operation.KURTOSIS:
+                    mask = mask | (n < 4)
+                arr = pa.array(np.where(mask, 0, vals), mask=mask)
+                out_cols[name] = arr.cast(f.type, safe=False)
+            elif fam == "slice" and p.operation in (Operation.FIRST, Operation.LAST):
+                ts = pdf[f"{name}__ts"].to_numpy(dtype=float)
+                pay = pdf[f"{name}__payload"]
+                pick = np.full(ng, -1, dtype=np.int64)
+                best = np.full(ng, np.inf if p.operation == Operation.FIRST else -np.inf)
+                for i, c in enumerate(codes):
+                    t = ts[i]
+                    if np.isnan(t):
+                        continue
+                    if (p.operation == Operation.FIRST and t < best[c]) or \
+                       (p.operation == Operation.LAST and t > best[c]):
+                        best[c] = t
+                        pick[c] = i
+                vals = [None if j < 0 else pay.iloc[j] for j in pick]
+                out_cols[name] = pa.array([_np2py(v) for v in vals], type=f.type)
+            elif fam == "slice":
+                k = p.get_int("k")
+                desc = p.operation == Operation.LAST_K
+                merged: list = [None] * ng
+                o_col, p_col = pdf[f"{name}__o"], pdf[f"{name}__p"]
+                for i, c in enumerate(codes):
+                    o = o_col.iloc[i]
+                    if o is None or (isinstance(o, float) and np.isnan(o)):
+                        continue
+                    items = list(zip(_aslist(o), _aslist(p_col.iloc[i])))
+                    merged[c] = items if merged[c] is None else merged[c] + items
+                vals = []
+                for m in merged:
+                    if m is None:
+                        vals.append(None)
+                    else:
+                        m.sort(key=lambda t: t[0], reverse=desc)
+                        vals.append([_np2py(t[1]) for t in m[:k]])
+                out_cols[name] = pa.array(vals, type=f.type)
+            else:
+                from .temporal import BucketedPyOp
+
+                pop = BucketedPyOp(op) if p.bucket is not None else op
+                irs: list = [None] * ng
+                col = pdf[f"{name}__pkl"]
+                from dataclasses import replace as _rep
+
+                p0 = _rep(p, bucket=None)
+                for i, c in enumerate(codes):
+                    b = col.iloc[i]
+                    if b is None or (isinstance(b, float) and np.isnan(b)):
+                        continue
+                    irs[c] = pop.py_merge(irs[c], pickle.loads(b), p0)
+                vals = [None if ir is None else pop.py_finalize(ir, p0) for ir in irs]
+                out_cols[name] = pa.array(vals, type=f.type)
+        return pa.table(out_cols)
+
+
+def _finalize_prefix(op: Operation, n: np.ndarray, s: list[np.ndarray]) -> np.ndarray:
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if op == Operation.COUNT:
+            return n
+        if op == Operation.SUM:
+            return s[0]
+        if op == Operation.AVERAGE:
+            return s[0] / n
+        if op == Operation.VARIANCE:
+            return np.maximum((s[1] - s[0] * s[0] / n) / n, 0.0)
+        mean = s[0] / n
+        m2 = s[1] - n * mean**2
+        if op == Operation.SKEW:
+            m3 = s[2] - 3 * mean * s[1] + 2 * n * mean**3
+            out = np.sqrt(n) * m3 / np.power(m2, 1.5)
+            return np.where((n < 3) | (m2 <= 0), np.nan, out)
+        m4 = s[3] - 4 * mean * s[2] + 6 * mean**2 * s[1] - 3 * n * mean**4
+        out = n * m4 / (m2 * m2) - 3.0
+        return np.where((n < 4) | (m2 <= 0), np.nan, out)
+
+
+def _np2py(v):
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _aslist(v):
+    return v.tolist() if isinstance(v, np.ndarray) else list(v)

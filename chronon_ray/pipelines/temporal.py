@@ -103,9 +103,11 @@ class TemporalPartition:
 
     def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
                  right_schema: pa.Schema, left_cols: list[str],
-                 tie_break: Optional[str] = None, daily: bool = False):
+                 tie_break: Optional[str] = None, daily: bool = False,
+                 emit_partials: bool = False):
         self.__name__ = type(self).__name__
         self.daily = daily  # SNAPSHOT accuracy → DailyResolution hops
+        self.emit_partials = emit_partials  # salted path: mergeable IR columns
         self.keys = list(keys)
         self.parts = parts
         self.right_schema = right_schema
@@ -120,18 +122,26 @@ class TemporalPartition:
             base = OPS[p.operation].output_arrow_type(el_type, replace(p, bucket=None))
             t = pa.map_(pa.string(), base) if p.bucket is not None else base
             self.out_fields.append(pa.field(p.output_name, t))
+        if emit_partials:
+            from .salting import partial_fields
+
+            self.partial_out_fields = partial_fields(parts, right_schema)
 
     # ------------------------------------------------------------------
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         is_q = tbl["_is_q"].to_numpy(zero_copy_only=False).astype(bool)
-        q_tbl = tbl.filter(pa.array(is_q)).select(self.left_cols)
+        q_keep = list(dict.fromkeys([*self.left_cols,
+                                     *[k for k in self.keys
+                                       if k in tbl.column_names]]))
+        q_tbl = tbl.filter(pa.array(is_q)).select(q_keep)
         e_tbl = tbl.filter(pa.array(~is_q))
         nq = len(q_tbl)
         if nq == 0:
+            fields = self.partial_out_fields if self.emit_partials else self.out_fields
             return pa.table({
                 **{c: q_tbl[c] for c in self.left_cols},
-                **{f.name: pa.nulls(0, f.type) for f in self.out_fields},
+                **{f.name: pa.nulls(0, f.type) for f in fields},
             })
 
         # ---- unified key codes over queries + events
@@ -188,6 +198,27 @@ class TemporalPartition:
         # ---- per-part feature computation
         feature_arrays: dict[str, pa.Array] = {}
         saw_parts = [ (i, p) for i, p in enumerate(self.parts) if _family(p) == "sawtooth" ]
+        if self.emit_partials:
+            for i, p in enumerate(self.parts):
+                fam = _family(p)
+                if fam == "prefix":
+                    feature_arrays.update(self._prefix_partial(
+                        p, e_tbl, head_idx, tail_index))
+                elif fam == "slice":
+                    feature_arrays.update(self._slice_partial(
+                        p, e_tbl, e_ts, head_idx, tail_index))
+            if saw_parts:
+                import pickle as _pkl
+
+                saw = self._sawtooth_features(saw_parts, e_tbl, e_key, e_ts,
+                                              q_key, q_ts,
+                                              transform=_pkl.dumps)
+                for name, arr in saw.items():
+                    feature_arrays[f"{name}__pkl"] = arr
+            cols = {c: q_tbl[c] for c in self.left_cols}
+            for f in self.partial_out_fields:
+                cols[f.name] = feature_arrays[f.name]
+            return pa.table(cols)
         for i, p in enumerate(self.parts):
             fam = _family(p)
             if fam == "prefix":
@@ -242,19 +273,82 @@ class TemporalPartition:
             moments.append(np.where(valid, powv, 0.0))
         return n_i, moments
 
-    def _prefix_feature(self, p: AggregationPart, e_tbl, head_idx, tail_index,
-                        out_type) -> pa.Array:
+    def _prefix_moments(self, p: AggregationPart, e_tbl, head_idx, tail_index):
         nm = _MOMENTS_NEEDED[p.operation]
         n_i, moments = self._event_moments(p, e_tbl, nm)
         l = tail_index(p.window)
         r = head_idx
         cn = np.concatenate([[0.0], np.cumsum(n_i)])
         n = cn[r] - cn[l]
-        empty = n == 0
         s = []
         for m in moments:
             cs = np.concatenate([[0.0], np.cumsum(m)])
             s.append(cs[r] - cs[l])
+        return n, s
+
+    def _prefix_partial(self, p: AggregationPart, e_tbl, head_idx, tail_index):
+        n, s = self._prefix_moments(p, e_tbl, head_idx, tail_index)
+        name = p.output_name
+        out = {f"{name}__n": pa.array(n, type=pa.float64())}
+        for k, sk in enumerate(s, start=1):
+            out[f"{name}__s{k}"] = pa.array(sk, type=pa.float64())
+        return out
+
+    def _slice_partial(self, p: AggregationPart, e_tbl, e_ts, head_idx, tail_index):
+        col = e_tbl[p.input_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        nn_pos = np.flatnonzero(valid)
+        l = tail_index(p.window)
+        r = head_idx
+        j_l = np.searchsorted(nn_pos, l, side="left")
+        j_r = np.searchsorted(nn_pos, r, side="left")
+        have = j_r > j_l
+        name = p.output_name
+        if p.operation in (Operation.FIRST, Operation.LAST):
+            if len(nn_pos) == 0:
+                return {f"{name}__ts": pa.nulls(len(have), pa.float64()),
+                        f"{name}__payload": pa.nulls(len(have), col.type)}
+            if p.operation == Operation.FIRST:
+                pos = nn_pos[np.minimum(j_l, len(nn_pos) - 1)]
+            else:
+                pos = nn_pos[np.clip(j_r - 1, 0, len(nn_pos) - 1)]
+            ts_out = np.where(have, e_ts[pos].astype(np.float64), np.nan)
+            taken = col.take(pa.array(np.where(have, pos, 0).astype(np.int64)))
+            if (~have).any():
+                taken = pc.if_else(pa.array(have), taken,
+                                   pa.nulls(len(have), col.type))
+            return {f"{name}__ts": pa.array(ts_out, from_pandas=True),
+                    f"{name}__payload": taken}
+        # FIRST_K / LAST_K: per-shard top-k candidates with their ts order keys
+        k = p.get_int("k")
+        lens = np.minimum(j_r - j_l, k)
+        lens = np.where(have, lens, 0)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        total = int(offs[-1])
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+        if p.operation == Operation.LAST_K:
+            j = np.repeat(j_r - 1, lens) - within
+        else:
+            j = np.repeat(j_l, lens) + within
+        flat_idx = nn_pos[j] if len(nn_pos) else np.array([], dtype=np.int64)
+        o_inner = pa.array(e_ts[flat_idx].astype(np.int64)) if len(flat_idx) else             pa.array([], type=pa.int64())
+        p_inner = col.take(pa.array(flat_idx))
+        mask = ~have
+        o_arr = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), o_inner,
+            mask=pa.array(mask) if mask.any() else None).cast(pa.list_(pa.int64()))
+        p_arr = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), p_inner,
+            mask=pa.array(mask) if mask.any() else None)
+        return {f"{name}__o": o_arr, f"{name}__p": p_arr}
+
+    def _prefix_feature(self, p: AggregationPart, e_tbl, head_idx, tail_index,
+                        out_type) -> pa.Array:
+        n, s = self._prefix_moments(p, e_tbl, head_idx, tail_index)
+        empty = n == 0
         with np.errstate(invalid="ignore", divide="ignore"):
             if p.operation == Operation.COUNT:
                 out = n
@@ -334,7 +428,8 @@ class TemporalPartition:
 
     # ---------------------------------------------------------- sawtooth
 
-    def _sawtooth_features(self, saw_parts, e_tbl: pa.Table, e_key, e_ts, q_key, q_ts):
+    def _sawtooth_features(self, saw_parts, e_tbl: pa.Table, e_key, e_ts, q_key,
+                           q_ts, transform=None):
         nq = len(q_key)
         results: dict[str, list] = {self.parts[i].output_name: [None] * nq
                                     for i, _ in saw_parts}
@@ -382,13 +477,13 @@ class TemporalPartition:
                 cache: dict = {}
                 res = sawtooth_one_key(op, replace(p, bucket=None), p.window,
                                        ets, evs, qts, hops_cache=cache,
-                                       daily=self.daily)
+                                       daily=self.daily, transform=transform)
                 out_list = results[p.output_name]
                 for t, v in enumerate(res):
                     out_list[a + t] = v
         out: dict[str, pa.Array] = {}
         for i, p in saw_parts:
-            t = self.out_fields[i].type
+            t = pa.binary() if transform is not None else self.out_fields[i].type
             out[p.output_name] = pa.array(results[p.output_name], type=t)
         return out
 
@@ -419,6 +514,27 @@ class _TagAlign:
         return pa.table(cols)
 
 
+def _union_fields(*schemas: pa.Schema) -> list[pa.Field]:
+    out: list[pa.Field] = []
+    seen: set[str] = set()
+    for sch in schemas:
+        for f in sch:
+            if f.name not in seen:
+                seen.add(f.name)
+                out.append(f)
+    return out
+
+
+def _tagged_union(left_ds, right_ds, left_schema, right_schema, part_keys,
+                  num_partitions):
+    fields = _union_fields(left_schema, right_schema)
+    tq = left_ds.map_batches(
+        _TagAlign(True, fields, part_keys, num_partitions), batch_format="pyarrow")
+    te = right_ds.map_batches(
+        _TagAlign(False, fields, part_keys, num_partitions), batch_format="pyarrow")
+    return tq.union(te)
+
+
 def temporal_join(
     left_ds: ray.data.Dataset,
     right_ds: ray.data.Dataset,
@@ -427,11 +543,18 @@ def temporal_join(
     left_schema: Optional[pa.Schema] = None,
     right_schema: Optional[pa.Schema] = None,
     daily: bool = False,
+    hot_keys=None,
+    salt_shards: int = 8,
 ) -> ray.data.Dataset:
     """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC.
 
     ``daily=True`` switches tail hops to DailyResolution (SNAPSHOT accuracy —
-    windows must be whole days)."""
+    windows must be whole days).
+
+    ``hot_keys``: None (no salting), "auto" (sample the event stream and salt
+    keys that would dominate a partition), or an explicit key list. Hot keys
+    take the salted two-stage path (pipelines/salting.py); cold keys the
+    single-pass path; outputs are unioned."""
     keys = list(conf.key_columns)
     parts = conf.parts()
     from ..util import dataset_schema
@@ -454,18 +577,105 @@ def temporal_join(
     right_ds = right_ds.map_batches(
         lambda t, cols=tuple(right_keep): t.select(list(cols)),
         batch_format="pyarrow")
-    union_fields: list[pa.Field] = []
-    seen: set[str] = set()
-    for sch in (left_schema, right_schema):
-        for f in sch:
-            if f.name not in seen:
-                seen.add(f.name)
-                union_fields.append(f)
-    tagged_q = left_ds.map_batches(
-        _TagAlign(True, union_fields, keys, num_partitions), batch_format="pyarrow")
-    tagged_e = right_ds.map_batches(
-        _TagAlign(False, union_fields, keys, num_partitions), batch_format="pyarrow")
-    unioned = tagged_q.union(tagged_e)
+
+    if hot_keys == "auto":
+        from .salting import detect_hot_keys
+
+        if len(keys) != 1:
+            hot_keys = None
+        else:
+            hot_keys = detect_hot_keys(right_ds, keys[0], num_partitions)
+    if hot_keys:
+        if len(keys) != 1:
+            raise NotImplementedError("salting requires a single key column")
+        return _salted_temporal_join(
+            left_ds, right_ds, conf, keys, parts, left_schema, right_schema,
+            left_cols, num_partitions, daily, list(hot_keys), salt_shards)
+
+    unioned = _tagged_union(left_ds, right_ds, left_schema, right_schema,
+                            keys, num_partitions)
     proc = TemporalPartition(keys, parts, right_schema, left_cols,
                              tie_break=conf.tie_break_column, daily=daily)
     return unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
+
+
+def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
+                          right_schema, left_cols, num_partitions, daily,
+                          hot_keys: list, salt_shards: int):
+    import uuid
+
+    from .salting import SaltedMerge
+
+    key = keys[0]
+    key_type = right_schema.field(key).type
+    hot_arr = pa.array(hot_keys).cast(key_type)
+
+    def _split(is_hot: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t[key], value_set=hot_arr)
+            return t.filter(m if is_hot else pc.invert(m))
+        f.__name__ = "keep_hot" if is_hot else "keep_cold"
+        return f
+
+    # ---- cold path: single-pass
+    cold = temporal_join(
+        left_ds.map_batches(_split(False), batch_format="pyarrow"),
+        right_ds.map_batches(_split(False), batch_format="pyarrow"),
+        conf, num_partitions=num_partitions, left_schema=left_schema,
+        right_schema=right_schema, daily=daily, hot_keys=None)
+
+    # ---- hot path: salted partials + merge
+    S = salt_shards
+
+    def explode_queries(t: pa.Table) -> pa.Table:
+        t = _split(True)(t)
+        n = len(t)
+        base = uuid.uuid4().int & ((1 << 62) - 1)
+        qid = (np.arange(n, dtype=np.int64) + (base % (1 << 40)) * (1 << 20))
+        cols = {c: pa.concat_arrays(
+            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]] * S)
+            for c in t.column_names}
+        cols["_qid"] = pa.array(np.tile(qid, S))
+        cols["_salt"] = pa.array(np.repeat(np.arange(S, dtype=np.int8), n))
+        return pa.table(cols)
+
+    def salt_events(t: pa.Table) -> pa.Table:
+        t = _split(True)(t)
+        n = len(t)
+        salt = (np.arange(n, dtype=np.int64) % S).astype(np.int8)
+        return t.append_column("_salt", pa.array(salt))
+
+    hot_left = left_ds.map_batches(explode_queries, batch_format="pyarrow")
+    hot_right = right_ds.map_batches(salt_events, batch_format="pyarrow")
+    lhs = pa.schema(list(left_schema) + [pa.field("_qid", pa.int64()),
+                                         pa.field("_salt", pa.int8())])
+    rhs = pa.schema(list(right_schema) + [pa.field("_salt", pa.int8())])
+    unioned = _tagged_union(hot_left, hot_right, lhs, rhs,
+                            [key, "_salt"], num_partitions)
+    # the processor must key on (key, _salt): several salt shards can hash
+    # into one physical partition, and each query replica may only see its
+    # own shard's events
+    proc = TemporalPartition([key, "_salt"], parts, right_schema,
+                             [*left_cols, "_qid"],
+                             tie_break=conf.tie_break_column, daily=daily,
+                             emit_partials=True)
+    partials = unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
+
+    merge_parts = max(8, num_partitions // 8)
+
+    def qid_part(t: pa.Table) -> pa.Table:
+        q = t["_qid"].to_numpy(zero_copy_only=False)
+        return t.append_column("_part2", pa.array((q % merge_parts).astype(np.int64)))
+
+    ref_proc = TemporalPartition(keys, parts, right_schema, left_cols,
+                                 tie_break=conf.tie_break_column, daily=daily)
+    merged = partials.map_batches(qid_part, batch_format="pyarrow")         .groupby("_part2").map_groups(
+            SaltedMerge(parts, left_cols, ref_proc.out_fields),
+            batch_format="pandas")
+
+    def align(t: pa.Table, order=tuple([*left_cols,
+                                        *[f.name for f in ref_proc.out_fields]])):
+        return t.select(list(order))
+
+    return cold.map_batches(align, batch_format="pyarrow").union(
+        merged.map_batches(align, batch_format="pyarrow"))

@@ -111,12 +111,17 @@ def sawtooth_one_key(
     q_ts: np.ndarray,  # sorted asc
     hops_cache: Optional[dict] = None,  # hop_millis -> (hop_starts, irs)
     daily: bool = False,
+    transform=None,  # per-query IR transform; default = finalize. Pass e.g.
+    #                  pickle.dumps to emit mergeable partials (salted path).
 ) -> list:
     """Finalized feature value per query (aligned to sorted q_ts order)."""
     nq = len(q_ts)
     out: list = [None] * nq
     if len(ev_ts) == 0 or nq == 0:
         return out
+    if transform is None:
+        def transform(ir):
+            return op.py_finalize(ir, part)
 
     if window.unbounded:
         ir = None
@@ -127,7 +132,7 @@ def sawtooth_one_key(
             while ep < ne and ev_ts[ep] < q:
                 ir = op.py_update(ir, ev_vals[ep], int(ev_ts[ep]), part)
                 ep += 1
-            out[qi] = op.py_finalize(ir, part) if ir is not None else None
+            out[qi] = transform(ir) if ir is not None else None
         return out
 
     hop = tail_hop_millis(window, daily)
@@ -170,5 +175,5 @@ def sawtooth_one_key(
             head_ep += 1
         win_ir = buf.query()
         ir = op.py_merge(win_ir, head_ir, part)
-        out[qi] = op.py_finalize(ir, part) if ir is not None else None
+        out[qi] = transform(ir) if ir is not None else None
     return out
