@@ -191,3 +191,36 @@ def compute_join(
     out = key_partitioned_join(left, feats, keys=join_keys, how="left",
                                num_partitions=num_partitions)
     return apply_derivations(out, jc.derivations)
+
+
+def entity_snapshot_join(
+    left: ray.data.Dataset,
+    snapshots: ray.data.Dataset,
+    keys: Sequence[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    snapshot_lag_days: int = 1,
+) -> ray.data.Dataset:
+    """Events × daily entity snapshots: each left row (key, ts) joins the
+    snapshot row of ``date(ts) − lag`` — "features as of yesterday end-of-day"
+    (reference: spark/JoinBase.scala:70-130 joinWithLeft key matrix — events ×
+    SNAPSHOT entities join on keys + ts_ds with the right shifted one day;
+    spark/Extensions.scala:249-274 ts_ds derivation)."""
+    lag_ms = snapshot_lag_days * MILLIS_DAY
+
+    def add_join_ds(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = ((ts - lag_ms) // MILLIS_DAY).astype("datetime64[D]")
+        return t.append_column("_join_ds",
+                               pa.array(np.datetime_as_string(days, unit="D")))
+
+    left2 = left.map_batches(add_join_ds, batch_format="pyarrow")
+
+    def rename_ds(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["_join_ds" if c == "ds" else c
+                                 for c in t.column_names])
+
+    right2 = snapshots.map_batches(rename_ds, batch_format="pyarrow")
+    out = key_partitioned_join(left2, [right2], keys=[*keys, "_join_ds"],
+                               how="left", num_partitions=num_partitions)
+    return out.map_batches(lambda t: t.drop_columns(["_join_ds"]),
+                           batch_format="pyarrow")

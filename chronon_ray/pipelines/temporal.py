@@ -545,6 +545,7 @@ def temporal_join(
     daily: bool = False,
     hot_keys=None,
     salt_shards: int = 8,
+    broadcast_left_keys: bool = False,
 ) -> ray.data.Dataset:
     """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC.
 
@@ -577,6 +578,41 @@ def temporal_join(
     right_ds = right_ds.map_batches(
         lambda t, cols=tuple(right_keep): t.select(list(cols)),
         batch_format="pyarrow")
+
+    if broadcast_left_keys:
+        # small-left mode: the left key set is broadcast and events of other
+        # keys never enter the shuffle (reference small-mode/bloom semi-join —
+        # spark/TableUtils.scala:296-305; spark/JoinBase.scala:304-339). The
+        # left pipeline is executed an extra time to collect the keys — only
+        # opt in when the left is genuinely small.
+        import ray as _ray
+
+        key_pdf = left_ds.map_batches(
+            lambda t: t.select(keys), batch_format="pyarrow").to_pandas()
+        key_pdf = key_pdf.drop_duplicates()
+        key_ref = _ray.put(key_pdf)
+
+        class _KeyFilter:
+            def __init__(self):
+                self._set = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._set is None:
+                    kp = _ray.get(key_ref)
+                    if len(keys) == 1:
+                        self._set = pa.array(kp[keys[0]].unique())
+                    else:
+                        self._set = set(map(tuple, kp.itertuples(index=False)))
+                if len(keys) == 1:
+                    return t.filter(pc.is_in(t[keys[0]],
+                                             value_set=self._set.cast(
+                                                 t[keys[0]].type)))
+                rows = t.select(keys).to_pandas()
+                mask = [tuple(r) in self._set
+                        for r in rows.itertuples(index=False)]
+                return t.filter(pa.array(mask))
+
+        right_ds = right_ds.map_batches(_KeyFilter(), batch_format="pyarrow")
 
     if hot_keys == "auto":
         from .salting import detect_hot_keys
