@@ -32,7 +32,7 @@ def _ctx():
     ctx = DataContext.get_current()
     ctx.enable_tensor_extension_casting = False
     ctx.enable_progress_bars = False
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     return ctx
 
 
@@ -396,6 +396,109 @@ def q_multimodal_features(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """Multi-key snapshot groupby (TPC-H Q1 shape)."""
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, TQuery, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+    from chronon_ray.sources import scan_table
+
+    _ctx()
+    li = scan_table(f"{sf_dir}/lineitem.parquet",
+                    TQuery(time_column="l_shipdate"))
+    conf = GroupByConf(
+        name="pricing", sources=(), key_columns=("l_returnflag", "l_linestatus"),
+        aggregations=(agg("l_quantity", "sum"), agg("l_extendedprice", "sum"),
+                      agg("l_quantity", "count"), agg("l_discount", "average")),
+    )
+    out = aggregate_snapshot(li, conf, num_partitions=16).to_pandas()
+    out["l_quantity_count"] = out["l_quantity_count"].astype(np.int64)
+    return _round(out, ["l_quantity_sum", "l_extendedprice_sum",
+                        "l_discount_average"])
+
+
+def q_snapshot_unrolled(sf_dir: str):
+    """EOD-accurate multi-day groupby (snapshot accuracy, daily hops)."""
+    from chronon_ray.api import GroupByConf, TQuery, agg, window
+    from chronon_ray.pipelines.joins import snapshot_events_unrolled
+    from chronon_ray.sources import scan_table
+
+    _ctx()
+    ev = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    conf = GroupByConf(name="snap", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum", [window(7, "d")]),
+                                     agg("value", "count", [window(2, "d")])))
+    days = ["2024-01-10", "2024-01-11", "2024-01-12"]
+    out = snapshot_events_unrolled(ev, conf, days, num_partitions=16).to_pandas()
+    out = out.drop(columns=["ts"])
+    out["value_count_2d"] = out["value_count_2d"].fillna(0).astype(np.int64)
+    return _round(out, ["value_sum_7d"])
+
+
+def q_join_two_parts(sf_dir: str):
+    """Multi-part PITC join assembly with prefixes."""
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import (EventSource, GroupByConf, JoinConf, JoinPart,
+                                 TQuery, UNBOUNDED, agg, window)
+    from chronon_ray.pipelines.joins import compute_join
+
+    _ctx()
+    events_src = EventSource(table=f"{sf_dir}/events.parquet", query=TQuery())
+    left_src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"},
+                        wheres=[lambda t: pc.equal(t["event_type"], "purchase")]))
+    gb_sum = GroupByConf(name="gb_sum", sources=(events_src,),
+                         key_columns=("user_id",),
+                         aggregations=(agg("value", "sum", [window(7, "d")]),))
+    gb_cnt = GroupByConf(name="gb_cnt", sources=(events_src,),
+                         key_columns=("user_id",),
+                         aggregations=(agg("value", "count", [UNBOUNDED]),))
+    jc = JoinConf(name="j", left=left_src,
+                  parts=(JoinPart(group_by=gb_sum),
+                         JoinPart(group_by=gb_cnt, prefix="p2")))
+    out = compute_join(jc, num_partitions=16).to_pandas()
+    out["p2_gb_cnt_value_count"] = out["p2_gb_cnt_value_count"] \
+        .fillna(0).astype(np.int64)
+    return _round(out, ["gb_sum_value_sum_7d"])
+
+
+def q_entity_snapshot_join(sf_dir: str):
+    """Events joined to daily snapshots as of date(ts)-1; the snapshot table
+    itself is produced by the engine's snapshot groupby."""
+    from chronon_ray.api import GroupByConf, TQuery, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+    from chronon_ray.pipelines.joins import entity_snapshot_join
+    from chronon_ray.sources import scan_table
+    import pyarrow as pa
+
+    _ctx()
+    ev = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+
+    def add_day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        days = (ts // 86_400_000).astype("datetime64[D]")
+        return t.append_column("ds", pa.array(np.datetime_as_string(days, unit="D")))
+
+    ev_d = ev.map_batches(add_day, batch_format="pyarrow")
+    snap_conf = GroupByConf(name="daily", sources=(),
+                            key_columns=("user_id", "ds"),
+                            aggregations=(agg("value", "sum"),))
+    snap = aggregate_snapshot(ev_d, snap_conf, num_partitions=16)
+    snap = snap.map_batches(
+        lambda t: t.rename_columns(
+            ["day_total" if c == "value_sum" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    left = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    out = entity_snapshot_join(left, snap, keys=["user_id"],
+                               num_partitions=16).to_pandas()
+    out = out[["user_id", "ts", "event_id", "day_total"]]
+    return _round(out, ["day_total"])
+
+
 # -------------------------------------------------------------- contract
 
 
@@ -422,6 +525,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "skew_kurtosis": q_skew_kurtosis,
         "knn_top5": q_knn_top5,
+        "lineitem_pricing": q_lineitem_pricing,
+        "snapshot_unrolled": q_snapshot_unrolled,
+        "join_two_parts": q_join_two_parts,
+        "entity_snapshot_join": q_entity_snapshot_join,
         "token_backfill": q_token_backfill,
         "approx_unique": q_approx_unique,
         "minhash_pairs": q_minhash_pairs,
@@ -560,6 +667,55 @@ def oracle_sql() -> dict[str, str]:
             from events e join mu on e.user_id = mu.user_id
             where value is not null
             group by e.user_id
+        """,
+        "lineitem_pricing": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as l_quantity_sum,
+                   round(sum(l_extendedprice), 4) as l_extendedprice_sum,
+                   count(l_quantity) as l_quantity_count,
+                   round(avg(l_discount), 4) as l_discount_average
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "snapshot_unrolled": """
+            with days as (select unnest(['2024-01-10','2024-01-11','2024-01-12'])
+                              as ds),
+                 keys as (select distinct user_id from events),
+                 grid as (select user_id, ds,
+                          epoch_ms(cast(ds as date) + interval 1 day) as eod
+                          from keys cross join days),
+                 e as (select user_id, epoch_ms(ts) as ts, value from events)
+            select g.user_id, g.ds,
+                round(sum(case when e.ts < g.eod
+                     and e.ts >= g.eod - 7*86400000 then e.value end), 4)
+                    as value_sum_7d,
+                count(case when e.ts < g.eod
+                     and e.ts >= g.eod - 2*86400000 then e.value end)
+                    as value_count_2d
+            from grid g left join e on g.user_id = e.user_id
+            group by g.user_id, g.ds
+        """,
+        "join_two_parts": f"""
+            with q as (select user_id, epoch_ms(ts) as ts, event_id from events
+                       where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, value from events)
+            select q.user_id, q.ts, q.event_id,
+                round(sum(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.value end), 4) as gb_sum_value_sum_7d,
+                count(case when e.ts < q.ts then e.value end)
+                    as p2_gb_cnt_value_count
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts, q.event_id
+        """,
+        "entity_snapshot_join": """
+            with snap as (select user_id, strftime(ts, '%Y-%m-%d') as ds,
+                                 sum(value) as day_total
+                          from events group by 1, 2)
+            select e.user_id, epoch_ms(e.ts) as ts, e.event_id,
+                   round(s.day_total, 4) as day_total
+            from events e left join snap s
+              on e.user_id = s.user_id
+             and s.ds = strftime(e.ts - interval 1 day, '%Y-%m-%d')
         """,
         "knn_top5": """
             select query_id, neighbor_id, rank from (

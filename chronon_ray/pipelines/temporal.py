@@ -499,6 +499,18 @@ class _TagAlign:
         self.num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.is_q:
+            # drop null-key EVENTS (reference removeNulls, GroupBy.scala:181)
+            # — otherwise a null-key event would "match" a null-key left row
+            # through factorization. Null-key left rows stay (left-outer, null
+            # features).
+            mask = None
+            for k in self.keys:
+                if k in batch.column_names:
+                    m = pc.is_valid(batch[k])
+                    mask = m if mask is None else pc.and_(mask, m)
+            if mask is not None:
+                batch = batch.filter(mask)
         n = len(batch)
         cols = {}
         for f in self.union_fields:
@@ -507,7 +519,7 @@ class _TagAlign:
                 cols[f.name] = c if c.type == f.type else pc.cast(c, f.type)
             else:
                 cols[f.name] = pa.nulls(n, type=f.type)
-        kdf = batch.select([k for k in self.keys]).to_pandas()
+        kdf = batch.select([k for k in self.keys if k in batch.column_names]).to_pandas()
         part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
         cols["_part"] = pa.array(part)
         cols["_is_q"] = pa.array(np.full(n, 1 if self.is_q else 0, dtype=np.int8))

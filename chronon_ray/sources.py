@@ -184,7 +184,20 @@ def scan_source(
     keep_columns: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     if isinstance(source, EventSource):
-        return scan_table(source.table, source.query, columns, keep_columns,
+        query = source.query
+        if source.is_cumulative:
+            # cumulative/snapshot-style event table: the latest partition
+            # holds all history — scan only it (reference GroupBy.scala:
+            # 565-606 getIntersectedRange cumulative branch)
+            parts = list_partitions(source.table, query.partition_column)
+            if parts:
+                latest = parts[-1] if query.end_partition is None else \
+                    max(p for p in parts if p <= query.end_partition)
+                query = TQuery(selects=query.selects, wheres=query.wheres,
+                               time_column=query.time_column,
+                               start_partition=latest, end_partition=latest,
+                               partition_column=query.partition_column)
+        return scan_table(source.table, query, columns, keep_columns,
                           synthesize_eod_ts=True)
     return scan_table(source.snapshot_table, source.query, columns, keep_columns)
 

@@ -79,7 +79,7 @@ def test_salted_equals_plain(data):
 def test_auto_hot_key_detection(data):
     ev, q = data
     hot = detect_hot_keys(rd.from_arrow(ev), "doc_id", num_partitions=16,
-                          sample_frac=0.5)
+                          sample_frac=0.5, factor=2.0, min_hot_rows=0)
     # the generator pins 3 hot keys at ~10% of rows each
     assert set(hot) >= {"doc_00000000", "doc_00000001", "doc_00000002"}
     assert len(hot) <= 6
