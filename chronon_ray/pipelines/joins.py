@@ -224,3 +224,45 @@ def entity_snapshot_join(
                                how="left", num_partitions=num_partitions)
     return out.map_batches(lambda t: t.drop_columns(["_join_ds"]),
                            batch_format="pyarrow")
+
+
+def label_join(
+    features: ray.data.Dataset,
+    label_events: ray.data.Dataset,
+    conf: GroupByConf,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    features_schema: Optional[pa.Schema] = None,
+    labels_schema: Optional[pa.Schema] = None,
+) -> ray.data.Dataset:
+    """Forward-looking label attachment (reference: spark/LabelJoin.scala:
+    35-284 — label GroupBys joined back to feature rows over a future
+    window): for each feature row (key, ts) and each AggregationPart with
+    window W, aggregate label events with ``ts < e.ts ≤ hop_round_up(ts+W)``.
+
+    Implemented by **time reversal** of the PITC engine: negate both sides'
+    timestamps and run the strict as-of join — "strictly before" in negated
+    time is "strictly after" in real time, and the hop-rounded tail becomes
+    the hop-rounded end of the label window. No second engine.
+    """
+    from ..util import dataset_schema as _ds
+
+    features_schema = features_schema or _ds(features)
+    labels_schema = labels_schema or _ds(label_events)
+
+    def negate(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = t.column_names.index("ts")
+        return t.set_column(idx, "ts", pa.array(-ts))
+
+    f_neg = features.map_batches(negate, batch_format="pyarrow")
+    l_neg = label_events.map_batches(negate, batch_format="pyarrow")
+    out = temporal_join(f_neg, l_neg, conf, num_partitions=num_partitions,
+                        left_schema=features_schema,
+                        right_schema=labels_schema)
+
+    def unnegate(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = t.column_names.index("ts")
+        return t.set_column(idx, "ts", pa.array(-ts))
+
+    return out.map_batches(unnegate, batch_format="pyarrow")

@@ -124,3 +124,50 @@ def test_distinct_rows(ray_session, sf_dir, duck):
                    "from events)").fetchone()[0]
     assert len(out) == exp
     assert not out.duplicated().any()
+
+
+def test_label_join_vs_duckdb(ray_session, duck, sf_dir):
+    """Forward window: labels strictly after ts within hop-padded 1d."""
+    from chronon_ray.api import GroupByConf, agg, window as W
+    from chronon_ray.pipelines.joins import label_join
+    from chronon_ray.sources import scan_table
+    from chronon_ray.api import TQuery
+
+    feats = scan_table(f"{sf_dir}/events.parquet",
+                       TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                          "event_id": "event_id"},
+                                 wheres=[lambda t: pc.equal(t["event_type"],
+                                                            "purchase")]))
+    labels = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    conf = GroupByConf(name="lbl", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum", [W(1, "d")]),
+                                     agg("value", "count", [W(1, "d")])))
+    out = label_join(feats, labels, conf, num_partitions=8).to_pandas()
+    out = out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    hop = tail_hop_millis(W(1, "d"))
+    ms1d = 86_400_000
+    # negated-time tail round(-ts - W, hop) == -ceil-style bound in real time:
+    # e.ts <= -((-q.ts - W) // hop) * hop  and e.ts > q.ts
+    exp = duck.sql(f"""
+        with q as (select user_id, epoch_ms(ts) as ts, event_id from events
+                   where event_type = 'purchase'),
+             e as (select user_id, epoch_ms(ts) as ts, value from events)
+        select q.user_id, q.ts, q.event_id,
+            sum(case when e.ts > q.ts
+                 and -e.ts >= cast(floor((-q.ts - {ms1d}) / {hop}.0) as bigint) * {hop}
+                 then e.value end) as value_sum_1d,
+            count(case when e.ts > q.ts
+                 and -e.ts >= cast(floor((-q.ts - {ms1d}) / {hop}.0) as bigint) * {hop}
+                 then e.value end) as value_count_1d
+        from q left join e on q.user_id = e.user_id
+        group by q.user_id, q.ts, q.event_id
+        order by q.user_id, q.ts, q.event_id
+    """).df()
+    assert len(out) == len(exp)
+    g = out["value_sum_1d"].astype(float).to_numpy()
+    w = exp["value_sum_1d"].astype(float).to_numpy()
+    nan = np.isnan(g) & np.isnan(w)
+    assert (np.isnan(g) == np.isnan(w)).all()
+    np.testing.assert_allclose(g[~nan], w[~nan], rtol=1e-9)
+    np.testing.assert_array_equal(out["value_count_1d"].fillna(0).astype(int),
+                                  exp["value_count_1d"].astype(int))
