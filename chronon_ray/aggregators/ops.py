@@ -67,9 +67,16 @@ class AggOp:
     def output_arrow_type(self, in_type: pa.DataType, part: AggregationPart) -> pa.DataType:
         raise NotImplementedError
 
+    #: abelian-group ops support deletion (mutation reversals) — reference
+    #: api.thrift:136-165 "monoid" vs "abelian group" split
+    deletable = False
+
     # ---- scalar path (sawtooth / two-stack inner loop) ---------------
     def py_empty(self, part: AggregationPart) -> Any:
         return None
+
+    def py_delete(self, ir: Any, v: Any, ts: int, part: AggregationPart) -> Any:
+        raise NotImplementedError(f"{self.op} is not deletable")
 
     def py_update(self, ir: Any, v: Any, ts: int, part: AggregationPart) -> Any:
         raise NotImplementedError
@@ -105,6 +112,7 @@ def _upcast_numeric(in_type: pa.DataType) -> pa.DataType:
 @_register
 class SumOp(AggOp):
     op = Operation.SUM
+    deletable = True
 
     def partial(self, df, n, part):
         s = df.groupby("g", sort=True)["v"].sum()
@@ -126,6 +134,9 @@ class SumOp(AggOp):
     def py_update(self, ir, v, ts, part):
         return v if ir is None else ir + v
 
+    def py_delete(self, ir, v, ts, part):
+        return -v if ir is None else ir - v
+
     def py_merge(self, a, b, part):
         if a is None:
             return b
@@ -140,6 +151,7 @@ class SumOp(AggOp):
 @_register
 class CountOp(AggOp):
     op = Operation.COUNT
+    deletable = True
 
     def partial(self, df, n, part):
         s = df.groupby("g", sort=True)["v"].size()
@@ -161,6 +173,9 @@ class CountOp(AggOp):
     def py_update(self, ir, v, ts, part):
         return 1 if ir is None else ir + 1
 
+    def py_delete(self, ir, v, ts, part):
+        return -1 if ir is None else ir - 1
+
     def py_merge(self, a, b, part):
         if a is None:
             return b
@@ -177,6 +192,7 @@ class AverageOp(AggOp):
     """IR = (sum, count) (reference SimpleAggregators.scala:119-160)."""
 
     op = Operation.AVERAGE
+    deletable = True
 
     def partial(self, df, n, part):
         g = df.groupby("g", sort=True)["v"]
@@ -203,6 +219,11 @@ class AverageOp(AggOp):
         if ir is None:
             return (float(v), 1)
         return (ir[0] + v, ir[1] + 1)
+
+    def py_delete(self, ir, v, ts, part):
+        if ir is None:
+            return (-float(v), -1)
+        return (ir[0] - v, ir[1] - 1)
 
     def py_merge(self, a, b, part):
         if a is None:
@@ -764,6 +785,8 @@ class _HistogramBase(AggOp):
     APPROX_HISTOGRAM_K hybrid :458-600 — our exact dict stands in for the
     ItemsSketch beyond k, same top-k trimmed output)."""
 
+    deletable = True
+
     def partial(self, df, n, part):
         cnt = df.groupby(["g", "v"], sort=True).size()
         s = cnt.groupby(level=0, sort=True).agg(
@@ -804,6 +827,14 @@ class _HistogramBase(AggOp):
         if ir is None:
             ir = {}
         ir[v] = ir.get(v, 0) + 1
+        return ir
+
+    def py_delete(self, ir, v, ts, part):
+        if ir is None:
+            ir = {}
+        ir[v] = ir.get(v, 0) - 1
+        if ir[v] == 0:
+            del ir[v]  # zero entries dropped (reference finalize semantics)
         return ir
 
     def py_merge(self, a, b, part):

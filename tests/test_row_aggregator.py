@@ -152,3 +152,44 @@ def test_auto_explode_sum_count():
     exp = pdf.groupby("g").sum()
     np.testing.assert_allclose(out["tokens_sum"].astype(float), exp["s"], rtol=0)
     np.testing.assert_allclose(out["tokens_count"].astype(float), exp["c"], rtol=0)
+
+
+def test_deletable_ops_reversal():
+    """Abelian-group ops support delete (mutation-reversal groundwork —
+    reference api.thrift:136-165 deletable split): update then delete of the
+    same value restores the prior state."""
+    from chronon_ray.aggregators.ops import OPS
+    from chronon_ray.api import AggregationPart, Operation
+
+    p = AggregationPart("v", Operation.SUM)
+    s = OPS[Operation.SUM]
+    ir = s.py_update(None, 5.0, 1, p)
+    ir = s.py_update(ir, 3.0, 2, p)
+    ir = s.py_delete(ir, 5.0, 1, p)
+    assert s.py_finalize(ir, p) == 3.0
+
+    c = OPS[Operation.COUNT]
+    ir = c.py_update(None, "x", 1, p)
+    ir = c.py_update(ir, "y", 2, p)
+    ir = c.py_delete(ir, "x", 1, p)
+    assert c.py_finalize(ir, p) == 1
+
+    a = OPS[Operation.AVERAGE]
+    ir = a.py_update(None, 10.0, 1, p)
+    ir = a.py_update(ir, 20.0, 2, p)
+    ir = a.py_delete(ir, 10.0, 1, p)
+    assert a.py_finalize(ir, p) == 20.0
+
+    h = OPS[Operation.HISTOGRAM]
+    hp = AggregationPart("v", Operation.HISTOGRAM)
+    ir = h.py_update(None, "a", 1, hp)
+    ir = h.py_update(ir, "b", 2, hp)
+    ir = h.py_delete(ir, "a", 1, hp)
+    assert h.py_finalize(ir, hp) == [("b", 1)]
+
+    # monoid ops refuse deletion
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        OPS[Operation.MIN].py_delete(None, 1, 1, AggregationPart("v", Operation.MIN))
+    assert OPS[Operation.SUM].deletable and not OPS[Operation.MIN].deletable
