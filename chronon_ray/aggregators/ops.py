@@ -326,12 +326,27 @@ class VarianceOp(_MomentBase):
 
     op = Operation.VARIANCE
     n_moments = 2
+    deletable = True
 
     def finalize(self, ir, part):
         return ir["m2"] / ir["n"]
 
     def py_finalize(self, ir, part):
         return ir[2] / ir[0]
+
+    def py_delete(self, ir, v, ts, part):
+        """Reverse Welford update (abelian-group delete — the reference marks
+        VARIANCE deletable, api.thrift:136-165)."""
+        if ir is None:
+            # deletion before any update: represent as negative-count moments
+            return self.py_merge((-1.0, float(v), 0.0), None, part)
+        n, mean, m2 = ir[0], ir[1], ir[2]
+        n2 = n - 1
+        if n2 <= 0:
+            return None
+        mean2 = (n * mean - v) / n2
+        m2_2 = m2 - (v - mean2) * (v - mean)
+        return (n2, mean2, max(m2_2, 0.0))
 
 
 @_register
