@@ -266,3 +266,120 @@ def label_join(
         return t.set_column(idx, "ts", pa.array(-ts))
 
     return out.map_batches(unnegate, batch_format="pyarrow")
+
+
+def pad_external_parts(ds: ray.data.Dataset,
+                       fields: Sequence[pa.Field]) -> ray.data.Dataset:
+    """Offline stand-in for online-only external/contextual parts: append the
+    declared fields as typed NULL columns (reference: spark/Join.scala:93-123
+    — external parts are fetch-time lookups; offline output pads them)."""
+
+    def pad(t: pa.Table) -> pa.Table:
+        for f in fields:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(len(t), type=f.type))
+        return t
+
+    return ds.map_batches(pad, batch_format="pyarrow")
+
+
+class _CoalescedMerge:
+    """Per-partition left⟕right merge that COALESCES same-named value
+    columns (left value wins when present) and records which bootstrap rows
+    matched — the reference's coalescedJoin + matched_hashes lineage
+    (spark/JoinUtils.scala:137-172; spark/Join.scala:588-593)."""
+
+    __name__ = "CoalescedMerge"
+
+    def __init__(self, keys: Sequence[str], left_cols: list[str],
+                 right_cols: list[str], types: dict, part_hash: str):
+        self.keys = list(keys)
+        self.left_cols = left_cols
+        self.right_cols = right_cols
+        self.types = types
+        self.part_hash = part_hash
+
+    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
+        import pandas as _pd
+
+        from .assembly import pandas_to_arrow
+
+        left = pdf[pdf["_src"] == 0][self.left_cols].reset_index(drop=True)
+        right = pdf[pdf["_src"] == 1][self.right_cols].reset_index(drop=True)
+        right = right.drop_duplicates(self.keys)
+        shared = [c for c in self.right_cols
+                  if c in self.left_cols and c not in self.keys]
+        merged = left.merge(right, on=self.keys, how="left",
+                            suffixes=("", "__bs"), indicator="_matched")
+        hit = (merged["_matched"] == "both").to_numpy()
+        for c in shared:
+            bs = merged[f"{c}__bs"]
+            merged[c] = merged[c].combine_first(bs)
+            merged = merged.drop(columns=[f"{c}__bs"])
+        merged = merged.drop(columns=["_matched"])
+        # matched_hashes: accumulate this bootstrap's hash on covered rows
+        prev = merged["matched_hashes"] if "matched_hashes" in merged else             _pd.Series([None] * len(merged))
+        merged["matched_hashes"] = [
+            ((list(p) if isinstance(p, (list, np.ndarray)) else [])
+             + ([self.part_hash] if h else [])) or None
+            for p, h in zip(prev, hit)
+        ]
+        types = dict(self.types)
+        types["matched_hashes"] = pa.list_(pa.string())
+        return pandas_to_arrow(merged, types)
+
+
+def bootstrap_join(
+    left: ray.data.Dataset,
+    bootstrap: ray.data.Dataset,
+    row_ids: Sequence[str],
+    part_hash: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """left ⟕ one bootstrap table on row_ids, coalescing shared columns and
+    recording ``matched_hashes`` lineage (reference Join.scala:517-609)."""
+    from .assembly import _TagPad
+    from ..util import dataset_schema
+
+    ls, rs = dataset_schema(left), dataset_schema(bootstrap)
+    union_fields: list[pa.Field] = []
+    seen: set[str] = set()
+    for sch in (ls, rs):
+        for f in sch:
+            if f.name not in seen:
+                seen.add(f.name)
+                union_fields.append(f)
+    types = {f.name: f.type for f in union_fields}
+    tl = left.map_batches(_TagPad(0, union_fields, num_partitions, row_ids),
+                          batch_format="pyarrow")
+    tr = bootstrap.map_batches(_TagPad(1, union_fields, num_partitions, row_ids),
+                               batch_format="pyarrow")
+    merge = _CoalescedMerge(row_ids, list(ls.names), list(rs.names), types,
+                            part_hash)
+    return tl.union(tr).groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+def covering_sets(
+    bootstrapped: ray.data.Dataset,
+    part_columns: dict[str, Sequence[str]],
+) -> dict[str, ray.data.Dataset]:
+    """Which left rows still need each part computed: a row is COVERED for a
+    part when every one of the part's output columns is non-null after
+    bootstrap (reference CoveringSet analysis, Join.scala:135-216). Returns
+    {part_name: dataset of rows needing backfill}."""
+    out = {}
+    for name, cols in part_columns.items():
+        cols = [c for c in cols]
+
+        def need(t: pa.Table, cs=tuple(cols)) -> pa.Table:
+            mask = None
+            for c in cs:
+                m = pc.is_null(t[c]) if c in t.column_names else None
+                if m is None:
+                    return t  # column absent → everything needs compute
+                mask = m if mask is None else pc.or_(mask, m)
+            return t.filter(mask) if mask is not None else t
+
+        need.__name__ = f"need_{name}"
+        out[name] = bootstrapped.map_batches(need, batch_format="pyarrow")
+    return out
