@@ -4,6 +4,7 @@ the query/data-processing capabilities of the reference feature platform
 
 from .api import (  # noqa: F401
     Accuracy,
+    BootstrapPart,
     Aggregation,
     AggregationPart,
     EntitySource,

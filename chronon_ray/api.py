@@ -271,6 +271,16 @@ class JoinPart:
 
 
 @dataclass(frozen=True)
+class BootstrapPart:
+    """Precomputed-values table joined to the left to skip backfill
+    (api.thrift:338-347). ``table`` is a parquet path (or, in tests, a
+    ray Dataset); columns = row_ids + already-computed feature columns."""
+
+    table: Any
+    row_ids: tuple = ()
+
+
+@dataclass(frozen=True)
 class JoinConf:
     """api.thrift:304-336 — left source + joinParts."""
 
@@ -280,6 +290,7 @@ class JoinConf:
     skew_keys: tuple = ()  # tuple[(column, tuple(values))]
     derivations: tuple = ()
     row_ids: tuple = ()
+    bootstrap_parts: tuple = ()  # tuple[BootstrapPart, ...]
 
     def semantic_hash(self) -> str:
         return hashlib.md5(repr(self).encode()).hexdigest()[:16]

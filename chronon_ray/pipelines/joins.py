@@ -383,3 +383,117 @@ def covering_sets(
         need.__name__ = f"need_{name}"
         out[name] = bootstrapped.map_batches(need, batch_format="pyarrow")
     return out
+
+
+def compute_join_bootstrapped(
+    jc: JoinConf,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """compute_join with the bootstrap lifecycle (reference Join.computeJoin
+    steps 4-6, Join.scala:48-63, 135-216, 517-635):
+
+    1. left ⟕ each bootstrap table on row_ids (coalesce + matched_hashes);
+    2. covering-set analysis: a part is computed only for left rows whose
+       bootstrap columns are incomplete;
+    3. computed features coalesce INTO the bootstrap columns (bootstrap wins
+       where present) at a single co-partitioned assembly.
+    """
+    import hashlib
+
+    if not jc.bootstrap_parts:
+        return compute_join(jc, num_partitions)
+    assert jc.row_ids, "bootstrap joins need JoinConf.row_ids"
+    left = scan_source(jc.left)
+    left = skew_filter(left, jc.skew_keys)
+
+    # declared feature columns of every part (bootstrap may cover a subset)
+    part_cols = {
+        part.full_prefix: [f"{part.full_prefix}_{p.output_name}"
+                           for p in part.group_by.parts()]
+        for part in jc.parts
+    }
+    all_feat_cols = [c for cols in part_cols.values() for c in cols]
+
+    # left must carry typed columns for every feature so coalescing is
+    # well-defined even for rows no bootstrap covers
+    proto_fields = []
+    for part in jc.parts:
+        gb = part.group_by
+        src_schema = dataset_schema(scan_source(gb.sources[0]))
+        for p in gb.parts():
+            in_type = src_schema.field(p.input_column).type
+            from ..aggregators.ops import OPS as _OPS
+
+            explode = (pa.types.is_list(in_type) or pa.types.is_large_list(in_type))
+            el = in_type.value_type if explode and p.operation.name in (
+                "SUM", "COUNT", "AVERAGE") else in_type
+            proto_fields.append(
+                pa.field(f"{part.full_prefix}_{p.output_name}",
+                         _OPS[p.operation].output_arrow_type(el, p)))
+    left = pad_external_parts(left, proto_fields)
+
+    booted = left
+    for bp in jc.bootstrap_parts:
+        bds = bp.table if isinstance(bp.table, ray.data.Dataset) else             ray.data.read_parquet(bp.table)
+        h = hashlib.md5(repr(bp).encode()).hexdigest()[:12]
+        booted = bootstrap_join(booted, bds,
+                                row_ids=list(bp.row_ids or jc.row_ids),
+                                part_hash=h, num_partitions=num_partitions)
+    booted = booted.materialize()  # reused by every part's covering set
+
+    need = covering_sets(booted, part_cols)
+    feats = []
+    part_left_keys = None
+    for part in jc.parts:
+        gb = part.group_by
+        right = None
+        right_schema = None
+        for src in gb.sources:
+            sds = scan_source(src)
+            if right is None:
+                right, right_schema = sds, dataset_schema(sds)
+            else:
+                right = right.union(sds)
+        r2l = part.right_to_left()
+        left_key_cols = [r2l.get(k, k) for k in gb.key_columns]
+        part_left_keys = part_left_keys or left_key_cols
+        needed = need[part.full_prefix]
+        kt = needed.map_batches(
+            lambda t, cols=tuple([*left_key_cols, "ts"]),
+            names=tuple([*gb.key_columns, "ts"]):
+                t.select(list(cols)).rename_columns(list(names)),
+            batch_format="pyarrow")
+        kt = distinct_rows(kt, [*gb.key_columns, "ts"], num_partitions)
+        f = temporal_join(kt, right, gb, num_partitions=num_partitions,
+                          right_schema=right_schema)
+        prefix = part.full_prefix
+        # computed columns land under __c and coalesce in the final pass
+        rename = {p.output_name: f"{prefix}_{p.output_name}__c"
+                  for p in gb.parts()}
+        rename.update(dict(zip(gb.key_columns, left_key_cols)))
+
+        def fix_names(t: pa.Table, r=tuple(rename.items())):
+            m = dict(r)
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+        feats.append(f.map_batches(fix_names, batch_format="pyarrow"))
+
+    join_keys = [*(part_left_keys or []), "ts"]
+    out = key_partitioned_join(booted, feats, keys=join_keys, how="left",
+                               num_partitions=num_partitions)
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        for c in all_feat_cols:
+            cc = f"{c}__c"
+            if cc in t.column_names:
+                base = t[c] if not isinstance(t[c], pa.ChunkedArray) else t[c].combine_chunks()
+                comp = t[cc] if not isinstance(t[cc], pa.ChunkedArray) else t[cc].combine_chunks()
+                if comp.type != base.type:
+                    comp = pc.cast(comp, base.type, safe=False)
+                merged = pc.if_else(pc.is_valid(base), base, comp)
+                t = t.set_column(t.column_names.index(c), c, merged)
+                t = t.drop_columns([cc])
+        return t
+
+    out = out.map_batches(coalesce, batch_format="pyarrow")
+    return apply_derivations(out, jc.derivations)

@@ -68,3 +68,47 @@ def test_pad_external_parts(tables):
     assert out["ext_score"].isna().all()
     assert out["ext_tag"].isna().all()
     assert len(out) == 10
+
+
+def test_compute_join_bootstrapped_invariance(ray_session, sf_dir):
+    """Bootstrapping half the rows with previously-computed features must
+    reproduce the full compute_join output exactly (strong invariance: the
+    covering set skips compute for covered rows, coalesce restores them)."""
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import (BootstrapPart, EventSource, GroupByConf,
+                                 JoinConf, JoinPart, TQuery, agg, window)
+    from chronon_ray.pipelines.joins import compute_join, compute_join_bootstrapped
+
+    events_src = EventSource(table=f"{sf_dir}/events.parquet", query=TQuery())
+    left_src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"},
+                        wheres=[lambda t: pc.equal(t["event_type"], "purchase")]))
+    gb = GroupByConf(name="g", sources=(events_src,), key_columns=("user_id",),
+                     aggregations=(agg("value", "sum", [window(7, "d")]),
+                                   agg("value", "count", [window(7, "d")])))
+    base_jc = JoinConf(name="j", left=left_src, parts=(JoinPart(group_by=gb),),
+                       row_ids=("event_id",))
+    full = compute_join(base_jc, num_partitions=8).to_pandas()
+    full = full.sort_values("event_id").reset_index(drop=True)
+
+    # bootstrap table: the computed features for half the rows
+    half = full.iloc[::2][["event_id", "g_value_sum_7d", "g_value_count_7d"]]
+    bs = rd.from_pandas(half.reset_index(drop=True))
+    jc2 = JoinConf(name="j", left=left_src, parts=(JoinPart(group_by=gb),),
+                   row_ids=("event_id",),
+                   bootstrap_parts=(BootstrapPart(table=bs),))
+    boot = compute_join_bootstrapped(jc2, num_partitions=8).to_pandas()
+    boot = boot.sort_values("event_id").reset_index(drop=True)
+    assert len(boot) == len(full)
+    for col in ["g_value_sum_7d", "g_value_count_7d"]:
+        a = full[col].astype(float).to_numpy()
+        b = boot[col].astype(float).to_numpy()
+        nan = np.isnan(a) & np.isnan(b)
+        assert (np.isnan(a) == np.isnan(b)).all(), col
+        np.testing.assert_allclose(a[~nan], b[~nan], rtol=1e-12, err_msg=col)
+    # lineage: bootstrapped rows carry the hash, others don't
+    hit = boot["matched_hashes"].map(lambda v: v is not None and len(v) > 0)
+    assert hit.sum() == len(half)
