@@ -499,6 +499,67 @@ def q_entity_snapshot_join(sf_dir: str):
     return _round(out, ["day_total"])
 
 
+def q_label_join(sf_dir: str):
+    """Forward-looking label windows (labels strictly after each feature
+    instant, hop-padded end) — time-reversed PITC engine."""
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import GroupByConf, TQuery, agg, window
+    from chronon_ray.pipelines.joins import label_join
+    from chronon_ray.sources import scan_table
+
+    _ctx()
+    feats = scan_table(
+        f"{sf_dir}/events.parquet",
+        TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                           "event_id": "event_id"},
+                  wheres=[lambda t: pc.equal(t["event_type"], "purchase")]))
+    labels = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
+    conf = GroupByConf(name="lbl", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum", [window(1, "d")]),
+                                     agg("value", "count", [window(1, "d")])))
+    out = label_join(feats, labels, conf, num_partitions=32).to_pandas()
+    out["value_count_1d"] = out["value_count_1d"].fillna(0).astype(np.int64)
+    return _round(out, ["value_sum_1d"])
+
+
+def q_temporal_entities(sf_dir: str):
+    """Mutation-replay PITC over a mutating entity table (deterministic
+    synthetic CDC derived from the events table; rows-only check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.mutations import temporal_entities_join
+
+    _ctx()
+    import duckdb as _d
+
+    con = _d.connect()
+    con.sql(f"create view events as select * from "
+            f"read_parquet('{sf_dir}/events.parquet')")
+    snap = con.sql("""
+        select user_id as entity_id, strftime(ts, '%Y-%m-%d') as ds,
+               event_id as item, value as amount
+        from events where event_type in ('view', 'click')
+    """).arrow()
+    mut = con.sql("""
+        select user_id as entity_id, epoch_ms(ts) as mutation_ts,
+               false as is_before, value as amount
+        from events where event_type = 'signup'
+    """).arrow()
+    q = con.sql("""
+        select user_id as entity_id, epoch_ms(ts) as ts
+        from events where event_type = 'purchase'
+    """).arrow()
+    con.close()
+    conf = GroupByConf(name="ent", sources=(), key_columns=("entity_id",),
+                       aggregations=(agg("amount", "sum"),
+                                     agg("amount", "count")))
+    return temporal_entities_join(rd.from_arrow(q), rd.from_arrow(snap),
+                                  rd.from_arrow(mut), conf, num_partitions=32)
+
+
 # -------------------------------------------------------------- contract
 
 
@@ -529,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_unrolled": q_snapshot_unrolled,
         "join_two_parts": q_join_two_parts,
         "entity_snapshot_join": q_entity_snapshot_join,
+        "label_join": q_label_join,
+        "temporal_entities": q_temporal_entities,
         "token_backfill": q_token_backfill,
         "approx_unique": q_approx_unique,
         "minhash_pairs": q_minhash_pairs,
@@ -716,6 +779,22 @@ def oracle_sql() -> dict[str, str]:
             from events e left join snap s
               on e.user_id = s.user_id
              and s.ds = strftime(e.ts - interval 1 day, '%Y-%m-%d')
+        """,
+        "label_join": f"""
+            with q as (select user_id, epoch_ms(ts) as ts, event_id from events
+                       where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, value from events)
+            select q.user_id, q.ts, q.event_id,
+                round(sum(case when e.ts > q.ts
+                     and -e.ts >= cast(floor((-q.ts - {MS_1D}) / {HOP_1D}.0)
+                                       as bigint) * {HOP_1D}
+                     then e.value end), 4) as value_sum_1d,
+                count(case when e.ts > q.ts
+                     and -e.ts >= cast(floor((-q.ts - {MS_1D}) / {HOP_1D}.0)
+                                       as bigint) * {HOP_1D}
+                     then e.value end) as value_count_1d
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts, q.event_id
         """,
         "knn_top5": """
             select query_id, neighbor_id, rank from (
