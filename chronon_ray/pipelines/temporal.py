@@ -428,6 +428,76 @@ class TemporalPartition:
 
     # ---------------------------------------------------------- sawtooth
 
+    def _hop_ir_to_py(self, p: AggregationPart, op: AggOp, row):
+        """Grouped-path partial IR row → scalar py IR (hop prebuild)."""
+        o = p.operation
+        if o in (Operation.MIN, Operation.MAX):
+            return row["x"]
+        if o == Operation.UNIQUE_COUNT:
+            u = row["uniq"]
+            return set(u.tolist() if isinstance(u, np.ndarray) else u)
+        if o in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
+            h = row["hist"]
+            return dict(h)
+        if o == Operation.APPROX_UNIQUE_COUNT:
+            return np.frombuffer(row["sketch"], dtype=np.uint8).copy()
+        if o == Operation.APPROX_PERCENTILE:
+            from ..aggregators.sketches import KLL
+
+            return KLL.deserialize(row["sketch"])
+        if o in (Operation.TOP_K, Operation.BOTTOM_K):
+            return [tuple(t) for t in row["items"]]
+        raise KeyError(o)
+
+    def _prebuild_hops(self, saw_parts, e_tbl, e_key, e_ts, col_values):
+        """Vectorized per-(key, hop) partial IRs for eligible sawtooth parts
+        — replaces the per-event python loop in _build_hops with one grouped
+        partial() call per part (the HopsAggregator partial+final pattern,
+        reference HopsAggregator.scala:33-165, done columnar)."""
+        prebuilt: dict[int, dict] = {}  # part index -> key_code -> (starts, irs)
+        for i, p in saw_parts:
+            if p.bucket is not None or p.window.unbounded:
+                continue
+            if p.operation not in (Operation.MIN, Operation.MAX,
+                                   Operation.UNIQUE_COUNT, Operation.HISTOGRAM,
+                                   Operation.APPROX_HISTOGRAM_K,
+                                   Operation.APPROX_UNIQUE_COUNT,
+                                   Operation.APPROX_PERCENTILE,
+                                   Operation.TOP_K, Operation.BOTTOM_K):
+                continue
+            from ..windowing.resolution import tail_hop_millis as _thm
+
+            hop = _thm(p.window, self.daily)
+            vals, valid = col_values(p)
+            if not valid.any():
+                prebuilt[i] = {}
+                continue
+            ek = e_key[valid]
+            ets = e_ts[valid]
+            v = vals[valid]
+            hop_id = ets // hop
+            mn = int(hop_id.min())
+            span = int(hop_id.max()) - mn + 1
+            comp = ek * span + (hop_id - mn)
+            uniq, inv = np.unique(comp, return_inverse=True)
+            df = pd.DataFrame({"g": inv, "v": v})
+            op = OPS[p.operation]
+            frame = op.partial(df, len(uniq), replace(p, bucket=None))                 .set_index("g")
+            irs_all = [None] * len(uniq)
+            for g, row in frame.iterrows():
+                irs_all[int(g)] = self._hop_ir_to_py(p, op, row)
+            keys_of = (uniq // span).astype(np.int64)
+            starts_of = ((uniq % span) + mn) * hop
+            by_key: dict[int, tuple] = {}
+            kb = np.flatnonzero(np.diff(keys_of)) + 1
+            bounds = np.concatenate([[0], kb, [len(uniq)]])
+            for bi in range(len(bounds) - 1):
+                a, b = int(bounds[bi]), int(bounds[bi + 1])
+                by_key[int(keys_of[a])] = (starts_of[a:b],
+                                           [irs_all[j] for j in range(a, b)])
+            prebuilt[i] = by_key
+        return prebuilt
+
     def _sawtooth_features(self, saw_parts, e_tbl: pa.Table, e_key, e_ts, q_key,
                            q_ts, transform=None):
         nq = len(q_key)
@@ -457,10 +527,14 @@ class TemporalPartition:
             col_cache[key] = (vals, valid)
             return col_cache[key]
 
+        prebuilt = self._prebuild_hops(saw_parts, e_tbl, e_key, e_ts, col_values)
+
         # iterate keys that have queries
         q_bounds = np.flatnonzero(np.diff(q_key)) + 1
         q_starts = np.concatenate([[0], q_bounds, [nq]])
         ne = len(e_key)
+        from ..windowing.resolution import tail_hop_millis as _thm
+
         for s_i in range(len(q_starts) - 1):
             a, b = q_starts[s_i], q_starts[s_i + 1]
             kcode = q_key[a]
@@ -475,6 +549,13 @@ class TemporalPartition:
                 inner = OPS[p.operation]
                 op = BucketedPyOp(inner) if p.bucket is not None else inner
                 cache: dict = {}
+                if i in prebuilt:
+                    pre = prebuilt[i].get(int(kcode))
+                    if pre is not None:
+                        cache[_thm(p.window, self.daily)] = pre
+                    elif len(ets) == 0:
+                        cache[_thm(p.window, self.daily)] = (
+                            np.array([], dtype=np.int64), [])
                 res = sawtooth_one_key(op, replace(p, bucket=None), p.window,
                                        ets, evs, qts, hops_cache=cache,
                                        daily=self.daily, transform=transform)
