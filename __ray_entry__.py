@@ -666,8 +666,9 @@ def oracle_sql() -> dict[str, str]:
                 window w as (partition by user_id order by epoch_ms(ts), event_id)
             )
             select user_id, ts, event_id,
-                   sum(new_sess) over (partition by user_id order by ts, event_id)
-                       - 1 as session_id
+                   cast(sum(new_sess) over (partition by user_id
+                                            order by ts, event_id)
+                        - 1 as bigint) as session_id
             from t
         """,
         "session_stats": f"""
@@ -680,12 +681,13 @@ def oracle_sql() -> dict[str, str]:
                 window w as (partition by user_id order by epoch_ms(ts), event_id)
             ), s as (
                 select user_id, ts,
-                       sum(new_sess) over (partition by user_id order by ts, event_id)
-                           - 1 as session_id
+                       cast(sum(new_sess) over (partition by user_id
+                                                order by ts, event_id)
+                            - 1 as bigint) as session_id
                 from t
             )
             select user_id, session_id, min(ts) as session_start,
-                   max(ts) as session_end, count(*) as n_events
+                   max(ts) as session_end, cast(count(*) as bigint) as n_events
             from s group by user_id, session_id
         """,
         "topk_per_user": """

@@ -233,6 +233,10 @@ class AverageOp(AggOp):
         return (a[0] + b[0], a[1] + b[1])
 
     def py_finalize(self, ir, part):
+        # deletes can drive the count to 0 (all of a key's rows removed
+        # before the query) — the feature is NULL then, not a ZeroDivision
+        if ir[1] <= 0:
+            return None
         return ir[0] / ir[1]
 
 
@@ -332,6 +336,8 @@ class VarianceOp(_MomentBase):
         return ir["m2"] / ir["n"]
 
     def py_finalize(self, ir, part):
+        if ir[0] <= 0:
+            return None
         return ir[2] / ir[0]
 
     def py_delete(self, ir, v, ts, part):

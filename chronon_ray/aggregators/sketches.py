@@ -36,7 +36,11 @@ def _hash64(values: np.ndarray) -> np.ndarray:
     Strings are hashed via a vectorized FNV-1a over a fixed-width prefix plus
     python hash fallback for the rest; numerics via splitmix64.
     """
-    if values.dtype.kind in "iuf":
+    if values.dtype.kind == "f":
+        # hash the IEEE-754 bit pattern — astype(uint64) would truncate
+        # toward zero (1.1/1.2/1.9 collide) and is UB for negatives
+        x = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64).copy()
+    elif values.dtype.kind in "iu":
         x = values.astype(np.uint64, copy=True).view(np.uint64)
         # splitmix64
         x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)

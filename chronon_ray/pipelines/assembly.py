@@ -58,7 +58,7 @@ class _TagPad:
         self.src = src
         self.union_fields = union_fields
         self.num_partitions = num_partitions
-        self.keys = list(keys)
+        self.keys = list(keys)  # hash/partition columns (present in every src)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -77,24 +77,28 @@ class _TagPad:
 
 class _MergePartition:
     def __init__(self, keys: Sequence[str], n_src: int, how: str,
-                 fields_by_src: list[list[str]], types: dict[str, pa.DataType]):
+                 fields_by_src: list[list[str]], types: dict[str, pa.DataType],
+                 keys_by_src: Optional[list[list[str]]] = None):
         self.__name__ = type(self).__name__  # ray map_groups wraps fn.__name__
         self.keys = list(keys)
         self.n_src = n_src
         self.how = how
         self.fields_by_src = fields_by_src  # value columns owned by each src
         self.types = types
+        # per-right merge columns (src 0 = left); defaults to `keys`
+        self.keys_by_src = keys_by_src
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         base = None
         for s in range(self.n_src):
             sub = pdf[pdf["_src"] == s]
-            cols = self.keys + self.fields_by_src[s]
+            skeys = self.keys_by_src[s] if self.keys_by_src else self.keys
+            cols = list(skeys) + self.fields_by_src[s]
             sub = sub[cols].reset_index(drop=True)
             if base is None:
                 base = sub
             else:
-                base = base.merge(sub, on=self.keys, how=self.how)
+                base = base.merge(sub, on=list(skeys), how=self.how)
         out_fields = {c: self.types[c] for c in base.columns if c in self.types}
         return pandas_to_arrow(base, out_fields)
 
@@ -106,12 +110,24 @@ def key_partitioned_join(
     how: str = "outer",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     schemas: Optional[list[pa.Schema]] = None,
+    right_keys: Optional[list[Sequence[str]]] = None,
+    hash_keys: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
-    """left ⋈ each right on `keys` with a single hash shuffle."""
+    """left ⋈ each right on `keys` with a single hash shuffle.
+
+    ``right_keys`` (one entry per right) lets individual rights merge on a
+    different column set (e.g. a SNAPSHOT-accuracy part joins on the
+    day-quantized ``_ts_d`` while TEMPORAL parts join on raw ``ts``); all
+    sources are then hash-partitioned on ``hash_keys`` (default: `keys` —
+    must be common to every source)."""
     all_ds = [left, *rights]
     from ..util import dataset_schema
 
     schemas = schemas or [dataset_schema(d) for d in all_ds]
+    keys_by_src = None
+    if right_keys is not None:
+        keys_by_src = [list(keys), *[list(rk) for rk in right_keys]]
+    part_keys = list(hash_keys) if hash_keys is not None else list(keys)
     union_fields: list[pa.Field] = []
     seen = set()
     for sch in schemas:
@@ -120,15 +136,22 @@ def key_partitioned_join(
                 seen.add(f.name)
                 union_fields.append(f)
     types = {f.name: f.type for f in union_fields}
-    fields_by_src = [
-        [f.name for f in sch if f.name not in keys] for sch in schemas
-    ]
+    if keys_by_src is None:
+        fields_by_src = [
+            [f.name for f in sch if f.name not in keys] for sch in schemas
+        ]
+    else:
+        fields_by_src = [
+            [f.name for f in sch if f.name not in keys_by_src[i]]
+            for i, sch in enumerate(schemas)
+        ]
     tagged = [
-        d.map_batches(_TagPad(i, union_fields, num_partitions, keys), batch_format="pyarrow")
+        d.map_batches(_TagPad(i, union_fields, num_partitions, part_keys), batch_format="pyarrow")
         for i, d in enumerate(all_ds)
     ]
     unioned = tagged[0].union(*tagged[1:])
     return unioned.groupby("_part").map_groups(
-        _MergePartition(keys, len(all_ds), how, fields_by_src, types),
+        _MergePartition(keys, len(all_ds), how, fields_by_src, types,
+                        keys_by_src=keys_by_src),
         batch_format="pandas",
     )

@@ -147,7 +147,21 @@ def compute_join(
     left = scan_source(jc.left)
     left = skew_filter(left, jc.skew_keys)
     feats = []
+    feat_keys: list[list[str]] = []
     part_left_keys: Optional[list[str]] = None
+    any_snapshot = any((p.group_by.accuracy or Accuracy.TEMPORAL)
+                       == Accuracy.SNAPSHOT for p in jc.parts)
+    if any_snapshot:
+        # SNAPSHOT-accuracy parts are "features as of end of ds-1": the
+        # query instant is the row's day boundary floor(ts/1d)*1d, so every
+        # left row in a day shares one feature row and same-day events are
+        # excluded (reference: spark/JoinBase.scala:142-156 snapshotEvents).
+        def add_ts_d(t: pa.Table) -> pa.Table:
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(
+                "_ts_d", pa.array((ts // MILLIS_DAY) * MILLIS_DAY))
+
+        left = left.map_batches(add_ts_d, batch_format="pyarrow")
     for part in jc.parts:
         gb = part.group_by
         right = None
@@ -167,19 +181,22 @@ def compute_join(
             raise NotImplementedError(
                 "parts with different left key sets need per-part assembly "
                 "keys; split the join")
+        accuracy = gb.accuracy or Accuracy.TEMPORAL
+        snapshot = accuracy == Accuracy.SNAPSHOT
+        ts_col = "_ts_d" if snapshot else "ts"
         kt = left.map_batches(
-            lambda t, cols=tuple([*left_key_cols, "ts"]),
+            lambda t, cols=tuple([*left_key_cols, ts_col]),
             names=tuple([*gb.key_columns, "ts"]):
                 t.select(list(cols)).rename_columns(list(names)),
             batch_format="pyarrow")
         kt = distinct_rows(kt, [*gb.key_columns, "ts"], num_partitions)
-        accuracy = gb.accuracy or Accuracy.TEMPORAL
         f = temporal_join(kt, right, gb, num_partitions=num_partitions,
-                          right_schema=right_schema,
-                          daily=(accuracy == Accuracy.SNAPSHOT))
+                          right_schema=right_schema, daily=snapshot)
         prefix = part.full_prefix
         rename = {p.output_name: f"{prefix}_{p.output_name}" for p in gb.parts()}
         rename.update(dict(zip(gb.key_columns, left_key_cols)))
+        if snapshot:
+            rename["ts"] = "_ts_d"
 
         def fix_names(t: pa.Table, r=tuple(rename.items())):
             m = dict(r)
@@ -187,9 +204,18 @@ def compute_join(
 
         f = f.map_batches(fix_names, batch_format="pyarrow")
         feats.append(f)
+        feat_keys.append([*left_key_cols, ts_col])
     join_keys = [*(part_left_keys or []), "ts"]
-    out = key_partitioned_join(left, feats, keys=join_keys, how="left",
-                               num_partitions=num_partitions)
+    if any_snapshot:
+        out = key_partitioned_join(
+            left, feats, keys=join_keys, how="left",
+            num_partitions=num_partitions, right_keys=feat_keys,
+            hash_keys=part_left_keys or [])
+        out = out.map_batches(lambda t: t.drop_columns(["_ts_d"]),
+                              batch_format="pyarrow")
+    else:
+        out = key_partitioned_join(left, feats, keys=join_keys, how="left",
+                                   num_partitions=num_partitions)
     return apply_derivations(out, jc.derivations)
 
 
@@ -243,18 +269,67 @@ def label_join(
     timestamps and run the strict as-of join — "strictly before" in negated
     time is "strictly after" in real time, and the hop-rounded tail becomes
     the hop-rounded end of the label window. No second engine.
+
+    Order-dependent ops are **mirrored** before running the negated engine
+    (FIRST↔LAST, FIRST_K↔LAST_K): "latest label" = smallest negated ts =
+    FIRST in negated time. The mirrored K-list ordering also comes out
+    right: FIRST_K ascending on −ts == LAST_K descending on ts. Numeric
+    tie-break columns are negated alongside ts; TOP_K/BOTTOM_K order by
+    value and are unaffected.
     """
+    from dataclasses import replace
+
+    from ..api import Operation
     from ..util import dataset_schema as _ds
 
     features_schema = features_schema or _ds(features)
     labels_schema = labels_schema or _ds(label_events)
 
-    def negate(t: pa.Table) -> pa.Table:
-        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = t.column_names.index("ts")
-        return t.set_column(idx, "ts", pa.array(-ts))
+    _MIRROR = {Operation.FIRST: Operation.LAST,
+               Operation.LAST: Operation.FIRST,
+               Operation.FIRST_K: Operation.LAST_K,
+               Operation.LAST_K: Operation.FIRST_K}
+    order_dep = any(a.operation in _MIRROR for a in conf.aggregations)
+    rename_back: dict[str, str] = {}
+    neg_cols = ["ts"]
+    if order_dep:
+        new_aggs = []
+        for a in conf.aggregations:
+            if a.operation in _MIRROR:
+                m = replace(a, operation=_MIRROR[a.operation])
+                for orig_p, mir_p in zip(a.unpack(), m.unpack()):
+                    rename_back[mir_p.output_name] = orig_p.output_name
+                new_aggs.append(m)
+            else:
+                new_aggs.append(a)
+        conf = replace(conf, aggregations=tuple(new_aggs))
+        tb = conf.tie_break_column
+        if tb is not None:
+            f = labels_schema.field(tb)
+            if not (pa.types.is_integer(f.type) or pa.types.is_floating(f.type)):
+                raise NotImplementedError(
+                    "label_join with FIRST/LAST parts needs a numeric "
+                    f"tie_break_column to mirror ordering (got {f.type})")
+            if any(a.input_column == tb for a in conf.aggregations):
+                raise NotImplementedError(
+                    "label_join: aggregating the tie_break column itself is "
+                    "not supported with FIRST/LAST parts (its values are "
+                    "negated to mirror ordering)")
+            neg_cols.append(tb)
 
-    f_neg = features.map_batches(negate, batch_format="pyarrow")
+    def negate(t: pa.Table, cols=tuple(neg_cols)) -> pa.Table:
+        for c in cols:
+            if c not in t.column_names:
+                continue
+            v = t[c].to_numpy(zero_copy_only=False)
+            idx = t.column_names.index(c)
+            t = t.set_column(idx, c, pa.array(-v))
+        return t
+
+    # the tie-break column is only mirrored on the label (event) side —
+    # a same-named passthrough column on the left must come out untouched
+    f_neg = features.map_batches(
+        lambda t: negate(t, cols=("ts",)), batch_format="pyarrow")
     l_neg = label_events.map_batches(negate, batch_format="pyarrow")
     out = temporal_join(f_neg, l_neg, conf, num_partitions=num_partitions,
                         left_schema=features_schema,
@@ -263,7 +338,11 @@ def label_join(
     def unnegate(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
         idx = t.column_names.index("ts")
-        return t.set_column(idx, "ts", pa.array(-ts))
+        t = t.set_column(idx, "ts", pa.array(-ts))
+        if rename_back:
+            t = t.rename_columns([rename_back.get(c, c)
+                                  for c in t.column_names])
+        return t
 
     return out.map_batches(unnegate, batch_format="pyarrow")
 

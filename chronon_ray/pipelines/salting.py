@@ -116,7 +116,12 @@ class SaltedMerge:
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
-        codes, uniq = pd.factorize(pdf["_qid"], use_na_sentinel=False)
+        # query identity = (_qid_hi, _qid_lo) pair (collision-free by
+        # construction); hot-query counts per merge partition are small,
+        # so the zip-factorize is cheap
+        codes, uniq = pd.factorize(
+            pd.Series(list(zip(pdf["_qid_hi"], pdf["_qid_lo"]))),
+            use_na_sentinel=False)
         ng = len(uniq)
         first_idx = np.zeros(ng, dtype=np.int64)
         seen = np.zeros(ng, dtype=bool)

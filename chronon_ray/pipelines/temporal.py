@@ -757,14 +757,17 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
     S = salt_shards
 
     def explode_queries(t: pa.Table) -> pa.Table:
+        # collision-free query ids by construction: a random 63-bit batch id
+        # plus a dense in-batch ordinal as a two-column key — no modulo slot
+        # to overflow, and a cross-batch clash needs a full 63-bit collision
         t = _split(True)(t)
         n = len(t)
-        base = uuid.uuid4().int & ((1 << 62) - 1)
-        qid = (np.arange(n, dtype=np.int64) + (base % (1 << 40)) * (1 << 20))
+        base = uuid.uuid4().int & ((1 << 63) - 1)
         cols = {c: pa.concat_arrays(
             [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]] * S)
             for c in t.column_names}
-        cols["_qid"] = pa.array(np.tile(qid, S))
+        cols["_qid_hi"] = pa.array(np.full(n * S, base, dtype=np.uint64).view(np.int64))
+        cols["_qid_lo"] = pa.array(np.tile(np.arange(n, dtype=np.int64), S))
         cols["_salt"] = pa.array(np.repeat(np.arange(S, dtype=np.int8), n))
         return pa.table(cols)
 
@@ -776,7 +779,8 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
 
     hot_left = left_ds.map_batches(explode_queries, batch_format="pyarrow")
     hot_right = right_ds.map_batches(salt_events, batch_format="pyarrow")
-    lhs = pa.schema(list(left_schema) + [pa.field("_qid", pa.int64()),
+    lhs = pa.schema(list(left_schema) + [pa.field("_qid_hi", pa.int64()),
+                                         pa.field("_qid_lo", pa.int64()),
                                          pa.field("_salt", pa.int8())])
     rhs = pa.schema(list(right_schema) + [pa.field("_salt", pa.int8())])
     unioned = _tagged_union(hot_left, hot_right, lhs, rhs,
@@ -785,7 +789,7 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
     # into one physical partition, and each query replica may only see its
     # own shard's events
     proc = TemporalPartition([key, "_salt"], parts, right_schema,
-                             [*left_cols, "_qid"],
+                             [*left_cols, "_qid_hi", "_qid_lo"],
                              tie_break=conf.tie_break_column, daily=daily,
                              emit_partials=True)
     partials = unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
@@ -793,8 +797,11 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
     merge_parts = max(8, num_partitions // 8)
 
     def qid_part(t: pa.Table) -> pa.Table:
-        q = t["_qid"].to_numpy(zero_copy_only=False)
-        return t.append_column("_part2", pa.array((q % merge_parts).astype(np.int64)))
+        hi = t["_qid_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
+        lo = t["_qid_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
+        mixed = (hi * np.uint64(0x9E3779B97F4A7C15)) ^ lo
+        return t.append_column(
+            "_part2", pa.array((mixed % np.uint64(merge_parts)).astype(np.int64)))
 
     ref_proc = TemporalPartition(keys, parts, right_schema, left_cols,
                                  tie_break=conf.tie_break_column, daily=daily)
