@@ -688,31 +688,39 @@ class ApproxUniqueCountOp(AggOp):
         from .sketches import _hash64
 
         h = _hash64(df["v"].to_numpy())
-        idx = (h & np.uint64(m - 1)).astype(np.int64)
-        rest = h >> np.uint64(lgk)
-        rank = np.ones(len(h), dtype=np.uint8)
-        nz = rest != 0
-        r = rest[nz]
-        low = r & (~r + np.uint64(1))
-        rank[nz] = np.log2(low.astype(np.float64)).astype(np.uint8) + 1
-        rank[~nz] = 64 - lgk + 1
-        flat = np.zeros(len(codes) * m, dtype=np.uint8)
-        np.maximum.at(flat, inv * m + idx, rank)
-        sketches = [flat[i * m : (i + 1) * m].tobytes() for i in range(len(codes))]
+        # per-group unique hashes (sorted by (group, hash)); groups with at
+        # most m distinct stay in exact sparse mode (HLL++-style)
+        order = np.lexsort((h, inv))
+        gi, hi = inv[order], h[order]
+        keep = np.ones(len(hi), dtype=bool)
+        keep[1:] = (gi[1:] != gi[:-1]) | (hi[1:] != hi[:-1])
+        gi, hi = gi[keep], hi[keep]
+        starts = np.searchsorted(gi, np.arange(len(codes)))
+        ends = np.append(starts[1:], len(gi))
+        sketches = []
+        for i in range(len(codes)):
+            hs = hi[starts[i]:ends[i]]
+            if len(hs) <= m:
+                sketches.append(b"S" + bytes([lgk]) + hs.tobytes())
+            else:
+                dense = HLL._update_dense(np.zeros(m, dtype=np.uint8), hs)
+                sketches.append(b"D" + dense.tobytes())
         return pd.DataFrame({"g": codes, "sketch": sketches})
 
     def merge(self, ir, part):
         def m(bufs):
-            arrs = [np.frombuffer(b, dtype=np.uint8) for b in bufs]
-            return np.maximum.reduce(arrs).tobytes()
+            out = None
+            for b in bufs:
+                st = HLL.deserialize(b)
+                out = st if out is None else HLL.merge(out, st)
+            return HLL.serialize(out)
 
         s = ir.groupby("g", sort=True)["sketch"].agg(m)
         return pd.DataFrame({"g": s.index.to_numpy(), "sketch": s.to_numpy()})
 
     def finalize(self, ir, part):
-        return ir["sketch"].map(lambda b: HLL.estimate(np.frombuffer(b, dtype=np.uint8))).astype(
-            np.int64
-        )
+        return ir["sketch"].map(
+            lambda b: HLL.estimate(HLL.deserialize(b))).astype(np.int64)
 
     def ir_columns(self):
         return ["sketch"]
@@ -779,7 +787,7 @@ class ApproxPercentileOp(AggOp):
         return ["sketch"]
 
     def output_arrow_type(self, in_type, part):
-        return pa.list_(pa.float32())
+        return pa.list_(pa.float64())
 
     def py_update(self, ir, v, ts, part):
         if ir is None:

@@ -61,25 +61,41 @@ def _hash64(values: np.ndarray) -> np.ndarray:
 
 
 class HLL:
-    """Dense HyperLogLog; state = uint8 register array of size 2**lgk."""
+    """HyperLogLog with an HLL++-style sparse exact mode (Heule et al. 2013):
+    below ``m`` distinct hashes the state is the sorted unique uint64 hash
+    set itself — estimates are EXACT (w.h.p. of no 64-bit collision) — and
+    it densifies to the classic uint8 register array beyond that.
+
+    State is either a dict {"lgk", "h": uint64[]} (sparse) or a uint8[2**lgk]
+    register array (dense). Serialized form is tagged: b"S"+lgk+hashes /
+    b"D"+registers.
+    """
 
     __slots__ = ()
 
     @staticmethod
-    def empty(lgk: int = 8) -> np.ndarray:
-        return np.zeros(1 << lgk, dtype=np.uint8)
+    def empty(lgk: int = 8):
+        return {"lgk": lgk, "h": np.empty(0, dtype=np.uint64)}
 
     @staticmethod
-    def update_many(state: np.ndarray, values: np.ndarray) -> np.ndarray:
+    def _is_sparse(state) -> bool:
+        return isinstance(state, dict)
+
+    @staticmethod
+    def _densify(state) -> np.ndarray:
+        lgk = state["lgk"]
+        dense = np.zeros(1 << lgk, dtype=np.uint8)
+        return HLL._update_dense(dense, state["h"])
+
+    @staticmethod
+    def _update_dense(state: np.ndarray, h: np.ndarray) -> np.ndarray:
         m = len(state)
         lgk = int(m).bit_length() - 1
-        h = _hash64(values)
         idx = (h & np.uint64(m - 1)).astype(np.int64)
         rest = h >> np.uint64(lgk)
-        # rank = number of leading... use trailing-zero count of remaining bits + 1
+        # rank = 1-based position of the lowest set bit of the remaining bits
         rank = np.ones(len(h), dtype=np.uint8)
         nonzero = rest != 0
-        # position of lowest set bit (1-based)
         r = rest[nonzero]
         low = (r & (~r + np.uint64(1)))  # isolate lowest bit
         rank_nz = np.log2(low.astype(np.float64)).astype(np.uint8) + 1
@@ -89,11 +105,38 @@ class HLL:
         return state
 
     @staticmethod
-    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    def update_many(state, values: np.ndarray):
+        h = _hash64(values)
+        return HLL.update_hashes(state, h)
+
+    @staticmethod
+    def update_hashes(state, h: np.ndarray):
+        if HLL._is_sparse(state):
+            u = np.union1d(state["h"], h)
+            if len(u) <= (1 << state["lgk"]):
+                state["h"] = u
+                return state
+            return HLL._densify({"lgk": state["lgk"], "h": u})
+        return HLL._update_dense(state, h)
+
+    @staticmethod
+    def merge(a, b):
+        sa, sb = HLL._is_sparse(a), HLL._is_sparse(b)
+        if sa and sb:
+            u = np.union1d(a["h"], b["h"])
+            if len(u) <= (1 << a["lgk"]):
+                return {"lgk": a["lgk"], "h": u}
+            return HLL._update_dense(HLL._densify(a), b["h"])
+        if sa:
+            return HLL._update_dense(b.copy(), a["h"])
+        if sb:
+            return HLL._update_dense(a.copy(), b["h"])
         return np.maximum(a, b)
 
     @staticmethod
-    def estimate(state: np.ndarray) -> int:
+    def estimate(state) -> int:
+        if HLL._is_sparse(state):
+            return int(len(state["h"]))
         m = len(state)
         inv = np.ldexp(1.0, -state.astype(np.int64))
         e = _alpha(m) * m * m / inv.sum()
@@ -104,12 +147,19 @@ class HLL:
         return int(round(e))
 
     @staticmethod
-    def serialize(state: np.ndarray) -> bytes:
-        return state.tobytes()
+    def serialize(state) -> bytes:
+        if HLL._is_sparse(state):
+            return b"S" + bytes([state["lgk"]]) + state["h"].tobytes()
+        return b"D" + state.tobytes()
 
     @staticmethod
-    def deserialize(buf: bytes) -> np.ndarray:
-        return np.frombuffer(buf, dtype=np.uint8).copy()
+    def deserialize(buf: bytes):
+        if buf[:1] == b"S":
+            return {"lgk": buf[1],
+                    "h": np.frombuffer(buf[2:], dtype=np.uint64).copy()}
+        if buf[:1] == b"D":
+            return np.frombuffer(buf[1:], dtype=np.uint8).copy()
+        return np.frombuffer(buf, dtype=np.uint8).copy()  # legacy untagged
 
 
 # ------------------------------------------------------------- KLL quantiles
@@ -179,14 +229,14 @@ class KLL:
                 items.append(arr)
                 weights.append(np.full(len(arr), 1 << lvl, dtype=np.int64))
         if not items:
-            return np.full(len(qs), np.nan, dtype=np.float32)
+            return np.full(len(qs), np.nan, dtype=np.float64)
         vals = np.concatenate(items)
         w = np.concatenate(weights)
         order = np.argsort(vals, kind="stable")
         vals, w = vals[order], w[order]
         cw = np.cumsum(w)
         total = cw[-1]
-        out = np.empty(len(qs), dtype=np.float32)
+        out = np.empty(len(qs), dtype=np.float64)
         for j, q in enumerate(qs):
             target = q * total
             idx = int(np.searchsorted(cw, target, side="left"))

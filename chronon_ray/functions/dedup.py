@@ -412,71 +412,154 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                         shingle_k: int = 5, threshold: float = 0.8,
-                        concurrency: int | None = None) -> ray.data.Dataset:
-    """Exact Jaccard verification over MinHash-LSH candidates: candidates
-    from banding, then exact shingle-set Jaccard via a broadcast of candidate
-    docs' shingles (small side only)."""
+                        concurrency: int | None = None,
+                        num_partitions: int = 64,
+                        broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
+    """Exact Jaccard verification over MinHash-LSH candidates, fully
+    distributed: candidate pairs are co-partitioned with per-doc shingle
+    sets in two hash shuffles (one per pair side) — nothing corpus-derived
+    is collected on the driver.
+
+    When the candidate id set is small (≤ broadcast_limit) it is broadcast
+    via ``ray.put`` once and the shingle stream is semi-join-filtered
+    before the shuffle, so only candidate docs' shingles move."""
+    from ..pipelines.assembly import key_partitioned_join
+
     cands = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold * 0.8,
                               concurrency=concurrency)
-    cand_pdf = cands.to_pandas()
-    need_ids = set(cand_pdf["a"]).union(cand_pdf["b"])
+    cands = cands.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
+        from ..util import dataset_schema
 
-    def collect(batch: pa.Table) -> pa.Table:
+        id_type = dataset_schema(ds).field(id_col).type
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "jaccard": pa.array([], type=pa.float64())}))
+
+    def shingle_stage(batch: pa.Table) -> pa.Table:
         pdf = batch.select([id_col, text_col]).to_pandas()
-        pdf = pdf[pdf[id_col].isin(need_ids)]
         sh = _char_shingles(pdf[text_col], shingle_k)
-        return pa.table({id_col: pa.array(pdf[id_col].to_numpy()),
-                         "shingles": pa.array([s.tolist() for s in sh],
-                                              type=pa.list_(pa.uint64()))})
+        return pa.table({
+            "_sid": pa.array(pdf[id_col].to_numpy(dtype=object)),
+            "_sh": pa.array([s.tolist() for s in sh],
+                            type=pa.list_(pa.uint64()))})
 
-    docs = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
-    sets = {r[id_col]: set(r["shingles"]) for _, r in docs.iterrows()}
-    out_a, out_b, out_j = [], [], []
-    for _, r in cand_pdf.iterrows():
-        sa, sb = sets.get(r["a"], set()), sets.get(r["b"], set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(r["a"])
-            out_b.append(r["b"])
-            out_j.append(j)
-    return ray.data.from_arrow(pa.table({
-        "a": pa.array(out_a), "b": pa.array(out_b),
-        "jaccard": pa.array(out_j, type=pa.float64())}))
+    sh = ds.map_batches(shingle_stage, batch_format="pyarrow")
+    if n_cands * 2 <= broadcast_limit:
+        ids = set()
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            ids.update(b["a"].to_pylist())
+            ids.update(b["b"].to_pylist())
+        ids_ref = ray.put(ids)
+
+        class SemiFilter:
+            def __init__(self):
+                self._ids = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._ids is None:
+                    self._ids = ray.get(ids_ref)
+                m = pa.array([v in self._ids
+                              for v in t["_sid"].to_pylist()])
+                return t.filter(m)
+
+        # materialize the filtered (candidate-only, small) shingle set so
+        # the two join sides don't recompute the full shingle scan twice
+        sh = sh.map_batches(SemiFilter, batch_format="pyarrow",
+                            concurrency=2).materialize()
+
+    # side A: pairs keyed on a ⋈ shingles keyed on _sid (one shuffle)
+    c1 = cands.map_batches(
+        lambda t: t.rename_columns(["_sid", "b"]), batch_format="pyarrow")
+    p1 = key_partitioned_join(c1, [sh], keys=["_sid"], how="inner",
+                              num_partitions=num_partitions)
+    p1 = p1.map_batches(
+        lambda t: t.rename_columns(
+            ["a" if c == "_sid" else ("_sh_a" if c == "_sh" else c)
+             for c in t.column_names]), batch_format="pyarrow")
+    # side B: same co-partition trick on b
+    c2 = p1.map_batches(
+        lambda t: t.rename_columns(["_sid" if c == "b" else c
+                                    for c in t.column_names]),
+        batch_format="pyarrow")
+    p2 = key_partitioned_join(c2, [sh], keys=["_sid"], how="inner",
+                              num_partitions=num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field("a").type
+        pdf = t.to_pandas()
+        out_a, out_b, out_j = [], [], []
+        for _, r in pdf.iterrows():
+            sa, sb = np.asarray(r["_sh_a"]), np.asarray(r["_sh"])
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            ix = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = ix / (len(sa) + len(sb) - ix)
+            if j >= threshold:
+                out_a.append(r["a"])
+                out_b.append(r["_sid"])
+                out_j.append(j)
+        return pa.table({"a": pa.array(out_a, type=id_type),
+                         "b": pa.array(out_b, type=id_type),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return p2.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------ embedding near-dup
 
 
 class CosineBucketStage:
-    """Random-hyperplane LSH signature for unit-normalized embeddings
-    (Charikar 2002 SRP-LSH): docs sharing a signature bucket are near-dup
-    candidates; cosine verified within the bucket group."""
+    """Random-hyperplane LSH signatures for unit-normalized embeddings
+    (Charikar 2002 SRP-LSH), **multi-table**: each doc gets one bucket per
+    hash table (independent plane sets), so a near-dup pair missed by one
+    table's cut is caught by another — single-table SRP recall collapses at
+    scale. Emits n_tables rows per doc; candidates are verified by exact
+    cosine inside each (table, bucket) group."""
 
     def __init__(self, emb_col: str, id_col: str, n_planes: int = 16, dim: int = 64,
-                 seed: int = 7):
+                 n_tables: int = 4, seed: int = 7):
         rng = np.random.Generator(np.random.PCG64(seed))
-        self.planes = rng.normal(size=(dim, n_planes))
+        self.planes = rng.normal(size=(n_tables, dim, n_planes))
+        self.n_tables = n_tables
         self.emb_col, self.id_col = emb_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.stack(batch[self.emb_col].to_pandas().to_numpy())
-        proj = emb @ self.planes
-        bits = (proj > 0).astype(np.uint64)
-        sig = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+        n = len(emb)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        embs = batch[self.emb_col]
+        if isinstance(embs, pa.ChunkedArray):
+            embs = embs.combine_chunks()
+        sigs = np.empty((self.n_tables, n), dtype=np.int64)
+        for t in range(self.n_tables):
+            proj = emb @ self.planes[t]
+            bits = (proj > 0).astype(np.uint64)
+            sig = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+            sigs[t] = sig.astype(np.int64)
         return pa.table({
-            self.id_col: batch[self.id_col],
-            "bucket": pa.array(sig.astype(np.int64)),
-            self.emb_col: batch[self.emb_col],
+            self.id_col: pa.concat_arrays([ids] * self.n_tables),
+            "table": pa.array(np.repeat(np.arange(self.n_tables,
+                                                  dtype=np.int32), n)),
+            "bucket": pa.array(sigs.reshape(-1)),
+            self.emb_col: pa.concat_arrays([embs] * self.n_tables),
         })
 
 
 def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
                             threshold: float = 0.95, n_planes: int = 12,
-                            dim: int = 64,
+                            dim: int = 64, n_tables: int = 4,
                             concurrency: int | None = None) -> ray.data.Dataset:
-    kw = dict(emb_col=emb_col, id_col=id_col, n_planes=n_planes, dim=dim)
+    """Exact-cosine-verified near-dup pairs from multi-table SRP-LSH
+    candidates. Output pairs are canonical (a < b) and deduplicated across
+    tables/buckets with a per-a groupby (no driver collection)."""
+    kw = dict(emb_col=emb_col, id_col=id_col, n_planes=n_planes, dim=dim,
+              n_tables=n_tables)
     if concurrency:
         sigs = ds.map_batches(CosineBucketStage, fn_constructor_kwargs=kw,
                               batch_format="pyarrow", concurrency=concurrency)
@@ -487,6 +570,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
         __name__ = "CosPairs"
 
         def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop_duplicates(id_col)
             if len(pdf) < 2:
                 return pd.DataFrame({"a": [], "b": [], "cosine": []})
             ids = pdf[id_col].to_numpy()
@@ -495,8 +579,17 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
             sim = m @ m.T
             iu = np.triu_indices(len(ids), k=1)
             hits = sim[iu] >= threshold
-            aa, bb = iu[0][hits], iu[1][hits]
-            return pd.DataFrame({"a": ids[aa], "b": ids[bb],
-                                 "cosine": sim[iu][hits]})
+            aa, bb = ids[iu[0][hits]], ids[iu[1][hits]]
+            swap = aa > bb
+            aa2 = np.where(swap, bb, aa)
+            bb2 = np.where(swap, aa, bb)
+            return pd.DataFrame({"a": aa2, "b": bb2, "cosine": sim[iu][hits]})
 
-    return sigs.groupby("bucket").map_groups(Pairs(), batch_format="pandas")
+    pairs = sigs.groupby(["table", "bucket"]).map_groups(
+        Pairs(), batch_format="pandas")
+
+    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(["a", "b"])
+
+    dedup_pairs.__name__ = "dedup_pairs"
+    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")

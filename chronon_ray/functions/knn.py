@@ -104,9 +104,14 @@ def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8,
 
 def build_ivf(corpus: ray.data.Dataset, emb_col: str = "embedding",
               id_col: str = "vec_id", n_clusters: int = 16,
-              sample_limit: int = 20_000):
+              sample_limit: int = 20_000, sub_shards: int = 1):
     """Learn centroids from a bounded sample; return (centroids, assigned_ds)
-    where assigned_ds has a `_cluster` column."""
+    where assigned_ds has `_cluster` (and `_sub`) columns.
+
+    ``sub_shards`` splits each cluster into hash sub-shards so no single
+    `map_groups` task holds a whole (possibly skewed) cluster — the final
+    per-query top-k reduce merges sub-shard candidates, so results are
+    unchanged. At scale pick sub_shards ≈ cluster_rows / target_rows."""
     sample = corpus.limit(sample_limit).to_pandas()
     m = _normalize(np.stack(sample[emb_col].to_numpy()))
     cent = _kmeans(m, n_clusters)
@@ -121,7 +126,11 @@ def build_ivf(corpus: ray.data.Dataset, emb_col: str = "embedding",
                 self._c = ray.get(ref)
             emb = _normalize(np.stack(batch[emb_col].to_pandas().to_numpy()))
             cl = (emb @ self._c.T).argmax(axis=1)
-            return batch.append_column("_cluster", pa.array(cl.astype(np.int64)))
+            batch = batch.append_column("_cluster", pa.array(cl.astype(np.int64)))
+            ids = batch[id_col].to_pandas()
+            sub = (pd.util.hash_pandas_object(ids, index=False).to_numpy()
+                   % np.uint64(max(sub_shards, 1))).astype(np.int64)
+            return batch.append_column("_sub", pa.array(sub))
 
     assigned = corpus.map_batches(Assign, batch_format="pyarrow", concurrency=2)
     return cent, assigned
@@ -173,6 +182,8 @@ def ivf_knn(
                 "score": np.take_along_axis(sim, top, axis=1).reshape(-1),
             })
 
-    cands = assigned.groupby("_cluster").map_groups(ClusterTopK(),
+    group_keys = ["_cluster", "_sub"] if "_sub" in assigned.schema().names \
+        else ["_cluster"]
+    cands = assigned.groupby(group_keys).map_groups(ClusterTopK(),
                                                     batch_format="pandas")
     return cands.groupby("query_id").map_groups(_FinalTopK(k), batch_format="pandas")

@@ -104,13 +104,17 @@ def backfill_snapshot_groupby(
     step_days: int = 30,
     num_partitions: int = 64,
 ) -> dict:
-    """Daily-snapshot GroupBy backfill: for each output ds, aggregate all
-    source rows with event ds ≤ that day within the window (end-of-day
-    accuracy — reference GroupBy.scala:143-168 snapshotEvents). One output
-    row per (key, ds)."""
+    """Daily-snapshot GroupBy backfill: one output row per (key, ds) with
+    end-of-day accuracy (reference GroupBy.scala:143-168 snapshotEvents).
+
+    Single-pass multi-day unrolling per chunk through
+    ``snapshot_events_unrolled`` (one temporal-join execution computes every
+    day of the chunk) and a STREAMED partitioned write — the pipeline never
+    executes twice and nothing is concatenated on the driver."""
     import pyarrow as pa
 
-    from .groupby import aggregate_snapshot
+    from ..api import TQuery
+    from .joins import snapshot_events_unrolled
 
     config_hash = conf.semantic_hash()
     archive_mismatched(out_dir, config_hash)
@@ -119,22 +123,213 @@ def backfill_snapshot_groupby(
     chunks = unfilled_ranges(requested, done, skip_first_hole=False)
     w_days = max_window_days(conf)
     summary = {"partitions_written": [], "skipped": sorted(done)}
+    feat_names = [p.output_name for p in conf.parts()]
     for chunk in chunks:
-        for ds_val in chunk.partitions():
-            from ..api import TQuery
-
+        for step in chunk.steps(step_days):
             t0 = time.perf_counter()
-            src_start = None if w_days is None else shift_ds(ds_val, -(w_days - 1))
-            src = scan_table(source_table, TQuery(start_partition=src_start,
-                                                  end_partition=ds_val))
-            out = aggregate_snapshot(src, conf, num_partitions=num_partitions)
-            tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")]) \
-                if out.count() else None
-            if tbl is None:
-                continue
-            tbl = tbl.append_column("ds", pa.array([ds_val] * len(tbl)))
+            src_start = None if w_days is None \
+                else shift_ds(step.start, -(w_days - 1))
+            src = scan_table(source_table,
+                             TQuery(start_partition=src_start,
+                                    end_partition=step.end))
+            out = snapshot_events_unrolled(src, conf, step.partitions(),
+                                           num_partitions=num_partitions)
+
+            def drop_empty(t: pa.Table, names=tuple(feat_names)) -> pa.Table:
+                """The unrolled grid emits every (key, day) pair; keep the
+                per-day aggregate contract (a key appears only when it has
+                rows in that day's window)."""
+                import pyarrow.compute as pc
+
+                mask = None
+                for n in names:
+                    v = pc.is_valid(t[n])
+                    mask = v if mask is None else pc.or_(mask, v)
+                return t.filter(mask) if mask is not None else t
+
+            out = out.map_batches(drop_empty, batch_format="pyarrow")
+            # the unrolled grid carries the synthetic EOD ts — not part of
+            # the snapshot output contract
+            out = out.map_batches(
+                lambda t: t.drop_columns(["ts"]) if "ts" in t.column_names
+                else t, batch_format="pyarrow")
             manifests = write_partitioned(
-                tbl, out_dir, config_hash, input_range=(src_start, ds_val),
+                out, out_dir, config_hash,
+                input_range=(src_start, step.end),
                 metrics={"step_wall_sec": round(time.perf_counter() - t0, 3)})
+            summary["partitions_written"].extend(sorted(manifests))
+    return summary
+
+
+# ----------------------------------------------- multi-part Join backfill
+
+
+def _part_hash(jc, part) -> str:
+    """Cache key for one joinPart's intermediate table: the part's own
+    config + the left source (its key/ts distribution defines the rows).
+    Reference: spark/SemanticHashUtils + JoinBase.scala:132-227 part tables."""
+    import hashlib
+
+    return hashlib.md5(repr((part, jc.left)).encode()).hexdigest()[:16]
+
+
+def backfill_join(
+    jc,
+    out_dir: str,
+    start: str,
+    end: str,
+    step_days: int = 30,
+    num_partitions: int = 64,
+) -> dict:
+    """Range-planned multi-part Join backfill with per-part cached
+    intermediate tables (reference: spark/JoinBase.scala:132-227
+    computeJoinOpt — each joinPart computes into its own table with
+    independent unfilledRanges, the final assembly reads the caches).
+
+    Layout:
+        out_dir/parts/<full_prefix>/ds=YYYY-MM-DD/  per-part features
+        out_dir/ds=YYYY-MM-DD/                      assembled join output
+
+    A re-run recomputes only missing part ranges and missing output
+    partitions; a config change on one part invalidates only that part's
+    cache (semantic hash archive)."""
+    import os
+    from dataclasses import replace as _rep
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..api import Accuracy, TQuery
+    from ..util import dataset_schema
+    from .assembly import key_partitioned_join
+    from .joins import apply_derivations, distinct_rows
+    from .temporal import temporal_join
+    from ..sources import scan_source
+
+    summary = {"parts": {}, "partitions_written": [], "skipped_output": [],
+               "part_steps_computed": 0}
+    requested = PartitionRange(start, end)
+
+    def _left_for(rng: PartitionRange):
+        q = jc.left.query or TQuery()
+        q = _rep(q, start_partition=rng.start, end_partition=rng.end)
+        return scan_source(_rep(jc.left, query=q))
+
+    def _add_ds(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if "ds" in t.column_names:  # hive-partitioned scans inject it
+            t = t.drop_columns(["ds"])
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        days = (ts // MILLIS_DAY).astype("datetime64[D]")
+        return t.append_column(
+            "ds", pa.array(np.datetime_as_string(days, unit="D")))
+
+    part_dirs = {}
+    part_left_keys = None
+    for part in jc.parts:
+        gb = part.group_by
+        if (gb.accuracy or Accuracy.TEMPORAL) == Accuracy.SNAPSHOT:
+            raise NotImplementedError(
+                "backfill_join caches TEMPORAL-accuracy parts; use "
+                "compute_join for mixed-accuracy joins")
+        prefix = part.full_prefix
+        pdir = os.path.join(out_dir, "parts", prefix)
+        part_dirs[part] = pdir
+        phash = _part_hash(jc, part)
+        archive_mismatched(pdir, phash)
+        done = completed_partitions(pdir, phash)
+        chunks = unfilled_ranges(requested, done, skip_first_hole=False)
+        steps = [s for c in chunks for s in c.steps(step_days)]
+        summary["parts"][prefix] = {
+            "steps": len(steps),
+            "skipped": sorted(set(done) & set(requested.partitions()))}
+        r2l = part.right_to_left()
+        left_key_cols = [r2l.get(k, k) for k in gb.key_columns]
+        if part_left_keys is None:
+            part_left_keys = left_key_cols
+        elif part_left_keys != left_key_cols:
+            raise NotImplementedError(
+                "backfill_join parts must share one left key set")
+        w_days = max_window_days(gb)
+        for step in steps:
+            t0 = time.perf_counter()
+            left = _left_for(step)
+            kt = left.map_batches(
+                lambda t, cols=tuple([*left_key_cols, "ts"]),
+                names=tuple([*gb.key_columns, "ts"]):
+                    t.select(list(cols)).rename_columns(list(names)),
+                batch_format="pyarrow")
+            kt = distinct_rows(kt, [*gb.key_columns, "ts"], num_partitions)
+            right = None
+            right_schema = None
+            for src in gb.sources:
+                r_start = None if w_days is None \
+                    else shift_ds(step.start, -w_days)
+                q = src.query or TQuery()
+                q = _rep(q, start_partition=r_start, end_partition=step.end)
+                s = scan_source(_rep(src, query=q))
+                if right is None:
+                    right, right_schema = s, dataset_schema(s)
+                else:
+                    right = right.union(s)
+            f = temporal_join(kt, right, gb, num_partitions=num_partitions,
+                              right_schema=right_schema)
+            rename = {p.output_name: f"{prefix}_{p.output_name}"
+                      for p in gb.parts()}
+            rename.update(dict(zip(gb.key_columns, left_key_cols)))
+
+            def fix_names(t: pa.Table, r=tuple(rename.items())):
+                m = dict(r)
+                return t.rename_columns(
+                    [m.get(c, c) for c in t.column_names])
+
+            f = f.map_batches(fix_names, batch_format="pyarrow") \
+                .map_batches(_add_ds, batch_format="pyarrow")
+            write_partitioned(
+                f, pdir, phash, input_range=(step.start, step.end),
+                metrics={"step_wall_sec":
+                         round(time.perf_counter() - t0, 3)})
+            summary["part_steps_computed"] += 1
+
+    # ---- final assembly from cached part tables
+    out_hash = jc.semantic_hash()
+    archive_mismatched(out_dir, out_hash)
+    done_out = completed_partitions(out_dir, out_hash)
+    out_chunks = unfilled_ranges(requested, done_out, skip_first_hole=False)
+    summary["skipped_output"] = sorted(
+        set(done_out) & set(requested.partitions()))
+    join_keys = [*(part_left_keys or []), "ts"]
+    for chunk in out_chunks:
+        for step in chunk.steps(step_days):
+            t0 = time.perf_counter()
+            left = _left_for(step).map_batches(_add_ds,
+                                               batch_format="pyarrow")
+            feats = []
+            for part in jc.parts:
+                pdir = part_dirs[part]
+                files = []
+                for d in step.partitions():
+                    sub = os.path.join(pdir, f"ds={d}")
+                    if os.path.isdir(sub):
+                        files.extend(os.path.join(sub, f)
+                                     for f in sorted(os.listdir(sub))
+                                     if f.endswith(".parquet"))
+                if not files:
+                    continue
+                fd = rd.read_parquet(files)
+                fd = fd.map_batches(
+                    lambda t: t.drop_columns(
+                        [c for c in ("ds",) if c in t.column_names]),
+                    batch_format="pyarrow")
+                feats.append(fd)
+            out = key_partitioned_join(left, feats, keys=join_keys,
+                                       how="left",
+                                       num_partitions=num_partitions)
+            out = apply_derivations(out, jc.derivations)
+            manifests = write_partitioned(
+                out, out_dir, out_hash, input_range=(step.start, step.end),
+                metrics={"step_wall_sec":
+                         round(time.perf_counter() - t0, 3)})
             summary["partitions_written"].extend(sorted(manifests))
     return summary

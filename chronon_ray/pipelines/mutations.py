@@ -19,13 +19,22 @@ hash(key); the partition processor merges base IRs vectorized, converts each
 query day's base IR to the scalar py-IR form once, and replays the (small,
 CDC-sized) mutation stream per (key, day) over the sorted queries.
 
-Round-1 scope: unbounded (as-of-state) aggregations of deletable ops
+Windowed aggregations follow the reference's BatchIr = (collapsed,
+tailHops) split (SawtoothMutationAggregator.scala:64-216): snapshot rows
+whose event ts falls within ``tailBufferMillis`` (2 days) of the window
+tail are kept as per-hop IRs instead of being collapsed, so each query can
+trim its own hop-rounded tail (`mergeTailHops`); mutations apply per part
+only when the mutated row's event ts is inside that query's window
+(`updateIr` rowInWindow check). Supported ops are the deletable set
 (SUM / COUNT / AVERAGE / VARIANCE / HISTOGRAM). Reserved columns follow the
-reference: ``mutation_ts``, ``is_before`` (api/Constants.scala:22-28).
+reference: ``mutation_ts``, ``is_before`` (api/Constants.scala:22-28);
+windowed parts additionally need an event-``ts`` column on snapshots (and
+use it on mutations when present, falling back to mutation_ts).
 """
 
 from __future__ import annotations
 
+import pickle
 from dataclasses import replace
 from typing import Optional, Sequence
 
@@ -39,9 +48,11 @@ from ..api import AggregationPart, GroupByConf, Operation
 from ..aggregators.ops import OPS
 from ..aggregators.row import RowAggregator
 from ..state.partitions import shift_ds
+from ..windowing.resolution import round_ts, tail_hop_millis
 from .groupby import _factorize_keys, stable_key_hash
 
 MILLIS_DAY = 86_400_000
+TAIL_BUFFER_MS = 2 * MILLIS_DAY  # reference tailBufferMillis default
 _SUPPORTED = {Operation.SUM, Operation.COUNT, Operation.AVERAGE,
               Operation.VARIANCE, Operation.HISTOGRAM}
 
@@ -71,6 +82,22 @@ def _ir_row_to_py(p: AggregationPart, row: pd.Series):
 
 def _first_ir_col(p: AggregationPart) -> str:
     return OPS[p.operation].ir_columns()[0]
+
+
+def _ir_rec_to_py(p: AggregationPart, rec: dict):
+    """op.partial() result row (unprefixed IR columns) → scalar py IR."""
+    op = p.operation
+    if op == Operation.SUM:
+        return float(rec["s"])
+    if op == Operation.COUNT:
+        return int(rec["n"])
+    if op == Operation.AVERAGE:
+        return (float(rec["s"]), int(rec["n"]))
+    if op == Operation.VARIANCE:
+        return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]))
+    if op == Operation.HISTOGRAM:
+        return dict(rec["hist"])
+    raise KeyError(op)
 
 
 class _EntityPartition:
@@ -105,6 +132,8 @@ class _EntityPartition:
 
         # merge snapshot IR partials per (keys, ds) — vectorized
         base_by_kd: dict[tuple, pd.Series] = {}
+        tails_by_kd: dict[tuple, dict[str, dict]] = {}
+        windowed = [p for p in self.parts if not p.window.unbounded]
         if len(snaps):
             codes, kdf = _factorize_keys(snaps, [*self.keys, "_snap_ds"])
             irf = self.agg.ir_frame_from_pandas(snaps)
@@ -116,6 +145,24 @@ class _EntityPartition:
             for g, row in merged.iterrows():
                 kvals = tuple(kdf.iloc[int(g)])
                 base_by_kd[kvals] = row
+            # merge pickled tail-hop dicts per group per windowed part
+            for p in windowed:
+                col = f"{p.output_name}__tailhops"
+                if col not in snaps.columns:
+                    continue
+                op = OPS[p.operation]
+                vals = snaps[col].to_numpy()
+                for i, c in enumerate(codes):
+                    b = vals[i]
+                    if b is None or (isinstance(b, float) and np.isnan(b)):
+                        continue
+                    kvals = tuple(kdf.iloc[int(c)])
+                    slot = tails_by_kd.setdefault(kvals, {}) \
+                        .setdefault(p.output_name, {})
+                    for hopstart, hir in pickle.loads(b).items():
+                        prev = slot.get(hopstart)
+                        slot[hopstart] = hir if prev is None \
+                            else op.py_merge(prev, hir, p)
 
         # group mutations by (keys, day); sort by mutation_ts
         mut_groups: dict[tuple, pd.DataFrame] = {}
@@ -134,12 +181,14 @@ class _EntityPartition:
             key_vals, day = kv[:-1], int(kv[-1])
             day_ds = pd.Timestamp(day * MILLIS_DAY, unit="ms").strftime("%Y-%m-%d")
             prev_ds = shift_ds(day_ds, -1)
+            batch_end = day * MILLIS_DAY  # EOD of the ds-1 snapshot
             base_row = base_by_kd.get((*key_vals, prev_ds))
             base_irs = {
                 p.output_name: (None if base_row is None
                                 else _ir_row_to_py(p, base_row))
                 for p in self.parts
             }
+            tails = tails_by_kd.get((*key_vals, prev_ds), {})
             mg = mut_groups.get((*key_vals, day))
             grp = grp.sort_values("ts", kind="stable")
             mi = 0
@@ -153,6 +202,18 @@ class _EntityPartition:
                         v = mr.get(p.input_column)
                         if v is None or (isinstance(v, float) and np.isnan(v)):
                             continue
+                        if not p.window.unbounded:
+                            # reference updateIr rowInWindow: the mutated
+                            # row's EVENT ts must fall in this query's
+                            # hop-rounded window
+                            rts = mr.get("_row_ts")
+                            rts = int(mr["ts"]) if rts is None or \
+                                (isinstance(rts, float) and np.isnan(rts)) \
+                                else int(rts)
+                            hop = tail_hop_millis(p.window)
+                            if not (rts >= round_ts(qts - p.window.millis, hop)
+                                    and rts < qts):
+                                continue
                         op = OPS[p.operation]
                         if mr.get("is_before"):
                             cur[p.output_name] = op.py_delete(
@@ -166,6 +227,17 @@ class _EntityPartition:
                 for p in self.parts:
                     ir = cur[p.output_name]
                     op = OPS[p.operation]
+                    if not p.window.unbounded:
+                        # mergeTailHops: add tail hops inside this query's
+                        # window, excluding those already collapsed
+                        hop = tail_hop_millis(p.window)
+                        qtail = round_ts(qts - p.window.millis, hop)
+                        cut = batch_end - p.window.millis + TAIL_BUFFER_MS
+                        for hopstart, hir in tails.get(p.output_name,
+                                                       {}).items():
+                            if hopstart >= qtail and cut > hopstart:
+                                ir = hir if ir is None \
+                                    else op.py_merge(ir, hir, p)
                     val = None
                     if ir is not None:
                         if p.operation == Operation.COUNT and ir == 0:
@@ -196,22 +268,80 @@ def temporal_entities_join(
     keys = list(conf.key_columns)
     parts = conf.parts()
     for p in parts:
-        if p.operation not in _SUPPORTED or not p.window.unbounded:
+        if p.operation not in _SUPPORTED:
             raise NotImplementedError(
-                "temporal_entities_join round-1 scope: unbounded "
+                "temporal_entities_join supports deletable ops only: "
                 "SUM/COUNT/AVERAGE/VARIANCE/HISTOGRAM")
     q_schema = dataset_schema(queries)
     s_schema = dataset_schema(snapshots)
+    windowed = [p for p in parts if not p.window.unbounded]
+    if windowed and "ts" not in s_schema.names:
+        raise ValueError(
+            "windowed temporal-entities aggregations need an event 'ts' "
+            "column on the snapshot table (the window is over row event "
+            "time — reference SawtoothMutationAggregator.update)")
     left_cols = list(q_schema.names)
     agg = RowAggregator(parts, s_schema)
     input_cols = sorted({p.input_column for p in parts})
 
     def snap_partials(batch: pa.Table) -> pa.Table:
-        """Snapshot rows → per-(keys, ds) IR partials (only IRs shuffle)."""
+        """Snapshot rows → per-(keys, ds) IR partials (only IRs shuffle).
+
+        Windowed parts follow the reference BatchIr split: rows with event
+        ts ≥ tail+buffer collapse into the regular IR columns; rows inside
+        the 2-day tail buffer become per-hop py IRs, pickled per group."""
         gran = [*keys, "ds"]
         kdf = batch.select(gran).to_pandas()
         codes, uniq = _factorize_keys(kdf, gran)
         irf = agg.partial_frame(batch, codes, len(uniq))
+        if windowed:
+            ts_row = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # end-of-day instant per snapshot row (EOD of its ds partition)
+            end_by_g = (pd.to_datetime(uniq["ds"]).astype("int64")
+                        // 1_000_000 + MILLIS_DAY).to_numpy()
+            end_row = end_by_g[codes]
+            irf = irf.set_index("g")
+            for p in windowed:
+                op = OPS[p.operation]
+                name = p.output_name
+                W = p.window.millis
+                hop = tail_hop_millis(p.window)
+                col = batch[p.input_column]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                v = col.to_numpy(zero_copy_only=False)
+                rel = valid & (ts_row < end_row) & (ts_row > end_row - W)
+                coll = rel & (ts_row >= end_row - W + TAIL_BUFFER_MS)
+                tail = rel & ~coll
+                # overwrite this part's collapsed IR with the masked version
+                for irc in op.ir_columns():
+                    irf[f"{name}__{irc}"] = None
+                if coll.any():
+                    dfc = pd.DataFrame({"g": codes[coll], "v": v[coll]})
+                    res = op.partial(dfc, len(uniq), p).set_index("g")
+                    for irc in op.ir_columns():
+                        irf.loc[res.index, f"{name}__{irc}"] = res[irc]
+                # tail rows → per-(g, hopstart) py IRs, pickled per g
+                tail_col = pd.Series([None] * len(irf), index=irf.index,
+                                     dtype=object)
+                if tail.any():
+                    hs = round_ts(ts_row[tail], hop)
+                    gt = codes[tail]
+                    pairs = np.stack([gt, hs], axis=1)
+                    puniq, pcodes = np.unique(pairs, axis=0,
+                                              return_inverse=True)
+                    dft = pd.DataFrame({"g": pcodes, "v": v[tail]})
+                    rest = op.partial(dft, len(puniq), p).set_index("g")
+                    per_g: dict[int, dict] = {}
+                    for pc_, rec in rest.iterrows():
+                        gg, hopstart = puniq[int(pc_)]
+                        per_g.setdefault(int(gg), {})[int(hopstart)] = \
+                            _ir_rec_to_py(p, rec)
+                    for gg, d in per_g.items():
+                        tail_col.loc[gg] = pickle.dumps(d)
+                irf[f"{name}__tailhops"] = tail_col
+            irf = irf.reset_index()
         sel = irf["g"].to_numpy()
         key_arrays = {}
         for k in keys:
@@ -222,6 +352,10 @@ def temporal_entities_join(
         part = (stable_key_hash(uniq.iloc[sel], keys) % num_partitions)
         key_arrays["_part"] = pa.array(part.astype(np.int64))
         out = agg.ir_frame_to_arrow(irf, key_arrays)
+        for p in windowed:
+            col = f"{p.output_name}__tailhops"
+            out = out.append_column(
+                col, pa.array(irf[col].tolist(), type=pa.binary()))
         return out.append_column("_kind", pa.array(np.zeros(len(out), dtype=np.int8)))
 
     # union schema across the three tagged branches (ray union needs it)
@@ -239,7 +373,11 @@ def temporal_entities_join(
     _addf(pa.field("_snap_ds", pa.string()))
     for f in agg.ir_fields():
         _addf(f)
+    for p in windowed:
+        _addf(pa.field(f"{p.output_name}__tailhops", pa.binary()))
     _addf(pa.field("is_before", pa.bool_()))
+    if windowed:
+        _addf(pa.field("_row_ts", pa.int64()))
     for c in input_cols:
         _addf(pa.field(c, s_schema.field(c).type))
     for c in left_cols:
@@ -279,9 +417,18 @@ def temporal_entities_join(
         f.__name__ = f"tag{kind}"
         return f
 
-    mut_ds = mutations.map_batches(
-        tag(1, ts_col="mutation_ts", keep=["is_before", *input_cols]),
-        batch_format="pyarrow")
+    def tag_mut(t: pa.Table) -> pa.Table:
+        # ordering ts = mutation_ts; windowed parts also need the mutated
+        # row's EVENT ts (falls back to mutation_ts when absent)
+        if windowed:
+            row_ts = t["ts"] if "ts" in t.column_names else t["mutation_ts"]
+            t = t.append_column("_row_ts", pc.cast(row_ts, pa.int64())) \
+                if "_row_ts" not in t.column_names else t
+        return tag(1, ts_col="mutation_ts",
+                   keep=["is_before", "_row_ts", *input_cols])(t)
+
+    tag_mut.__name__ = "tag_mut"
+    mut_ds = mutations.map_batches(tag_mut, batch_format="pyarrow")
     q_ds = queries.map_batches(
         tag(2, ts_col="ts", keep=[c for c in left_cols if c != "ts"]),
         batch_format="pyarrow")

@@ -440,7 +440,9 @@ class TemporalPartition:
             h = row["hist"]
             return dict(h)
         if o == Operation.APPROX_UNIQUE_COUNT:
-            return np.frombuffer(row["sketch"], dtype=np.uint8).copy()
+            from ..aggregators.sketches import HLL
+
+            return HLL.deserialize(row["sketch"])
         if o == Operation.APPROX_PERCENTILE:
             from ..aggregators.sketches import KLL
 

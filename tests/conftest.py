@@ -6,6 +6,10 @@ import ray
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# __ray_entry__.oracle_sql() keys its token-fixture scale off this var; pin
+# it so query and oracle agree when pytest runs at the default sf0.001
+os.environ.setdefault("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
 
 @pytest.fixture(scope="session")
 def ray_session():
