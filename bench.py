@@ -60,7 +60,8 @@ def run_bench() -> dict:
     from chronon_ray.testing.tokengen import ensure_fixture
 
     # fixed workload shape independent of cpu count: fewer, fatter blocks —
-    # per-task fixed costs dominate this box below ~20k rows/task
+    # per-task fixed costs dominate this box below ~20k rows/task.
+    # (the headline itself auto-sizes its exchange from input bytes)
     num_partitions = 32
     scale = os.environ.get("BENCH_FIXTURE") or (
         "bench" if "0.1" in sf_dir else ("t2" if "0.01" in sf_dir else "t1"))
@@ -106,7 +107,7 @@ def run_bench() -> dict:
             ev = rd.read_parquet(paths["events_file"], override_num_blocks=nblocks)
             left = rd.read_parquet(paths["queries_file"], override_num_blocks=8)
         t0 = time.perf_counter()
-        n = temporal_join(left, ev, conf, num_partitions=num_partitions,
+        n = temporal_join(left, ev, conf, num_partitions=None,
                           hot_keys="auto").count()
         return n, time.perf_counter() - t0
 
@@ -154,7 +155,10 @@ def run_bench() -> dict:
                   num_partitions=num_partitions).count()
     times["session_stats"] = round(time.perf_counter() - t0, 3)
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    # small single-file inputs land as ONE block — split so per-doc stages
+    # (minhash signatures) actually parallelize
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           override_num_blocks=ncpu)
     t0 = time.perf_counter()
     exact_dedup(docs, on=["text"], id_col="doc_id",
                 num_partitions=num_partitions).count()

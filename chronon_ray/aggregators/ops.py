@@ -635,13 +635,26 @@ class UniqueCountOp(AggOp):
     op = Operation.UNIQUE_COUNT
 
     def partial(self, df, n, part):
-        s = df.groupby("g", sort=True)["v"].agg(lambda x: x.unique().tolist())
-        return pd.DataFrame({"g": s.index.to_numpy(), "uniq": s.to_numpy()})
+        # vectorized distinct-per-group: dedupe (g, v) pairs once, then
+        # slice the g-sorted value array — no per-group python lambda
+        d = df[["g", "v"]].drop_duplicates()
+        d = d.sort_values("g", kind="stable")
+        return self._regroup(d["g"].to_numpy(), d["v"].to_numpy())
 
     def merge(self, ir, part):
         ex = ir.explode("uniq")
-        s = ex.groupby("g", sort=True)["uniq"].agg(lambda x: pd.unique(x).tolist())
-        return pd.DataFrame({"g": s.index.to_numpy(), "uniq": s.to_numpy()})
+        d = ex[["g", "uniq"]].drop_duplicates().sort_values("g", kind="stable")
+        return self._regroup(d["g"].to_numpy(), d["uniq"].to_numpy())
+
+    @staticmethod
+    def _regroup(g: np.ndarray, v: np.ndarray) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"g": g, "uniq": []})
+        bounds = np.flatnonzero(np.diff(g)) + 1
+        groups = np.split(v, bounds)
+        codes = g[np.concatenate([[0], bounds])]
+        return pd.DataFrame({"g": codes,
+                             "uniq": [list(x) for x in groups]})
 
     def finalize(self, ir, part):
         return ir["uniq"].map(len).astype(np.int64)

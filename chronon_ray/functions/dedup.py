@@ -103,6 +103,36 @@ def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
     return prod.min(axis=1)
 
 
+def _minhash_sig_batch(shingle_list: list[np.ndarray], a: np.ndarray,
+                       b: np.ndarray, chunk_shingles: int = 65536) -> np.ndarray:
+    """Batched signatures: one (P, ΣS) matmul per chunk of docs +
+    ``np.minimum.reduceat`` at doc offsets — identical arithmetic (and thus
+    identical signatures) to the per-doc loop, without the per-doc python
+    dispatch. Memory bounded at P × chunk_shingles × 8 bytes."""
+    n = len(shingle_list)
+    P = len(a)
+    sigs = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lengths = np.array([len(s) for s in shingle_list], dtype=np.int64)
+    i = 0
+    while i < n:
+        j = i
+        tot = 0
+        while j < n and (tot == 0 or tot + lengths[j] <= chunk_shingles):
+            tot += int(lengths[j])
+            j += 1
+        nonempty = [k for k in range(i, j) if lengths[k] > 0]
+        if nonempty:
+            flat = np.concatenate([shingle_list[k] for k in nonempty])
+            x = flat.astype(np.uint64) % np.uint64(_MERSENNE)
+            prod = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+            offs = np.concatenate(
+                [[0], np.cumsum(lengths[nonempty])[:-1]]).astype(np.int64)
+            mins = np.minimum.reduceat(prod, offs, axis=1)  # (P, len(nonempty))
+            sigs[nonempty, :] = mins.T
+        i = j
+    return sigs
+
+
 class MinHashStage:
     """Actor-pool stage: text → minhash signature (+ band hashes).
     Permutation params are built once per actor in __init__."""
@@ -119,7 +149,7 @@ class MinHashStage:
         texts = batch[self.text_col].to_pandas()
         ids = batch[self.id_col]
         sh = _char_shingles(texts, self.k)
-        sigs = np.stack([_minhash_sig(s, self.a, self.b) for s in sh])
+        sigs = _minhash_sig_batch(sh, self.a, self.b)
         r = self.rows_per_band
         band_hash = np.empty((len(texts), self.bands), dtype=np.int64)
         for bi in range(self.bands):
@@ -130,8 +160,14 @@ class MinHashStage:
             band_hash[:, bi] = (hh >> np.uint64(1)).astype(np.int64)
         n = len(texts)
         sig_rows = sigs.view(np.int64)
-        sig_list = pa.array(np.tile(sig_rows, (self.bands, 1)).tolist(),
-                            type=pa.list_(pa.int64()))
+        # build the list<int64> column from flat buffers — a tolist() here
+        # materializes n × bands × num_perm python ints and dominates the
+        # stage profile
+        flat = np.tile(sig_rows, (self.bands, 1)).reshape(-1)
+        offsets = np.arange(0, (n * self.bands + 1) * self.num_perm,
+                            self.num_perm, dtype=np.int32)
+        sig_list = pa.ListArray.from_arrays(pa.array(offsets),
+                                            pa.array(flat))
         return pa.table({
             self.id_col: _tile_array(ids, self.bands),  # band-major layout
             "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),

@@ -54,13 +54,20 @@ def detect_hot_keys(
     The default factor is deliberately high: salting pays a replication +
     double-scan + partial-merge tax, measured ~4x the plain path when skew is
     mild — it only wins when one key genuinely dominates a partition."""
-    sample = right_ds.random_sample(sample_frac, seed=42).limit(max_sample)
-    pdf = sample.to_pandas()
+    # limit() touches only as many blocks as needed — random_sample would
+    # scan the whole dataset just to throw 95% of it away. Hot keys are by
+    # definition massively over-represented, so a block-prefix sample finds
+    # them; total row count (for the absolute floor) comes from metadata.
+    total = right_ds.count()  # parquet metadata — no data read
+    if total == 0:
+        return []
+    n_sample = min(max_sample, max(10_000, int(total * sample_frac)))
+    pdf = right_ds.select_columns([key]).limit(n_sample).to_pandas()
     if len(pdf) == 0:
         return []
     counts = pdf[key].value_counts()
     frac = counts / len(pdf)
-    est_rows = counts / sample_frac  # rough absolute size; floor guards small data
+    est_rows = frac * total
     hot = frac[(frac > factor / num_partitions) & (est_rows >= min_hot_rows)]
     return hot.index.tolist()
 
@@ -117,12 +124,12 @@ class SaltedMerge:
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
         # query identity = (_qid_hi, _qid_lo) pair (collision-free by
-        # construction); hot-query counts per merge partition are small,
-        # so the zip-factorize is cheap
-        codes, uniq = pd.factorize(
-            pd.Series(list(zip(pdf["_qid_hi"], pdf["_qid_lo"]))),
-            use_na_sentinel=False)
-        ng = len(uniq)
+        # construction); vectorized 2-column factorize
+        pairs = np.stack([pdf["_qid_hi"].to_numpy(dtype=np.int64),
+                          pdf["_qid_lo"].to_numpy(dtype=np.int64)], axis=1)
+        _, first_occ, codes = np.unique(pairs, axis=0, return_index=True,
+                                        return_inverse=True)
+        ng = len(first_occ)
         first_idx = np.zeros(ng, dtype=np.int64)
         seen = np.zeros(ng, dtype=bool)
         for i, c in enumerate(codes):

@@ -484,10 +484,16 @@ class TemporalPartition:
             uniq, inv = np.unique(comp, return_inverse=True)
             df = pd.DataFrame({"g": inv, "v": v})
             op = OPS[p.operation]
-            frame = op.partial(df, len(uniq), replace(p, bucket=None))                 .set_index("g")
+            frame = op.partial(df, len(uniq), replace(p, bucket=None))
             irs_all = [None] * len(uniq)
-            for g, row in frame.iterrows():
-                irs_all[int(g)] = self._hop_ir_to_py(p, op, row)
+            # column-wise IR extraction — iterrows builds a Series per row
+            # and dominated this loop's profile
+            gcol = frame["g"].to_numpy()
+            ir_lists = {c: frame[c].tolist()
+                        for c in frame.columns if c != "g"}
+            for j in range(len(frame)):
+                rec = {c: lst[j] for c, lst in ir_lists.items()}
+                irs_all[int(gcol[j])] = self._hop_ir_to_py(p, op, rec)
             keys_of = (uniq // span).astype(np.int64)
             starts_of = ((uniq % span) + mn) * hop
             by_key: dict[int, tuple] = {}
@@ -509,7 +515,12 @@ class TemporalPartition:
         col_cache: dict[str, Any] = {}
 
         def col_values(p: AggregationPart):
-            key = (p.input_column, p.bucket)
+            # exact UNIQUE_COUNT only needs distinctness, not the values —
+            # dictionary codes stand in for strings (partition-local codes,
+            # so only in finalized mode: partial IRs merge across shards)
+            use_codes = (p.operation == Operation.UNIQUE_COUNT
+                         and p.bucket is None and not self.emit_partials)
+            key = (p.input_column, p.bucket, use_codes)
             if key in col_cache:
                 return col_cache[key]
             col = e_tbl[p.input_column]
@@ -518,6 +529,11 @@ class TemporalPartition:
             valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
             if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
                 vals = col.to_numpy(zero_copy_only=False)
+            elif use_codes and (pa.types.is_string(col.type)
+                                or pa.types.is_large_string(col.type)):
+                idx = col.dictionary_encode().indices
+                vals = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
             else:
                 vals = np.asarray(col.to_pylist(), dtype=object)
             if p.bucket is not None:
@@ -630,11 +646,36 @@ def _tagged_union(left_ds, right_ds, left_schema, right_schema, part_keys,
     return tq.union(te)
 
 
+def auto_num_partitions(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    target_bytes: int = 256 << 20,
+) -> int:
+    """Size the hash exchange from the data, not a constant: enough
+    partitions that one partition's events+queries (≈ target_bytes) fit a
+    worker's heap at 100-TB inputs, floored at 2 tasks per CPU so the
+    straggler tail can pack. ``size_bytes`` comes from parquet/block
+    metadata — no data is read."""
+    import math
+
+    import ray as _ray
+
+    total = 0
+    for d in (left_ds, right_ds):
+        try:
+            total += d.size_bytes() or 0
+        except Exception:
+            pass
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    return max(2 * cpus, math.ceil(total / target_bytes))
+
+
 def temporal_join(
     left_ds: ray.data.Dataset,
     right_ds: ray.data.Dataset,
     conf: GroupByConf,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_partitions: Optional[int] = DEFAULT_NUM_PARTITIONS,
     left_schema: Optional[pa.Schema] = None,
     right_schema: Optional[pa.Schema] = None,
     daily: bool = False,
@@ -647,6 +688,10 @@ def temporal_join(
     ``daily=True`` switches tail hops to DailyResolution (SNAPSHOT accuracy —
     windows must be whole days).
 
+    ``num_partitions=None`` auto-sizes the exchange from input bytes
+    (``auto_num_partitions``) so partition memory stays bounded at any
+    input scale.
+
     ``hot_keys``: None (no salting), "auto" (sample the event stream and salt
     keys that would dominate a partition), or an explicit key list. Hot keys
     take the salted two-stage path (pipelines/salting.py); cold keys the
@@ -655,6 +700,8 @@ def temporal_join(
     parts = conf.parts()
     from ..util import dataset_schema
 
+    if num_partitions is None:
+        num_partitions = auto_num_partitions(left_ds, right_ds)
     left_schema = left_schema or dataset_schema(left_ds)
     right_schema = right_schema or dataset_schema(right_ds)
     left_cols = list(left_schema.names)
@@ -674,12 +721,20 @@ def temporal_join(
         lambda t, cols=tuple(right_keep): t.select(list(cols)),
         batch_format="pyarrow")
 
-    if broadcast_left_keys:
+    if broadcast_left_keys == "bloom":
+        # bloom tier (reference spark/JoinBase.scala:304-339 +
+        # Extensions.scala:182-223: bloom semi-join for 5k–1M left rows):
+        # per-block bitmaps are OR-reduced — the left KEY SET is never
+        # collected anywhere, only a fixed-size bit array. False positives
+        # just let some extra events through the shuffle; they match no
+        # query and are harmless to the left-outer result.
+        right_ds = _bloom_filter_events(left_ds, right_ds, keys)
+    elif broadcast_left_keys:
         # small-left mode: the left key set is broadcast and events of other
-        # keys never enter the shuffle (reference small-mode/bloom semi-join —
-        # spark/TableUtils.scala:296-305; spark/JoinBase.scala:304-339). The
-        # left pipeline is executed an extra time to collect the keys — only
-        # opt in when the left is genuinely small.
+        # keys never enter the shuffle (reference small-mode semi-join —
+        # spark/TableUtils.scala:296-305). The left pipeline is executed an
+        # extra time to collect the keys — only opt in when the left is
+        # genuinely small.
         import ray as _ray
 
         key_pdf = left_ds.map_batches(
@@ -728,6 +783,66 @@ def temporal_join(
     proc = TemporalPartition(keys, parts, right_schema, left_cols,
                              tie_break=conf.tie_break_column, daily=daily)
     return unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
+
+
+def _bloom_hashes(t: pa.Table, keys: list, n_bits: int):
+    """(h1, h2) double-hash bases per row from the stable key hash."""
+    kdf = t.select(keys).to_pandas()
+    h = stable_key_hash(kdf, keys).astype(np.uint64)
+    h1 = h % np.uint64(n_bits)
+    h2 = ((h >> np.uint64(33)) | np.uint64(1)) % np.uint64(n_bits)
+    return h1, h2
+
+
+def _bloom_filter_events(left_ds, right_ds, keys, bits_per_key: int = 12,
+                         n_hashes: int = 6):
+    """Semi-join filter on the event stream via a bloom filter of the left
+    key set. Distributed build: each left block emits one fixed-size bitmap
+    (never the keys), OR-reduced on the driver, broadcast once via ray.put.
+    FP rate ≈ 0.5^(n_hashes) ≈ 1.5% at 12 bits/key."""
+    import ray as _ray
+
+    n_rows = max(left_ds.count(), 1)
+    n_bits = 1 << max(20, int(np.ceil(np.log2(n_rows * bits_per_key))))
+    n_words = n_bits // 64
+
+    def block_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        if len(t):
+            h1, h2 = _bloom_hashes(t, keys, n_bits)
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for b in left_ds.map_batches(block_bitmap,
+                                 batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for buf in b["bm"]:
+            bits |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+    bits_ref = _ray.put(bits)
+
+    class _BloomFilter:
+        def __init__(self):
+            self._bits = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._bits is None:
+                self._bits = _ray.get(bits_ref)
+            if len(t) == 0:
+                return t
+            h1, h2 = _bloom_hashes(t, keys, n_bits)
+            mask = np.ones(len(t), dtype=bool)
+            for i in range(n_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                word = self._bits[(pos >> np.uint64(6)).astype(np.int64)]
+                mask &= ((word >> (pos & np.uint64(63)))
+                         & np.uint64(1)).astype(bool)
+            return t.filter(pa.array(mask))
+
+    return right_ds.map_batches(_BloomFilter(), batch_format="pyarrow")
 
 
 def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
