@@ -205,6 +205,32 @@ def q_bucketed_sums(sf_dir: str):
     return pd.DataFrame(rows, columns=["user_id", "event_type", "value_sum"])
 
 
+def q_bucketed_asof(sf_dir: str):
+    """Bucketed TEMPORAL aggregation: per purchase instant, sum(value) by
+    event_type over a hop-rounded 7d window (vectorized (key, hop, bucket)
+    prebuild path)."""
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    conf = GroupByConf(
+        name="basof", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(7, "d")],
+                          buckets=["event_type"]),),
+    )
+    _ctx()
+    out = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
+                        num_partitions=32).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        m = r["value_sum_7d_by_event_type"]
+        if m is None or (isinstance(m, float) and np.isnan(m)):
+            continue
+        for k, v in m:
+            rows.append((r["user_id"], r["ts"], k, round(float(v), 4)))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "event_type",
+                                       "value_sum_7d"])
+
+
 def q_snapshot_join(sf_dir: str):
     import ray.data as rd
 
@@ -651,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_user": q_topk_per_user,
         "histogram_user_event": q_histogram_user_event,
         "bucketed_sums": q_bucketed_sums,
+        "bucketed_asof": q_bucketed_asof,
         "snapshot_join": q_snapshot_join,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_counts": q_token_counts,
@@ -776,6 +803,19 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_sums": """
             select user_id, event_type, round(sum(value), 4) as value_sum
             from events group by user_id, event_type
+        """,
+        "bucketed_asof": f"""
+            with q as (select distinct user_id, epoch_ms(ts) as ts from events
+                       where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, event_type, value
+                       from events where value is not null
+                                     and event_type is not null)
+            select q.user_id, q.ts, e.event_type,
+                round(sum(e.value), 4) as value_sum_7d
+            from q join e on q.user_id = e.user_id
+            where e.ts < q.ts
+              and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+            group by q.user_id, q.ts, e.event_type
         """,
         "snapshot_join": """
             select o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal

@@ -20,5 +20,6 @@ from .api import (  # noqa: F401
     agg,
     window,
 )
+from .expr import SqlExpr, sql_expr, sql_where  # noqa: F401
 
 __version__ = "0.1.0"

@@ -218,7 +218,18 @@ class EntitySource:
     query: TQuery = TQuery()
 
 
-Source = Union[EventSource, EntitySource]
+@dataclass(frozen=True)
+class JoinSource:
+    """A Join's output used as a source — chained joins (reference:
+    api.thrift:125-128 JoinSource). ``join`` is resolved lazily by
+    scan_source (its output feeds the downstream GroupBy/Join), with
+    ``query``'s selects/wheres applied on top."""
+
+    join: "JoinConf"
+    query: TQuery = TQuery()
+
+
+Source = Union[EventSource, EntitySource, "JoinSource"]
 
 
 @dataclass(frozen=True)

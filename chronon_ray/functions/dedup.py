@@ -86,6 +86,17 @@ def _char_shingles(texts: "pd.Series", k: int) -> list[np.ndarray]:
 _MERSENNE = (1 << 61) - 1
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no per-value bin().count()."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
 def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(seed))
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -419,7 +430,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
             a_, b_, d_ = [], [], []
             for i in range(len(ids)):
                 x = hs[i + 1:] ^ hs[i]
-                dist = np.array([bin(int(v)).count("1") for v in x])
+                dist = _popcount64(x)
                 hit = np.flatnonzero(dist <= max_hamming)
                 for j in hit:
                     x1, y1 = ids[i], ids[i + 1 + j]

@@ -33,23 +33,30 @@ class LangIdStage:
         self.cjk_re = re.compile(r"[一-鿿㐀-䶿]")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in batch[self.text_col]:
-            if t is None:
-                preds.append(None)
-                continue
-            n_cjk = len(self.cjk_re.findall(t))
-            if n_cjk >= 3 or (len(t) > 0 and n_cjk / max(len(t), 1) > 0.05):
-                preds.append("zh")
-                continue
-            words = [w.lower() for w in self.word_re.findall(t)]
-            if not words:
-                preds.append("unknown")
-                continue
-            scores = {lang: sum(w in prof for w in words) / len(words)
-                      for lang, prof in _PROFILES.items()}
-            best = max(scores, key=scores.get)
-            preds.append(best if scores[best] > 0.02 else "unknown")
+        texts = batch[self.text_col]
+        nn = texts.notna()
+        t = texts.fillna("")
+        n_cjk = t.str.count(self.cjk_re.pattern)
+        n_chars = t.str.len()
+        is_zh = (n_cjk >= 3) | ((n_chars > 0)
+                                & (n_cjk / np.maximum(n_chars, 1) > 0.05))
+        # one explode + one isin per language profile — no per-row loop
+        words = t.str.findall(self.word_re.pattern).explode().str.lower()
+        n_words = words.groupby(level=0).count() \
+            .reindex(t.index, fill_value=0)
+        best_score = pd.Series(np.zeros(len(t)), index=t.index)
+        best_lang = pd.Series(["unknown"] * len(t), index=t.index)
+        for lang, prof in _PROFILES.items():
+            hits = words.isin(prof).groupby(level=0).sum() \
+                .reindex(t.index, fill_value=0)
+            score = hits / n_words.replace(0, 1)
+            better = score > best_score
+            best_score = best_score.where(~better, score)
+            best_lang = best_lang.where(~better, lang)
+        preds = best_lang.where(best_score > 0.02, "unknown")
+        preds = preds.where(n_words > 0, "unknown")
+        preds = preds.where(~is_zh, "zh")
+        preds = preds.where(nn, None)
         batch[self.out_col] = preds
         return batch
 

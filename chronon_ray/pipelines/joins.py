@@ -576,3 +576,62 @@ def compute_join_bootstrapped(
 
     out = out.map_batches(coalesce, batch_format="pyarrow")
     return apply_derivations(out, jc.derivations)
+
+
+# ------------------------------------------------- label lifecycle
+
+
+def label_join_versioned(
+    features: ray.data.Dataset,
+    label_events: ray.data.Dataset,
+    conf: GroupByConf,
+    label_ds: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kw,
+) -> ray.data.Dataset:
+    """One label-table VERSION (reference spark/LabelJoin.scala:35-120 —
+    labels computed as of a label_ds land in a label_ds-stamped partition):
+    label events are truncated to those visible by end of ``label_ds`` and
+    the output rows are stamped with the version column, so successive
+    label_ds runs materialize side by side and can be compared/upgraded."""
+    eod = (int(pd.Timestamp(label_ds).timestamp()) // 86_400 + 1) * 86_400_000
+
+    def visible(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ts < eod))
+
+    labels_cut = label_events.map_batches(visible, batch_format="pyarrow")
+    out = label_join(features, labels_cut, conf,
+                     num_partitions=num_partitions, **kw)
+    return out.map_batches(
+        lambda t: t.append_column("label_ds",
+                                  pa.array([label_ds] * len(t))),
+        batch_format="pyarrow")
+
+
+def latest_label_view(
+    versions: Sequence[ray.data.Dataset],
+    keys: Sequence[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """The LATEST label per feature row across label_ds versions
+    (reference LabelJoin's labeled-latest view): union the version tables,
+    hash-partition on the row identity (keys + ts) and keep the row with
+    the max label_ds. One shuffle; versions can be lazily-read partitions."""
+    ident = [*keys, "ts"]
+    unioned = versions[0].union(*versions[1:]) if len(versions) > 1 \
+        else versions[0]
+
+    def tag(t: pa.Table) -> pa.Table:
+        kdf = t.select(ident).to_pandas()
+        part = (stable_key_hash(kdf, ident) % num_partitions).astype(np.int64)
+        return t.append_column("_part", pa.array(part))
+
+    def keep_latest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("label_ds", kind="stable")
+        out = pdf.groupby(ident, sort=False, as_index=False).tail(1)
+        return out.drop(columns=["_part"])
+
+    keep_latest.__name__ = "keep_latest"
+    return unioned.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_part").map_groups(keep_latest, batch_format="pandas")

@@ -449,6 +449,23 @@ class TemporalPartition:
             return KLL.deserialize(row["sketch"])
         if o in (Operation.TOP_K, Operation.BOTTOM_K):
             return [tuple(t) for t in row["items"]]
+        # prefix-family inner ops reach here only via BUCKETED parts (plain
+        # prefix parts take the vectorized moments path)
+        if o == Operation.SUM:
+            return float(row["s"])
+        if o == Operation.COUNT:
+            return int(row["n"])
+        if o == Operation.AVERAGE:
+            return (float(row["s"]), int(row["n"]))
+        if o in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+            nm = {Operation.VARIANCE: 2, Operation.SKEW: 3,
+                  Operation.KURTOSIS: 4}[o]
+            return (float(row["n"]), float(row["m1"]),
+                    *[float(row[f"m{k}"]) for k in range(2, nm + 1)])
+        if o in (Operation.FIRST, Operation.LAST):
+            return (row["ts"], row["payload"])
+        if o in (Operation.FIRST_K, Operation.LAST_K):
+            return [tuple(t) for t in row["items"]]
         raise KeyError(o)
 
     def _prebuild_hops(self, saw_parts, e_tbl, e_key, e_ts, col_values):
@@ -457,20 +474,44 @@ class TemporalPartition:
         partial() call per part (the HopsAggregator partial+final pattern,
         reference HopsAggregator.scala:33-165, done columnar)."""
         prebuilt: dict[int, dict] = {}  # part index -> key_code -> (starts, irs)
+        _PREBUILDABLE = (Operation.MIN, Operation.MAX,
+                         Operation.UNIQUE_COUNT, Operation.HISTOGRAM,
+                         Operation.APPROX_HISTOGRAM_K,
+                         Operation.APPROX_UNIQUE_COUNT,
+                         Operation.APPROX_PERCENTILE,
+                         Operation.TOP_K, Operation.BOTTOM_K,
+                         Operation.SUM, Operation.COUNT, Operation.AVERAGE,
+                         Operation.VARIANCE, Operation.SKEW,
+                         Operation.KURTOSIS,
+                         Operation.FIRST, Operation.LAST,
+                         Operation.FIRST_K, Operation.LAST_K)
         for i, p in saw_parts:
-            if p.bucket is not None or p.window.unbounded:
+            if p.window.unbounded:
                 continue
-            if p.operation not in (Operation.MIN, Operation.MAX,
-                                   Operation.UNIQUE_COUNT, Operation.HISTOGRAM,
-                                   Operation.APPROX_HISTOGRAM_K,
-                                   Operation.APPROX_UNIQUE_COUNT,
-                                   Operation.APPROX_PERCENTILE,
-                                   Operation.TOP_K, Operation.BOTTOM_K):
+            if p.operation not in _PREBUILDABLE:
+                continue
+            op = OPS[p.operation]
+            if op.needs_ts and self.tie_break:
+                # prebuilt hop IRs can't carry the tie-break ordering
                 continue
             from ..windowing.resolution import tail_hop_millis as _thm
 
             hop = _thm(p.window, self.daily)
-            vals, valid = col_values(p)
+            bcodes = buniq = None
+            if p.bucket is None:
+                vals, valid = col_values(p)
+            else:
+                # raw values + factorized bucket labels — the grouped
+                # partial runs at (key, hop, bucket) granularity and the
+                # dicts are reassembled per (key, hop)
+                vals, valid = col_values(replace(p, bucket=None))
+                bcol = e_tbl[p.bucket]
+                if isinstance(bcol, pa.ChunkedArray):
+                    bcol = bcol.combine_chunks()
+                valid = valid & pc.is_valid(bcol).to_numpy(zero_copy_only=False)
+                bser = bcol.to_pandas()
+                bcodes_all, buniq = pd.factorize(bser, use_na_sentinel=False)
+                bcodes = bcodes_all.astype(np.int64)
             if not valid.any():
                 prebuilt[i] = {}
                 continue
@@ -481,9 +522,13 @@ class TemporalPartition:
             mn = int(hop_id.min())
             span = int(hop_id.max()) - mn + 1
             comp = ek * span + (hop_id - mn)
+            if p.bucket is not None:
+                nb = len(buniq)
+                comp = comp * nb + bcodes[valid]
             uniq, inv = np.unique(comp, return_inverse=True)
             df = pd.DataFrame({"g": inv, "v": v})
-            op = OPS[p.operation]
+            if op.needs_ts:
+                df["ts"] = ets
             frame = op.partial(df, len(uniq), replace(p, bucket=None))
             irs_all = [None] * len(uniq)
             # column-wise IR extraction — iterrows builds a Series per row
@@ -494,6 +539,17 @@ class TemporalPartition:
             for j in range(len(frame)):
                 rec = {c: lst[j] for c, lst in ir_lists.items()}
                 irs_all[int(gcol[j])] = self._hop_ir_to_py(p, op, rec)
+            if p.bucket is not None:
+                # collapse (key, hop, bucket) rows → per-(key, hop) dicts
+                nb = len(buniq)
+                kh_of = (uniq // nb).astype(np.int64)
+                b_of = (uniq % nb).astype(np.int64)
+                kh_uniq, kh_inv = np.unique(kh_of, return_inverse=True)
+                dicts: list[dict] = [dict() for _ in range(len(kh_uniq))]
+                for j in range(len(uniq)):
+                    dicts[int(kh_inv[j])][buniq[b_of[j]]] = irs_all[j]
+                uniq = kh_uniq
+                irs_all = dicts
             keys_of = (uniq // span).astype(np.int64)
             starts_of = ((uniq % span) + mn) * hop
             by_key: dict[int, tuple] = {}

@@ -199,6 +199,16 @@ def scan_source(
                                partition_column=query.partition_column)
         return scan_table(source.table, query, columns, keep_columns,
                           synthesize_eod_ts=True)
+    from .api import JoinSource
+
+    if isinstance(source, JoinSource):
+        # chained join: the upstream Join computes lazily and its output
+        # streams through this source's select/where rendering
+        from .pipelines.joins import compute_join
+
+        ds = compute_join(source.join)
+        return ds.map_batches(_Render(source.query, keep_columns),
+                              batch_format="pyarrow")
     return scan_table(source.snapshot_table, source.query, columns, keep_columns)
 
 

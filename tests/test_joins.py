@@ -171,3 +171,85 @@ def test_label_join_vs_duckdb(ray_session, duck, sf_dir):
     np.testing.assert_allclose(g[~nan], w[~nan], rtol=1e-9)
     np.testing.assert_array_equal(out["value_count_1d"].fillna(0).astype(int),
                                   exp["value_count_1d"].astype(int))
+
+
+def test_join_source_chaining(ray_session, duck, sf_dir):
+    """A Join's output as the left of another GroupBy (reference
+    api.thrift:125-128 JoinSource): features-of-features."""
+    from chronon_ray.api import JoinSource
+    from chronon_ray.pipelines.joins import compute_join
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+    from chronon_ray.sources import scan_source
+    import numpy as np
+
+    events_src = EventSource(table=f"{sf_dir}/events.parquet", query=TQuery())
+    left_src = EventSource(
+        table=f"{sf_dir}/events.parquet",
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts"},
+                        wheres=[lambda t: pc.equal(t["event_type"],
+                                                   "purchase")]))
+    gb = GroupByConf(name="gb1", sources=(events_src,),
+                     key_columns=("user_id",),
+                     aggregations=(agg("value", "count", [UNBOUNDED]),))
+    jc = JoinConf(name="inner_join", left=left_src,
+                  parts=(JoinPart(group_by=gb),))
+    # downstream GroupBy over the join's output: avg feature value per user
+    chained = GroupByConf(
+        name="chained", sources=(JoinSource(join=jc),),
+        key_columns=("user_id",),
+        aggregations=(agg("gb1_value_count", "max"),))
+    src = scan_source(chained.sources[0])
+    out = aggregate_snapshot(src, chained, num_partitions=4).to_pandas()
+    exp = duck.sql("""
+        with q as (select user_id, epoch_ms(ts) as ts from events
+                   where event_type = 'purchase'),
+             e as (select user_id, epoch_ms(ts) as ts, value from events)
+        select q.user_id,
+               max(cnt) as mx
+        from (select q.user_id, q.ts,
+                     count(case when e.ts < q.ts then e.value end) as cnt
+              from q left join e on q.user_id = e.user_id
+              group by q.user_id, q.ts) q
+        group by q.user_id
+    """).df()
+    m = out.merge(exp, on="user_id")
+    assert len(m) == len(out) == len(exp)
+    np.testing.assert_array_equal(
+        m["gb1_value_count_max"].to_numpy(dtype=np.int64),
+        m["mx"].to_numpy(dtype=np.int64))
+
+
+def test_label_lifecycle_versions_and_latest(ray_session, sf_dir):
+    """label_ds-versioned label tables + the latest-label view."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronon_ray.pipelines.joins import (label_join_versioned,
+                                             latest_label_view)
+
+    D0 = 1_704_067_200_000  # 2024-01-01
+    feats = rd.from_arrow(pa.table({
+        "user_id": [1, 2], "ts": [D0 + 1000, D0 + 2000]}))
+    labels = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 2],
+        "ts": [D0 + 3600_000, D0 + 86_400_000 + 3600_000, D0 + 7200_000],
+        "value": [1.0, 10.0, 5.0]}))
+    conf = GroupByConf(name="lbl", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum", [window(2, "d")]),))
+    v1 = label_join_versioned(feats, labels, conf, "2024-01-01",
+                              num_partitions=2)
+    v2 = label_join_versioned(feats, labels, conf, "2024-01-02",
+                              num_partitions=2)
+    p1 = v1.to_pandas().sort_values("user_id").reset_index(drop=True)
+    p2 = v2.to_pandas().sort_values("user_id").reset_index(drop=True)
+    # day-1 version only sees the first label of user 1; day-2 sees both
+    assert p1.loc[0, "value_sum_2d"] == 1.0
+    assert p2.loc[0, "value_sum_2d"] == 11.0
+    assert (p1["label_ds"] == "2024-01-01").all()
+    latest = latest_label_view([v1, v2], keys=["user_id"],
+                               num_partitions=2).to_pandas()
+    latest = latest.sort_values("user_id").reset_index(drop=True)
+    assert len(latest) == 2
+    assert (latest["label_ds"] == "2024-01-02").all()
+    assert latest.loc[0, "value_sum_2d"] == 11.0

@@ -185,3 +185,35 @@ def test_bloom_semi_join_identical(ray_session, sf_dir):
         a, b = b1[c].astype(float), b2[c].astype(float)
         assert (a.isna() == b.isna()).all(), c
         np.testing.assert_allclose(a.fillna(0), b.fillna(0), rtol=0, err_msg=c)
+
+
+def test_sql_expr_selects_wheres_derivations(ray_session, sf_dir, duck):
+    """SQL-string expressions evaluated per batch via DuckDB plug into
+    selects, wheres and derivations (reference users write SQL strings)."""
+    from chronon_ray import sql_expr, sql_where
+    from chronon_ray.api import TQuery
+    from chronon_ray.pipelines.joins import apply_derivations
+    from chronon_ray.sources import scan_table
+
+    ds = scan_table(
+        f"{sf_dir}/events.parquet",
+        TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                           "v2": sql_expr("value * 2 + 1"),
+                           "et_upper": sql_expr("upper(event_type)")},
+                  wheres=[sql_where("value > 0.5 and event_type <> 'view'")]))
+    out = apply_derivations(ds, (("user_id", "user_id"),
+                                 ("v4", sql_expr("v2 * 2")),
+                                 ("tag", sql_expr(
+                                     "case when v2 > 100 then 'hi' "
+                                     "else 'lo' end")))).to_pandas()
+    exp = duck.sql("""
+        select user_id, (value * 2 + 1) * 2 as v4,
+               case when value * 2 + 1 > 100 then 'hi' else 'lo' end as tag
+        from events
+        where value > 0.5 and event_type <> 'view'
+    """).df()
+    g = out.sort_values(["user_id", "v4"]).reset_index(drop=True)
+    x = exp.sort_values(["user_id", "v4"]).reset_index(drop=True)
+    assert len(g) == len(x) > 0
+    np.testing.assert_allclose(g["v4"], x["v4"], rtol=1e-12)
+    assert (g["tag"] == x["tag"]).all()
