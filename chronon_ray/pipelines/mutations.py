@@ -141,10 +141,16 @@ class _EntityPartition:
                                                 "_kind") if c in irf.columns],
                            errors="ignore")
             irf["g"] = codes
-            merged = self.agg.merge_frame(irf).set_index("g")
-            for g, row in merged.iterrows():
-                kvals = tuple(kdf.iloc[int(g)])
-                base_by_kd[kvals] = row
+            merged = self.agg.merge_frame(irf)
+            # column-wise row extraction (iterrows builds a Series per row)
+            gvals = merged["g"].to_numpy()
+            col_lists = {c: merged[c].tolist() for c in merged.columns
+                         if c != "g"}
+            key_rows = list(kdf.itertuples(index=False, name=None))
+            for j in range(len(merged)):
+                kvals = key_rows[int(gvals[j])]
+                base_by_kd[kvals] = {c: lst[j]
+                                     for c, lst in col_lists.items()}
             # merge pickled tail-hop dicts per group per windowed part
             for p in windowed:
                 col = f"{p.output_name}__tailhops"
@@ -156,7 +162,7 @@ class _EntityPartition:
                     b = vals[i]
                     if b is None or (isinstance(b, float) and np.isnan(b)):
                         continue
-                    kvals = tuple(kdf.iloc[int(c)])
+                    kvals = key_rows[int(c)]
                     slot = tails_by_kd.setdefault(kvals, {}) \
                         .setdefault(p.output_name, {})
                     for hopstart, hir in pickle.loads(b).items():

@@ -736,7 +736,7 @@ def temporal_join(
     right_schema: Optional[pa.Schema] = None,
     daily: bool = False,
     hot_keys=None,
-    salt_shards: int = 8,
+    salt_shards: Optional[int] = None,
     broadcast_left_keys: bool = False,
 ) -> ray.data.Dataset:
     """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC.
@@ -830,6 +830,17 @@ def temporal_join(
     if hot_keys:
         if len(keys) != 1:
             raise NotImplementedError("salting requires a single key column")
+        if salt_shards is None:
+            # hot-side parallelism = n_hot × shards distinct (key, salt)
+            # groups — size it so the hot work can occupy ~2 tasks/cpu on
+            # the cluster, floor 8 (the r1-measured break-even)
+            import math as _math
+
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+            salt_shards = max(8, _math.ceil(2 * cpus / max(1, len(hot_keys))))
         return _salted_temporal_join(
             left_ds, right_ds, conf, keys, parts, left_schema, right_schema,
             left_cols, num_partitions, daily, list(hot_keys), salt_shards)
@@ -904,87 +915,189 @@ def _bloom_filter_events(left_ds, right_ds, keys, bits_per_key: int = 12,
 def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
                           right_schema, left_cols, num_partitions, daily,
                           hot_keys: list, salt_shards: int):
+    """Single-pass salted plan: ONE scan of each input, ONE sort exchange.
+
+    Cold rows hash into partitions [0, num_partitions); each hot
+    (key, salt) pair gets its OWN dedicated partition id >= num_partitions
+    (deterministic — hot work never shares a task with cold keys). The
+    partition processor dispatches on the partition id: cold partitions
+    emit finalized rows, hot partitions emit mergeable per-query partials;
+    both come out of the same shuffle padded to one output schema, split by
+    a flag column after a cheap materialize (output-sized), and the hot
+    partials take the small second merge shuffle. The previous two-branch
+    plan scanned, tagged and sorted the full event stream twice."""
     import uuid
 
-    from .salting import SaltedMerge
+    from .salting import SaltedMerge, partial_fields
 
     key = keys[0]
     key_type = right_schema.field(key).type
     hot_arr = pa.array(hot_keys).cast(key_type)
-
-    def _split(is_hot: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = pc.is_in(t[key], value_set=hot_arr)
-            return t.filter(m if is_hot else pc.invert(m))
-        f.__name__ = "keep_hot" if is_hot else "keep_cold"
-        return f
-
-    # ---- cold path: single-pass
-    cold = temporal_join(
-        left_ds.map_batches(_split(False), batch_format="pyarrow"),
-        right_ds.map_batches(_split(False), batch_format="pyarrow"),
-        conf, num_partitions=num_partitions, left_schema=left_schema,
-        right_schema=right_schema, daily=daily, hot_keys=None)
-
-    # ---- hot path: salted partials + merge
     S = salt_shards
 
-    def explode_queries(t: pa.Table) -> pa.Table:
-        # collision-free query ids by construction: a random 63-bit batch id
-        # plus a dense in-batch ordinal as a two-column key — no modulo slot
-        # to overflow, and a cross-batch clash needs a full 63-bit collision
-        t = _split(True)(t)
+    fields = _union_fields(left_schema, right_schema)
+    fields = fields + [pa.field("_qid_hi", pa.int64()),
+                       pa.field("_qid_lo", pa.int64()),
+                       pa.field("_salt", pa.int8())]
+
+    def _hot_idx(t: pa.Table) -> np.ndarray:
+        return pc.index_in(t[key], value_set=hot_arr) \
+            .to_numpy(zero_copy_only=False)
+
+    def _pad(t: pa.Table, extra: dict, is_q: int) -> pa.Table:
         n = len(t)
-        base = uuid.uuid4().int & ((1 << 63) - 1)
-        cols = {c: pa.concat_arrays(
-            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]] * S)
-            for c in t.column_names}
-        cols["_qid_hi"] = pa.array(np.full(n * S, base, dtype=np.uint64).view(np.int64))
-        cols["_qid_lo"] = pa.array(np.tile(np.arange(n, dtype=np.int64), S))
-        cols["_salt"] = pa.array(np.repeat(np.arange(S, dtype=np.int8), n))
+        cols = {}
+        for f in fields:
+            if f.name in extra:
+                cols[f.name] = extra[f.name]
+            elif f.name in t.column_names:
+                c = t[f.name]
+                cols[f.name] = c if c.type == f.type else pc.cast(c, f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        cols["_part"] = extra["_part"]
+        cols["_is_q"] = pa.array(np.full(n, is_q, dtype=np.int8))
         return pa.table(cols)
 
-    def salt_events(t: pa.Table) -> pa.Table:
-        t = _split(True)(t)
-        n = len(t)
-        salt = (np.arange(n, dtype=np.int64) % S).astype(np.int8)
-        return t.append_column("_salt", pa.array(salt))
+    def tag_left(t: pa.Table) -> pa.Table:
+        hi = _hot_idx(t)
+        hot_mask = ~pd.isna(hi)
+        cold_t = t.filter(pa.array(~hot_mask))
+        hot_t = t.filter(pa.array(hot_mask))
+        outs = []
+        if len(cold_t):
+            kdf = cold_t.select(keys).to_pandas()
+            part = (stable_key_hash(kdf, keys)
+                    % num_partitions).astype(np.int64)
+            outs.append(_pad(cold_t, {
+                "_part": pa.array(part),
+                "_salt": pa.array(np.full(len(cold_t), -1, dtype=np.int8)),
+            }, is_q=1))
+        if len(hot_t):
+            # replicate hot queries to every salt shard with collision-free
+            # (_qid_hi random-63-bit batch id, _qid_lo dense ordinal) ids
+            n = len(hot_t)
+            idx = hi[hot_mask].astype(np.int64)
+            base = uuid.uuid4().int & ((1 << 63) - 1)
+            rep = pa.table({
+                c: pa.concat_arrays(
+                    [hot_t[c].combine_chunks()
+                     if isinstance(hot_t[c], pa.ChunkedArray)
+                     else hot_t[c]] * S)
+                for c in hot_t.column_names})
+            salt = np.repeat(np.arange(S, dtype=np.int64), n)
+            part = num_partitions + np.tile(idx, S) * S + salt
+            outs.append(_pad(rep, {
+                "_part": pa.array(part),
+                "_salt": pa.array(salt.astype(np.int8)),
+                "_qid_hi": pa.array(
+                    np.full(n * S, base, dtype=np.uint64).view(np.int64)),
+                "_qid_lo": pa.array(np.tile(np.arange(n, dtype=np.int64), S)),
+            }, is_q=1))
+        if not outs:
+            return _pad(t.slice(0, 0),
+                        {"_part": pa.array([], type=pa.int64())}, is_q=1)
+        return pa.concat_tables(outs)
 
-    hot_left = left_ds.map_batches(explode_queries, batch_format="pyarrow")
-    hot_right = right_ds.map_batches(salt_events, batch_format="pyarrow")
-    lhs = pa.schema(list(left_schema) + [pa.field("_qid_hi", pa.int64()),
-                                         pa.field("_qid_lo", pa.int64()),
-                                         pa.field("_salt", pa.int8())])
-    rhs = pa.schema(list(right_schema) + [pa.field("_salt", pa.int8())])
-    unioned = _tagged_union(hot_left, hot_right, lhs, rhs,
-                            [key, "_salt"], num_partitions)
-    # the processor must key on (key, _salt): several salt shards can hash
-    # into one physical partition, and each query replica may only see its
-    # own shard's events
-    proc = TemporalPartition([key, "_salt"], parts, right_schema,
-                             [*left_cols, "_qid_hi", "_qid_lo"],
-                             tie_break=conf.tie_break_column, daily=daily,
-                             emit_partials=True)
-    partials = unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
+    tag_left.__name__ = "salt_tag_left"
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        # drop null-key events (reference removeNulls)
+        t = t.filter(pc.is_valid(t[key]))
+        hi = _hot_idx(t)
+        hot_mask = ~pd.isna(hi)
+        cold_t = t.filter(pa.array(~hot_mask))
+        hot_t = t.filter(pa.array(hot_mask))
+        outs = []
+        if len(cold_t):
+            kdf = cold_t.select(keys).to_pandas()
+            part = (stable_key_hash(kdf, keys)
+                    % num_partitions).astype(np.int64)
+            outs.append(_pad(cold_t, {
+                "_part": pa.array(part),
+                "_salt": pa.array(np.full(len(cold_t), -1, dtype=np.int8)),
+            }, is_q=0))
+        if len(hot_t):
+            n = len(hot_t)
+            idx = hi[hot_mask].astype(np.int64)
+            salt = (np.arange(n, dtype=np.int64) % S)
+            part = num_partitions + idx * S + salt
+            outs.append(_pad(hot_t, {
+                "_part": pa.array(part),
+                "_salt": pa.array(salt.astype(np.int8)),
+            }, is_q=0))
+        if not outs:
+            return _pad(t.slice(0, 0),
+                        {"_part": pa.array([], type=pa.int64())}, is_q=0)
+        return pa.concat_tables(outs)
+
+    tag_events.__name__ = "salt_tag_events"
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_events, batch_format="pyarrow"))
+
+    cold_proc = TemporalPartition(keys, parts, right_schema, left_cols,
+                                  tie_break=conf.tie_break_column, daily=daily)
+    hot_proc = TemporalPartition([key, "_salt"], parts, right_schema,
+                                 [*left_cols, "_qid_hi", "_qid_lo"],
+                                 tie_break=conf.tie_break_column, daily=daily,
+                                 emit_partials=True)
+    final_fields = cold_proc.out_fields
+    part_fields = partial_fields(parts, right_schema)
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_cols]
+        + final_fields
+        + [f for f in part_fields
+           if f.name not in {g.name for g in final_fields}]
+        + [pa.field("_qid_hi", pa.int64()), pa.field("_qid_lo", pa.int64()),
+           pa.field("_partial", pa.int8())])
+
+    class _Dispatch:
+        __name__ = "SaltedDispatch"
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return pa.table({f.name: pa.nulls(0, f.type)
+                                 for f in out_schema})
+            hot = int(tbl["_part"][0].as_py()) >= num_partitions
+            res = (hot_proc if hot else cold_proc)(tbl)
+            n = len(res)
+            cols = {}
+            for f in out_schema:
+                if f.name == "_partial":
+                    cols[f.name] = pa.array(
+                        np.full(n, 1 if hot else 0, dtype=np.int8))
+                elif f.name in res.column_names:
+                    c = res[f.name]
+                    cols[f.name] = c if c.type == f.type \
+                        else pc.cast(c, f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, type=f.type)
+            return pa.table(cols)
+
+    results = unioned.groupby("_part").map_groups(
+        _Dispatch(), batch_format="pyarrow").materialize()
+
+    final_order = [*left_cols, *[f.name for f in final_fields]]
+    cold_rows = results.filter(expr="_partial == 0").map_batches(
+        lambda t: t.select(final_order), batch_format="pyarrow")
 
     merge_parts = max(8, num_partitions // 8)
 
     def qid_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["_partial"], 1))
         hi = t["_qid_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
         lo = t["_qid_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
         mixed = (hi * np.uint64(0x9E3779B97F4A7C15)) ^ lo
         return t.append_column(
-            "_part2", pa.array((mixed % np.uint64(merge_parts)).astype(np.int64)))
+            "_part2",
+            pa.array((mixed % np.uint64(merge_parts)).astype(np.int64)))
 
-    ref_proc = TemporalPartition(keys, parts, right_schema, left_cols,
-                                 tie_break=conf.tie_break_column, daily=daily)
-    merged = partials.map_batches(qid_part, batch_format="pyarrow")         .groupby("_part2").map_groups(
-            SaltedMerge(parts, left_cols, ref_proc.out_fields),
+    merged = results.map_batches(qid_part, batch_format="pyarrow") \
+        .groupby("_part2").map_groups(
+            SaltedMerge(parts, left_cols, final_fields),
             batch_format="pandas")
 
-    def align(t: pa.Table, order=tuple([*left_cols,
-                                        *[f.name for f in ref_proc.out_fields]])):
-        return t.select(list(order))
-
-    return cold.map_batches(align, batch_format="pyarrow").union(
-        merged.map_batches(align, batch_format="pyarrow"))
+    return cold_rows.union(
+        merged.map_batches(lambda t: t.select(final_order),
+                           batch_format="pyarrow"))

@@ -122,6 +122,11 @@ _SCALES = {
     "bench": (600_000, 100_000, 5_000),
     # scaling runs need enough work per core for 32-way parallelism to matter
     "bench_lg": (6_000_000, 600_000, 20_000),
+    # fixed per-job costs (driver planning, actor spin-up, shuffle round
+    # coordination) are ~constant; at bench_lg/32cpu they eat ~20% of wall
+    # and cap measured efficiency — the scaling criterion targets big-job
+    # throughput, so evidence it on a fixture big enough to amortize them
+    "bench_xl": (24_000_000, 1_200_000, 40_000),
 }
 
 
