@@ -656,6 +656,71 @@ def q_temporal_entities(sf_dir: str):
     return out
 
 
+def q_backfill_join(sf_dir: str):
+    """Range-planned multi-part Join backfill driver, end to end: stage the
+    events table as a ds-partitioned dir, backfill a 2-part PITC JoinConf
+    into per-part cached intermediate tables + assembled output partitions
+    (reference: spark/JoinBase.scala:132-227), rerun to prove the resume
+    plan recomputes nothing, and return the assembled output read back from
+    the written partitions."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import duckdb
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chronon_ray.api import (EventSource, GroupByConf, JoinConf, JoinPart,
+                                 TQuery, UNBOUNDED, agg, window)
+    from chronon_ray.pipelines.backfill import backfill_join
+
+    _ctx()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/cr_contract/backfill_join_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(ev_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"""copy (select *, strftime(ts, '%Y-%m-%d') as ds
+                      from read_parquet('{sf_dir}/events.parquet'))
+                to '{ev_dir}'
+                (format parquet, partition_by (ds), overwrite_or_ignore)""")
+    con.close()
+
+    ev_src = EventSource(table=ev_dir, query=TQuery())
+    left_src = EventSource(
+        table=ev_dir,
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"},
+                        wheres=[lambda t: pc.equal(t["event_type"],
+                                                   "purchase")]))
+    gb_sum = GroupByConf(name="gb_sum", sources=(ev_src,),
+                         key_columns=("user_id",),
+                         aggregations=(agg("value", "sum", [window(7, "d")]),))
+    gb_cnt = GroupByConf(name="gb_cnt", sources=(ev_src,),
+                         key_columns=("user_id",),
+                         aggregations=(agg("value", "count", [UNBOUNDED]),))
+    jc = JoinConf(name="bfj", left=left_src,
+                  parts=(JoinPart(group_by=gb_sum),
+                         JoinPart(group_by=gb_cnt, prefix="p2")))
+    start, end = "2024-01-10", "2024-01-30"
+    backfill_join(jc, out_dir, start, end, step_days=11, num_partitions=16)
+    s2 = backfill_join(jc, out_dir, start, end, step_days=11,
+                       num_partitions=16)
+    if s2["part_steps_computed"] != 0 or s2["partitions_written"]:
+        raise AssertionError("backfill_join resume plan recomputed work")
+
+    files = sorted(glob.glob(os.path.join(out_dir, "ds=*", "*.parquet")))
+    out = rd.read_parquet(files).to_pandas()
+    out["ds"] = pd.to_datetime(out["ts"], unit="ms").dt.strftime("%Y-%m-%d")
+    out["p2_gb_cnt_value_count"] = out["p2_gb_cnt_value_count"] \
+        .fillna(0).astype(np.int64)
+    return _round(out, ["gb_sum_value_sum_7d"])
+
+
 # -------------------------------------------------------------- contract
 
 
@@ -689,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_snapshot_join": q_entity_snapshot_join,
         "label_join": q_label_join,
         "temporal_entities": q_temporal_entities,
+        "backfill_join": q_backfill_join,
         "token_backfill": q_token_backfill,
         "approx_unique": q_approx_unique,
         "minhash_pairs": q_minhash_pairs,
@@ -882,6 +948,22 @@ def oracle_sql() -> dict[str, str]:
                     as p2_gb_cnt_value_count
             from q left join e on q.user_id = e.user_id
             group by q.user_id, q.ts, q.event_id
+        """,
+        "backfill_join": f"""
+            with q as (select user_id, epoch_ms(ts) as ts, event_id,
+                              strftime(ts, '%Y-%m-%d') as ds from events
+                       where event_type = 'purchase'
+                         and strftime(ts, '%Y-%m-%d')
+                             between '2024-01-10' and '2024-01-30'),
+                 e as (select user_id, epoch_ms(ts) as ts, value from events)
+            select q.user_id, q.ts, q.event_id, q.ds,
+                round(sum(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.value end), 4) as gb_sum_value_sum_7d,
+                count(case when e.ts < q.ts then e.value end)
+                    as p2_gb_cnt_value_count
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts, q.event_id, q.ds
         """,
         "entity_snapshot_join": """
             with snap as (select user_id, strftime(ts, '%Y-%m-%d') as ds,
