@@ -115,11 +115,14 @@ def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
 
 
 def _minhash_sig_batch(shingle_list: list[np.ndarray], a: np.ndarray,
-                       b: np.ndarray, chunk_shingles: int = 65536) -> np.ndarray:
+                       b: np.ndarray, chunk_shingles: int = 8192) -> np.ndarray:
     """Batched signatures: one (P, ΣS) matmul per chunk of docs +
     ``np.minimum.reduceat`` at doc offsets — identical arithmetic (and thus
     identical signatures) to the per-doc loop, without the per-doc python
-    dispatch. Memory bounded at P × chunk_shingles × 8 bytes."""
+    dispatch. The chunk bounds the (P, chunk) uint64 temporaries to ~8 MB so
+    the mul/add/mod pipeline stays in cache — measured 10-20× faster than a
+    64 MB working set, which thrashes L3 (and, with many concurrent workers,
+    memory bandwidth)."""
     n = len(shingle_list)
     P = len(a)
     sigs = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -193,9 +196,29 @@ def _tile_array(arr, times: int) -> pa.Array:
     return pa.concat_arrays([arr] * times)
 
 
-class _BandPairs:
-    """Per (band, band_hash) bucket → candidate pairs with sig-estimated
-    Jaccard. Emits each unordered pair once per bucket."""
+def _bucket_bounds(bucket_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bucket grouping: rows → (sort order, bucket boundaries).
+
+    A Ray-level ``groupby(bucket).map_groups`` pays a per-group UDF dispatch
+    — ruinous when almost every bucket is a singleton (LSH bands). Instead
+    the caller hash-partitions buckets into ~num_partitions groups and this
+    helper finds bucket boundaries inside one partition in O(n log n) numpy."""
+    key = np.stack([np.asarray(c) for c in bucket_cols], axis=1)
+    order = np.lexsort(tuple(key[:, i] for i in range(key.shape[1] - 1, -1, -1)))
+    sk = key[order]
+    change = np.empty(len(sk), dtype=bool)
+    change[0] = True
+    np.not_equal(sk[1:], sk[:-1]).any(axis=1, out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(sk))
+    return order, np.stack([starts, ends], axis=1)
+
+
+class _BandBucketsPartition:
+    """One hash partition of (band, band_hash) buckets → candidate pairs
+    with sig-estimated Jaccard. Bucket bookkeeping is vectorized; only
+    buckets holding ≥2 docs (rare — docs agreeing on a full band) run the
+    pairwise signature compare."""
 
     def __init__(self, id_col: str, threshold: float):
         self.__name__ = type(self).__name__
@@ -205,25 +228,62 @@ class _BandPairs:
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        pdf = pdf.drop_duplicates(self.id_col)
-        if len(pdf) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        ids = pdf[self.id_col].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
-        n = len(ids)
+        order, bounds = _bucket_bounds([
+            pdf["band"].to_numpy().astype(np.int64),
+            pdf["band_hash"].to_numpy()])
+        ids_all = pdf[self.id_col].to_numpy()
+        sig_all = pdf["sig"].to_numpy()
         out_a, out_b, out_j = [], [], []
-        # buckets are tiny (docs agreeing on a full band) — pairwise is fine
-        for i in range(n):
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(eq >= self.threshold)
-            for j in hit:
-                x, y = ids[i], ids[i + 1 + j]
-                if x > y:
-                    x, y = y, x
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(float(eq[j]))
+        for s, e in bounds[(bounds[:, 1] - bounds[:, 0]) >= 2]:
+            rows = order[s:e]
+            ids = ids_all[rows]
+            uniq, first = np.unique(ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            rows = rows[np.sort(first)]
+            ids = ids_all[rows]
+            sigs = np.stack([np.asarray(sig_all[r], dtype=np.int64)
+                             for r in rows])
+            n = len(ids)
+            for i in range(n - 1):
+                eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                hit = np.flatnonzero(eq >= self.threshold)
+                for j in hit:
+                    x, y = ids[i], ids[i + 1 + j]
+                    if x > y:
+                        x, y = y, x
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_j.append(float(eq[j]))
         return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+
+def _partition_by_hash(ds: ray.data.Dataset, cols: list[str],
+                       num_partitions: int) -> ray.data.Dataset:
+    """Append ``_part`` = stable row-hash of `cols` % num_partitions."""
+
+    def addp(t: pa.Table) -> pa.Table:
+        pdf = t.select(cols).to_pandas()
+        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        return t.append_column(
+            "_part", pa.array((h % num_partitions).astype(np.int64)))
+
+    addp.__name__ = "add_part"
+    return ds.map_batches(addp, batch_format="pyarrow")
+
+
+def _dedup_pairs_ds(pairs: ray.data.Dataset,
+                    num_partitions: int = 64) -> ray.data.Dataset:
+    """Keep one row per (a, b): identical pairs hash to the same partition,
+    so a per-partition drop_duplicates is exact. Bounded group count (the
+    partitions), unlike a groupby("a") over every distinct left id."""
+
+    def dd(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(["a", "b"]).drop(columns=["_part"])
+
+    dd.__name__ = "dedup_pairs"
+    return _partition_by_hash(pairs, ["a", "b"], num_partitions) \
+        .groupby("_part").map_groups(dd, batch_format="pandas")
 
 
 def minhash_lsh_pairs(
@@ -244,13 +304,11 @@ def minhash_lsh_pairs(
                               batch_format="pyarrow", concurrency=concurrency)
     else:  # plain tasks — cheap init, no CPU reservation
         sigs = ds.map_batches(MinHashStage(**kw), batch_format="pyarrow")
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _BandPairs(id_col, threshold), batch_format="pandas")
+    sigs = _partition_by_hash(sigs, ["band", "band_hash"], num_partitions=64)
+    pairs = sigs.groupby("_part").map_groups(
+        _BandBucketsPartition(id_col, threshold), batch_format="pandas")
     # a pair can surface from several bands — keep one
-    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.drop_duplicates(["a", "b"])
-    dedup_pairs.__name__ = "dedup_pairs"
-    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+    return _dedup_pairs_ds(pairs)
 
 
 def _label_checksum(labels: ray.data.Dataset) -> int:
@@ -338,8 +396,11 @@ def connected_components(
                              "label": pa.array(m["label"].to_numpy())})
 
         min_per_node.__name__ = "min_per_node"
-        labels = prop.groupby("node").map_groups(
-            min_per_node, batch_format="pandas").materialize()
+        # propagated labels land at dst nodes in other partitions → hash
+        # co-partition on node (bounded group count), min inside each
+        labels = _partition_by_hash(prop, ["node"], num_partitions) \
+            .groupby("_part").map_groups(
+                min_per_node, batch_format="pandas").materialize()
         new_sum = _label_checksum(labels)
         if new_sum == prev_sum:
             break
@@ -416,42 +477,61 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     else:
         sigs = ds.map_batches(SimHashStage(**kw), batch_format="pyarrow")
 
-    class BandPairs:
-        def __init__(self, band: int):
-            self.__name__ = f"SimBandPairs{band}"
-            self.band = band
+    def melt(t: pa.Table) -> pa.Table:
+        # wide (simband_0..n) → long (band, band_hash) rows: ONE shuffle for
+        # all bands instead of one groupby per band
+        n = len(t)
+        ids = _as_arr(t[id_col])
+        hs = _as_arr(t["simhash"])
+        return pa.table({
+            id_col: pa.concat_arrays([ids] * n_bands),
+            "simhash": pa.concat_arrays([hs] * n_bands),
+            "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), n)),
+            "band_hash": pa.concat_arrays(
+                [_as_arr(t[f"simband_{bi}"]) for bi in range(n_bands)]),
+        })
+
+    melt.__name__ = "melt_bands"
+
+    class _HammingPartition:
+        """Buckets with ≥2 docs → pairs within max_hamming (vectorized)."""
+
+        __name__ = "HammingPartition"
 
         def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.drop_duplicates(id_col)
             if len(pdf) < 2:
                 return pd.DataFrame({"a": [], "b": [], "hamming": []})
-            ids = pdf[id_col].to_numpy()
-            hs = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            order, bounds = _bucket_bounds([
+                pdf["band"].to_numpy(), pdf["band_hash"].to_numpy()])
+            ids_all = pdf[id_col].to_numpy()
+            hs_all = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             a_, b_, d_ = [], [], []
-            for i in range(len(ids)):
-                x = hs[i + 1:] ^ hs[i]
-                dist = _popcount64(x)
-                hit = np.flatnonzero(dist <= max_hamming)
-                for j in hit:
-                    x1, y1 = ids[i], ids[i + 1 + j]
-                    if x1 > y1:
-                        x1, y1 = y1, x1
-                    a_.append(x1)
-                    b_.append(y1)
-                    d_.append(int(dist[j]))
+            for s, e in bounds[(bounds[:, 1] - bounds[:, 0]) >= 2]:
+                rows = order[s:e]
+                uniq, first = np.unique(ids_all[rows], return_index=True)
+                if len(uniq) < 2:
+                    continue
+                rows = rows[np.sort(first)]
+                ids = ids_all[rows]
+                hs = hs_all[rows]
+                for i in range(len(ids) - 1):
+                    dist = _popcount64(hs[i + 1:] ^ hs[i])
+                    hit = np.flatnonzero(dist <= max_hamming)
+                    for j in hit:
+                        x1, y1 = ids[i], ids[i + 1 + j]
+                        if x1 > y1:
+                            x1, y1 = y1, x1
+                        a_.append(x1)
+                        b_.append(y1)
+                        d_.append(int(dist[j]))
             return pd.DataFrame({"a": a_, "b": b_, "hamming": d_})
 
-    per_band = [
-        sigs.groupby(f"simband_{bi}").map_groups(BandPairs(bi), batch_format="pandas")
-        for bi in range(n_bands)
-    ]
-    pairs = per_band[0].union(*per_band[1:])
-
-    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.drop_duplicates(["a", "b"])
-
-    dedup_pairs.__name__ = "dedup_pairs"
-    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+    long = _partition_by_hash(
+        sigs.map_batches(melt, batch_format="pyarrow"),
+        ["band", "band_hash"], num_partitions=64)
+    pairs = long.groupby("_part").map_groups(
+        _HammingPartition(), batch_format="pandas")
+    return _dedup_pairs_ds(pairs)
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -613,30 +693,46 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
     else:
         sigs = ds.map_batches(CosineBucketStage(**kw), batch_format="pyarrow")
 
-    class Pairs:
-        __name__ = "CosPairs"
+    class _CosPartition:
+        """Buckets with ≥2 docs → exact-cosine-verified pairs (vectorized)."""
+
+        __name__ = "CosPartition"
 
         def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.drop_duplicates(id_col)
             if len(pdf) < 2:
                 return pd.DataFrame({"a": [], "b": [], "cosine": []})
-            ids = pdf[id_col].to_numpy()
-            m = np.stack(pdf[emb_col].to_numpy())
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sim = m @ m.T
-            iu = np.triu_indices(len(ids), k=1)
-            hits = sim[iu] >= threshold
-            aa, bb = ids[iu[0][hits]], ids[iu[1][hits]]
-            swap = aa > bb
-            aa2 = np.where(swap, bb, aa)
-            bb2 = np.where(swap, aa, bb)
-            return pd.DataFrame({"a": aa2, "b": bb2, "cosine": sim[iu][hits]})
+            order, bounds = _bucket_bounds([
+                pdf["table"].to_numpy().astype(np.int64),
+                pdf["bucket"].to_numpy()])
+            ids_all = pdf[id_col].to_numpy()
+            emb_all = pdf[emb_col].to_numpy()
+            frames = []
+            for s, e in bounds[(bounds[:, 1] - bounds[:, 0]) >= 2]:
+                rows = order[s:e]
+                uniq, first = np.unique(ids_all[rows], return_index=True)
+                if len(uniq) < 2:
+                    continue
+                rows = rows[np.sort(first)]
+                ids = ids_all[rows]
+                m = np.stack([np.asarray(emb_all[r]) for r in rows])
+                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                   1e-12)
+                sim = m @ m.T
+                iu = np.triu_indices(len(ids), k=1)
+                hits = sim[iu] >= threshold
+                if not hits.any():
+                    continue
+                aa, bb = ids[iu[0][hits]], ids[iu[1][hits]]
+                swap = aa > bb
+                frames.append(pd.DataFrame({
+                    "a": np.where(swap, bb, aa),
+                    "b": np.where(swap, aa, bb),
+                    "cosine": sim[iu][hits]}))
+            if not frames:
+                return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.concat(frames, ignore_index=True)
 
-    pairs = sigs.groupby(["table", "bucket"]).map_groups(
-        Pairs(), batch_format="pandas")
-
-    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.drop_duplicates(["a", "b"])
-
-    dedup_pairs.__name__ = "dedup_pairs"
-    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+    bucketed = _partition_by_hash(sigs, ["table", "bucket"], num_partitions=64)
+    pairs = bucketed.groupby("_part").map_groups(
+        _CosPartition(), batch_format="pandas")
+    return _dedup_pairs_ds(pairs)

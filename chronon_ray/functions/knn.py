@@ -56,16 +56,38 @@ class _BatchTopK:
 
 
 class _FinalTopK:
+    """Per-query global top-k over one hash partition of candidates —
+    vectorized pandas groupby.head, no per-query UDF dispatch."""
+
     def __init__(self, k: int):
         self.__name__ = "FinalTopK"
         self.k = k
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["score", "neighbor_id"], ascending=[False, True],
-                              kind="stable").head(self.k)
-        pdf = pdf.reset_index(drop=True)
-        pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
-        return pdf
+        pdf = pdf.sort_values(["query_id", "score", "neighbor_id"],
+                              ascending=[True, False, True], kind="stable")
+        pdf = pdf.groupby("query_id", sort=False).head(self.k).copy()
+        pdf["rank"] = (pdf.groupby("query_id", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return pdf.drop(columns=[c for c in ("_part",) if c in pdf.columns])
+
+
+def _per_query_topk(cands: ray.data.Dataset, k: int,
+                    num_partitions: int = 32) -> ray.data.Dataset:
+    """Reduce (query_id, neighbor_id, score) candidates to the global top-k
+    per query: hash-partition queries (bounded group count — a groupby over
+    every query_id would pay a per-group dispatch), then one vectorized pass
+    per partition."""
+
+    def addp(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_pandas()
+        h = pd.util.hash_pandas_object(q, index=False).to_numpy()
+        return t.append_column(
+            "_part", pa.array((h % num_partitions).astype(np.int64)))
+
+    addp.__name__ = "add_qpart"
+    return cands.map_batches(addp, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_FinalTopK(k), batch_format="pandas")
 
 
 def brute_force_knn(
@@ -81,7 +103,7 @@ def brute_force_knn(
     cands = corpus.map_batches(
         _BatchTopK(ref, emb_col, id_col, k), batch_format="pyarrow",
         batch_size=4096)
-    return cands.groupby("query_id").map_groups(_FinalTopK(k), batch_format="pandas")
+    return _per_query_topk(cands, k)
 
 
 # ------------------------------------------------------------------ IVF
@@ -186,4 +208,4 @@ def ivf_knn(
         else ["_cluster"]
     cands = assigned.groupby(group_keys).map_groups(ClusterTopK(),
                                                     batch_format="pandas")
-    return cands.groupby("query_id").map_groups(_FinalTopK(k), batch_format="pandas")
+    return _per_query_topk(cands, k)
