@@ -616,22 +616,39 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                               num_partitions=num_partitions)
 
     def verify(t: pa.Table) -> pa.Table:
+        """Row-wise |A ∩ B| for all candidate pairs in one vectorized pass:
+        stack (row, shingle) keys of both sides; a key appearing twice is a
+        shared shingle (each side's set is unique by construction)."""
         id_type = t.schema.field("a").type
-        pdf = t.to_pandas()
-        out_a, out_b, out_j = [], [], []
-        for _, r in pdf.iterrows():
-            sa, sb = np.asarray(r["_sh_a"]), np.asarray(r["_sh"])
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            ix = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = ix / (len(sa) + len(sb) - ix)
-            if j >= threshold:
-                out_a.append(r["a"])
-                out_b.append(r["_sid"])
-                out_j.append(j)
-        return pa.table({"a": pa.array(out_a, type=id_type),
-                         "b": pa.array(out_b, type=id_type),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+        n = len(t)
+        if n == 0:
+            return pa.table({"a": pa.array([], type=id_type),
+                             "b": pa.array([], type=id_type),
+                             "jaccard": pa.array([], type=pa.float64())})
+
+        def rows_vals(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            return rows, vals.view(np.int64), lens
+
+        ra, va, la = rows_vals(t["_sh_a"])
+        rb, vb, lb = rows_vals(t["_sh"])
+        allk = np.concatenate([np.stack([ra, va], axis=1),
+                               np.stack([rb, vb], axis=1)])
+        uniq, counts = np.unique(allk, axis=0, return_counts=True)
+        ix = np.bincount(uniq[counts == 2][:, 0], minlength=n).astype(np.int64)
+        denom = la + lb - ix
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(denom > 0, ix / np.maximum(denom, 1), 0.0)
+        mask = (j >= threshold) & (la > 0) & (lb > 0)
+        sel = pa.array(mask)
+        return pa.table({"a": t["a"].filter(sel),
+                         "b": t["_sid"].filter(sel),
+                         "jaccard": pa.array(j[mask], type=pa.float64())})
 
     return p2.map_batches(verify, batch_format="pyarrow")
 
