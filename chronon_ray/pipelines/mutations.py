@@ -178,6 +178,32 @@ class _EntityPartition:
             for kv, grp in m.groupby([*self.keys, "_day"], sort=False):
                 mut_groups[tuple(kv)] = grp.sort_values("ts", kind="stable")
 
+        def feats_for(cur: dict, tails: dict, qts: int, batch_end: int) -> list:
+            """Finalized value per part for one query instant (tail-hop merge
+            + finalize). Non-mutating: py_merge for the deletable set always
+            returns fresh IRs."""
+            vals = []
+            for p in self.parts:
+                ir = cur[p.output_name]
+                op = OPS[p.operation]
+                if not p.window.unbounded:
+                    hop = tail_hop_millis(p.window)
+                    qtail = round_ts(qts - p.window.millis, hop)
+                    cut = batch_end - p.window.millis + TAIL_BUFFER_MS
+                    for hopstart, hir in tails.get(p.output_name, {}).items():
+                        if hopstart >= qtail and cut > hopstart:
+                            ir = hir if ir is None else op.py_merge(ir, hir, p)
+                val = None
+                if ir is not None:
+                    if p.operation == Operation.COUNT and ir == 0:
+                        val = 0
+                    else:
+                        val = op.py_finalize(ir, p)
+                vals.append(val)
+            return vals
+
+        windowed_parts = [p for p in self.parts if not p.window.unbounded]
+
         # replay per query, grouped by (keys, day), queries sorted by ts so
         # the mutation prefix sweep is shared
         q = queries.copy()
@@ -196,9 +222,33 @@ class _EntityPartition:
             }
             tails = tails_by_kd.get((*key_vals, prev_ds), {})
             mg = mut_groups.get((*key_vals, day))
+            if mg is None:
+                # fast path (the common case — most key-days see no CDC):
+                # features depend only on the base IR and each query's
+                # hop-rounded tails, so compute once per distinct tail
+                # signature instead of per query
+                qts_arr = grp["ts"].astype(np.int64).to_numpy()
+                if windowed_parts:
+                    sig = np.stack([
+                        round_ts(qts_arr - p.window.millis,
+                                 tail_hop_millis(p.window))
+                        for p in windowed_parts], axis=1)
+                    _, rep, inv = np.unique(sig, axis=0, return_index=True,
+                                            return_inverse=True)
+                else:
+                    rep = np.array([0])
+                    inv = np.zeros(len(grp), dtype=np.int64)
+                reps = [feats_for(base_irs, tails, int(qts_arr[i]), batch_end)
+                        for i in rep]
+                for c in self.left_cols:
+                    out_cols[c].extend(grp[c].tolist())
+                for pi, p in enumerate(self.parts):
+                    feats[p.output_name].extend(
+                        reps[ci][pi] for ci in inv)
+                continue
             grp = grp.sort_values("ts", kind="stable")
             mi = 0
-            mrows = mg.to_dict("records") if mg is not None else []
+            mrows = mg.to_dict("records")
             cur = dict(base_irs)
             for _, qr in grp.iterrows():
                 qts = int(qr["ts"])
@@ -230,27 +280,10 @@ class _EntityPartition:
                     mi += 1
                 for c in self.left_cols:
                     out_cols[c].append(qr[c])
-                for p in self.parts:
-                    ir = cur[p.output_name]
-                    op = OPS[p.operation]
-                    if not p.window.unbounded:
-                        # mergeTailHops: add tail hops inside this query's
-                        # window, excluding those already collapsed
-                        hop = tail_hop_millis(p.window)
-                        qtail = round_ts(qts - p.window.millis, hop)
-                        cut = batch_end - p.window.millis + TAIL_BUFFER_MS
-                        for hopstart, hir in tails.get(p.output_name,
-                                                       {}).items():
-                            if hopstart >= qtail and cut > hopstart:
-                                ir = hir if ir is None \
-                                    else op.py_merge(ir, hir, p)
-                    val = None
-                    if ir is not None:
-                        if p.operation == Operation.COUNT and ir == 0:
-                            val = 0
-                        else:
-                            val = op.py_finalize(ir, p)
-                    feats[p.output_name].append(val)
+                # mergeTailHops + finalize (shared with the fast path)
+                vals = feats_for(cur, tails, qts, batch_end)
+                for pi, p in enumerate(self.parts):
+                    feats[p.output_name].append(vals[pi])
 
         arrays = {c: pa.array(out_cols[c]) for c in self.left_cols}
         for f in self.out_fields:
