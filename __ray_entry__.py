@@ -452,6 +452,65 @@ def q_text_signals(sf_dir: str):
     return out[["doc_id", "lang_pred", "fingerprint"]]
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition filters (duplicate lines / top 2-gram /
+    within-doc duplicate 5-grams) — exact integer-ratio computations,
+    reproduced bit-for-bit by the SQL oracle."""
+    import ray.data as rd
+
+    from chronon_ray.functions.text import RepetitionSignalsStage
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = docs.map_batches(RepetitionSignalsStage(),
+                           batch_format="pandas").to_pandas()
+    out = out[["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+               "top_2gram_char_frac", "dup_5gram_frac"]]
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    # no rounding: every ratio is an IEEE double division of two exact
+    # ints, so the oracle's value is bit-identical (np.round is banker's,
+    # DuckDB round() is half-away — rounding would ADD mismatch risk)
+    return out
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Corpus-wide duplicate 5-gram stats per doc (exact-substring-dedup
+    family, Lee et al. 2022): two co-partitioned shuffles, gram strings
+    cross only the first."""
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import dup_ngram_stats
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = dup_ngram_stats(docs, "text", "doc_id", n=5,
+                          num_partitions=32).to_pandas()
+    for c in ("n_grams", "n_dup_grams", "n_cross_doc_grams"):
+        out[c] = out[c].astype(np.int64)
+    # ratios are int/int doubles — bit-identical to the oracle unrounded
+    return out
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk training-sequence packing: global exclusive scan
+    over per-doc token counts via ordered range buckets (driver holds one
+    int per bucket, never per doc)."""
+    import ray.data as rd
+
+    from chronon_ray.functions.packing import pack_sequences
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = pack_sequences(docs, "text", "doc_id", seq_len=512,
+                         n_buckets=32).to_pandas()
+    for c in ("n_tok", "tok_offset", "seq_id", "seq_pos", "n_seqs"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF ANN with nprobe = n_clusters (exhaustive probing): exercises the
     full partition/sub-shard/merge machinery while returning the EXACT
@@ -762,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
         "text_signals": q_text_signals,
+        "repetition_signals": q_repetition_signals,
+        "dup_ngrams": q_dup_ngrams,
+        "pack_sequences": q_pack_sequences,
         "ivf_knn": q_ivf_knn,
         "multimodal_features": q_multimodal_features,
     }
@@ -1127,6 +1189,147 @@ def oracle_sql() -> dict[str, str]:
                      + 0.25 * (1 - least(upper_ratio / 0.3, 1.0))
                        as quality_score
             from s
+        """,
+        "repetition_signals": r"""
+            with l as (
+                select doc_id,
+                       trim(x, ' ' || chr(9) || chr(13) || chr(10)
+                               || chr(11) || chr(12)) as line
+                from documents, unnest(string_split(text, chr(10))) as u(x)
+            ), lnz as (
+                select doc_id, line from l where length(line) > 0
+            ), lc as (
+                select doc_id, line, count(*) as cnt
+                from lnz group by doc_id, line
+            ), lagg as (
+                select doc_id,
+                       cast(sum(cnt) as bigint) as n_lines,
+                       cast(count(*) as bigint) as n_dist,
+                       cast(sum((cnt - 1) * length(line)) as bigint)
+                           as dup_chars,
+                       cast(sum(cnt * length(line)) as bigint) as tot_chars
+                from lc group by doc_id
+            ), w as (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           as w,
+                       generate_subscripts(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                           as ord
+                from documents
+            ), wc as (
+                select doc_id, cast(sum(length(w)) as bigint)
+                           as tot_word_chars
+                from w group by doc_id
+            ), g2c as (
+                select doc_id, gram, clen, count(*) as cnt
+                from (select a.doc_id, a.w || ' ' || b.w as gram,
+                             length(a.w) + length(b.w) as clen
+                      from w a join w b
+                        on a.doc_id = b.doc_id and b.ord = a.ord + 1)
+                group by doc_id, gram, clen
+            ), top2 as (
+                select doc_id, cast(cnt * clen as bigint) as cover
+                from (select doc_id, cnt, clen,
+                             row_number() over (partition by doc_id
+                                 order by cnt desc, clen desc) as rn
+                      from g2c)
+                where rn = 1
+            ), g5c as (
+                select doc_id, gram, count(*) as cnt
+                from (select a.doc_id,
+                             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                                 || ' ' || e.w as gram
+                      from w a
+                      join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+                      join w c on a.doc_id = c.doc_id and c.ord = a.ord + 2
+                      join w d on a.doc_id = d.doc_id and d.ord = a.ord + 3
+                      join w e on a.doc_id = e.doc_id and e.ord = a.ord + 4)
+                group by doc_id, gram
+            ), g5a as (
+                select doc_id, cast(sum(cnt) as bigint) as n5,
+                       cast(count(*) as bigint) as d5
+                from g5c group by doc_id
+            )
+            select d.doc_id,
+                   coalesce(lagg.n_lines, 0) as n_lines,
+                   case when coalesce(lagg.n_lines, 0) > 0
+                        then cast(lagg.n_lines - lagg.n_dist as double)
+                             / lagg.n_lines else 0.0 end as dup_line_frac,
+                   case when coalesce(lagg.tot_chars, 0) > 0
+                        then cast(lagg.dup_chars as double) / lagg.tot_chars
+                        else 0.0 end as dup_line_char_frac,
+                   case when coalesce(wc.tot_word_chars, 0) > 0
+                        then cast(coalesce(top2.cover, 0) as double)
+                             / wc.tot_word_chars
+                        else 0.0 end as top_2gram_char_frac,
+                   case when coalesce(g5a.n5, 0) > 0
+                        then cast(g5a.n5 - g5a.d5 as double) / g5a.n5
+                        else 0.0 end as dup_5gram_frac
+            from documents d
+            left join lagg using (doc_id)
+            left join wc using (doc_id)
+            left join top2 using (doc_id)
+            left join g5a using (doc_id)
+        """,
+        "dup_ngrams": r"""
+            with w as (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           as w,
+                       generate_subscripts(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                           as ord
+                from documents
+            ), gc as (
+                select doc_id, gram, count(*) as cnt
+                from (select a.doc_id,
+                             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                                 || ' ' || e.w as gram
+                      from w a
+                      join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+                      join w c on a.doc_id = c.doc_id and c.ord = a.ord + 2
+                      join w d on a.doc_id = d.doc_id and d.ord = a.ord + 3
+                      join w e on a.doc_id = e.doc_id and e.ord = a.ord + 4)
+                group by doc_id, gram
+            ), gt as (
+                select gram, sum(cnt) as total, count(*) as ndocs
+                from gc group by gram
+            ), per as (
+                select gc.doc_id, gc.cnt,
+                       case when gt.total > 1 then gc.cnt else 0 end as dup,
+                       case when gt.ndocs > 1 then gc.cnt else 0 end as xd
+                from gc join gt using (gram)
+            )
+            select doc_id,
+                   cast(sum(cnt) as bigint) as n_grams,
+                   cast(sum(dup) as bigint) as n_dup_grams,
+                   cast(sum(xd) as bigint) as n_cross_doc_grams,
+                   cast(cast(sum(dup) as bigint) as double)
+                       / cast(sum(cnt) as bigint) as dup_gram_frac,
+                   cast(cast(sum(xd) as bigint) as double)
+                       / cast(sum(cnt) as bigint) as cross_doc_gram_frac
+            from per group by doc_id
+        """,
+        "pack_sequences": r"""
+            with c as (
+                select doc_id,
+                       cast(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            as bigint) as n_tok
+                from documents
+            ), o as (
+                select doc_id, n_tok,
+                       cast(coalesce(sum(n_tok) over (order by doc_id
+                                rows between unbounded preceding
+                                and 1 preceding), 0) as bigint) as tok_offset
+                from c
+            )
+            select doc_id, n_tok, tok_offset,
+                   tok_offset // 512 as seq_id,
+                   tok_offset % 512 as seq_pos,
+                   ((tok_offset + greatest(n_tok, 1) - 1) // 512)
+                       - (tok_offset // 512) + 1 as n_seqs
+            from o
         """,
         "token_backfill": _token_backfill_oracle_sql(),
     }

@@ -128,10 +128,11 @@ def run_bench() -> dict:
 
     _headline_once()  # untimed warmup: absorbs ray worker startup
     headline_rows, headline = _headline_once()
-    if pin:  # best-of-3: this host shows ~2x run-to-run noise
-        for _ in range(2):
-            _, t2 = _headline_once()
-            headline = min(headline, t2)
+    # best-of-3: this host shows 2-5x run-to-run noise (CPU steal, page
+    # cache) — a single timed run is not a measurement here
+    for _ in range(2):
+        _, t2 = _headline_once()
+        headline = min(headline, t2)
     times["token_backfill"] = round(headline, 3)
 
     # ---------------- secondary pipelines over the sf tables

@@ -753,3 +753,101 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
     pairs = bucketed.groupby("_part").map_groups(
         _CosPartition(), batch_format="pandas")
     return _dedup_pairs_ds(pairs)
+
+
+# --------------------------------------- corpus-wide duplicate n-grams
+
+
+class _NgramEmit:
+    """documents → one row per distinct (gram, doc) with its local count.
+
+    Pre-aggregated inside the batch (a doc's text lives in one row, so a
+    (gram, doc) pair never spans batches — the emitted rows are globally
+    unique), which is the map-side combine that keeps the shuffle at
+    distinct-gram volume instead of occurrence volume."""
+
+    def __init__(self, text_col: str, id_col: str, n: int):
+        import re
+        self.__name__ = type(self).__name__
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("").str.lower()
+        ids = batch[self.id_col].reset_index(drop=True)
+        words = t.reset_index(drop=True).str.findall(self.word_re.pattern) \
+            .explode()
+        words = words[words.notna()]
+        parts = [words]
+        for k in range(1, self.n):
+            parts.append(words.groupby(level=0).shift(-k))
+        ok = pd.concat([p.notna() for p in parts], axis=1).all(axis=1)
+        if not ok.any():
+            return pd.DataFrame({"gram": pd.Series([], dtype=str),
+                                 "doc": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        g = parts[0][ok]
+        for p in parts[1:]:
+            g = g + " " + p[ok]
+        cc = g.groupby([g.index, g]).size()
+        return pd.DataFrame({
+            "gram": cc.index.get_level_values(1),
+            "doc": ids.to_numpy()[cc.index.get_level_values(0)],
+            "cnt": cc.to_numpy().astype(np.int64),
+        })
+
+
+def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
+                    n: int = 5,
+                    num_partitions: int = 64) -> ray.data.Dataset:
+    """Corpus-wide duplicate word-n-gram statistics per document — the
+    exact-substring-dedup family (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") at word-n-gram granularity.
+
+    Per doc: ``n_grams`` (total n-gram occurrences), ``n_dup_grams``
+    (occurrences whose gram appears >1 time anywhere in the corpus),
+    ``n_cross_doc_grams`` (occurrences whose gram appears in ≥2 distinct
+    docs), and the two fractions.
+
+    Plan: emit (gram, doc, cnt) pre-aggregated per batch → hash-partition
+    by gram → per-partition vectorized transform marks duplicate grams
+    (total>1 / ndocs>1) and drops the gram strings → groupby(doc) sums.
+    Two shuffles; gram strings cross only the first, and only at
+    distinct-(gram, doc) volume. No driver-side materialization."""
+    grams = ds.map_batches(_NgramEmit(text_col, id_col, n),
+                           batch_format="pandas")
+
+    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("gram", sort=False)["cnt"]
+        total = g.transform("sum").to_numpy()
+        ndocs = g.transform("size").to_numpy()
+        cnt = pdf["cnt"].to_numpy()
+        return pd.DataFrame({
+            "doc": pdf["doc"].to_numpy(),
+            "cnt": cnt,
+            "dup": np.where(total > 1, cnt, 0).astype(np.int64),
+            "cross": np.where(ndocs > 1, cnt, 0).astype(np.int64),
+        })
+
+    mark.__name__ = "mark_dup_grams"
+    marked = _partition_by_hash(grams, ["gram"], num_partitions) \
+        .groupby("_part").map_groups(mark, batch_format="pandas")
+    out = marked.groupby("doc").sum(["cnt", "dup", "cross"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["sum(dup)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = t["sum(cross)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = np.maximum(cnt, 1)
+        return pa.table({
+            id_col: t["doc"],
+            "n_grams": pa.array(cnt),
+            "n_dup_grams": pa.array(dup),
+            "n_cross_doc_grams": pa.array(cross),
+            "dup_gram_frac": pa.array(np.where(cnt > 0, dup / denom, 0.0)),
+            "cross_doc_gram_frac": pa.array(np.where(cnt > 0, cross / denom,
+                                                     0.0)),
+        })
+
+    finish.__name__ = "finish_dup_ngrams"
+    return out.map_batches(finish, batch_format="pyarrow")

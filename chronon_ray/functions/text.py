@@ -121,6 +121,102 @@ class TokenCountStage:
         return batch
 
 
+#: shared ASCII word pattern — kept in exact parity with the DuckDB oracle
+#: (`regexp_extract_all(lower(text), '[a-z0-9]+')`)
+_WORD_ASCII = r"[a-z0-9]+"
+
+
+class RepetitionSignalsStage:
+    """Gopher-style repetition filters (Rae et al. 2021, published heuristic
+    set): duplicate-line fraction, duplicate-line character fraction, the
+    character fraction covered by the most frequent word 2-gram, and the
+    within-document duplicate 5-gram fraction.
+
+    Fully vectorized: one explode + groupby per signal family, no per-row
+    Python. Every output is an exact integer-ratio computation so a DuckDB
+    oracle can reproduce it bit-for-bit (after fixed rounding).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(_WORD_ASCII)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        t = batch[self.text_col].fillna("")
+        idx = t.index
+
+        # ---- duplicate lines (non-empty after strip; explicit ASCII
+        # whitespace set so the DuckDB oracle's trim() matches exactly)
+        lines = t.str.split("\n").explode().str.strip(" \t\r\n\x0b\x0c")
+        lines = lines[lines.str.len() > 0]
+        lc = lines.groupby([lines.index, lines]).size()
+        # per doc: n lines, n distinct, chars in duplicate occurrences
+        n_lines = lc.groupby(level=0).sum().reindex(idx, fill_value=0)
+        n_dist = lc.groupby(level=0).size().reindex(idx, fill_value=0)
+        linelen = lc.index.get_level_values(1).str.len().to_numpy()
+        cnt = lc.to_numpy()
+        per = pd.DataFrame({
+            "dup_chars": (cnt - 1) * linelen,
+            "tot_chars": cnt * linelen,
+        }, index=lc.index.get_level_values(0))
+        agg = per.groupby(level=0).sum().reindex(idx, fill_value=0)
+        dup_line_frac = np.where(
+            n_lines > 0, (n_lines - n_dist) / np.maximum(n_lines, 1), 0.0)
+        dup_line_char_frac = np.where(
+            agg["tot_chars"] > 0,
+            agg["dup_chars"] / np.maximum(agg["tot_chars"], 1), 0.0)
+
+        # ---- word stream (ASCII lowercased, oracle-parity regex)
+        words = t.str.lower().str.findall(self.word_re.pattern).explode()
+        words = words[words.notna()]
+        wlen = words.str.len()
+        tot_word_chars = wlen.groupby(level=0).sum().reindex(idx, fill_value=0)
+
+        # ---- most frequent 2-gram char coverage
+        nxt = words.groupby(level=0).shift(-1)
+        ok = nxt.notna()
+        g2 = words[ok] + " " + nxt[ok]
+        g2len = wlen[ok] + nxt[ok].str.len()
+        gc = pd.DataFrame({"g": g2, "clen": g2len}) \
+            .groupby([g2.index, "g"]).agg(cnt=("clen", "size"),
+                                          clen=("clen", "first"))
+        if len(gc):
+            gc = gc.reset_index(level=1, drop=True)
+            gc["cover"] = gc["cnt"] * gc["clen"]
+            # top by count, ties by char length (deterministic, SQL order by)
+            gc = gc.sort_values(["cnt", "clen"], ascending=False, kind="stable")
+            top = gc.groupby(level=0).head(1)["cover"] \
+                .reindex(idx, fill_value=0)
+        else:
+            top = pd.Series(np.zeros(len(idx)), index=idx)
+        top_2gram_char_frac = np.where(
+            tot_word_chars > 0, top / np.maximum(tot_word_chars, 1), 0.0)
+
+        # ---- within-doc duplicate 5-grams
+        parts5 = [words]
+        for k in range(1, 5):
+            parts5.append(words.groupby(level=0).shift(-k))
+        ok5 = pd.concat([p.notna() for p in parts5], axis=1).all(axis=1)
+        if ok5.any():
+            g5 = parts5[0][ok5]
+            for p in parts5[1:]:
+                g5 = g5 + " " + p[ok5]
+            c5 = g5.groupby([g5.index, g5]).size()
+            n5 = c5.groupby(level=0).sum().reindex(idx, fill_value=0)
+            d5 = c5.groupby(level=0).size().reindex(idx, fill_value=0)
+        else:
+            n5 = d5 = pd.Series(np.zeros(len(idx)), index=idx)
+        dup_5gram_frac = np.where(n5 > 0, (n5 - d5) / np.maximum(n5, 1), 0.0)
+
+        batch["n_lines"] = n_lines.to_numpy().astype(np.int64)
+        batch["dup_line_frac"] = dup_line_frac
+        batch["dup_line_char_frac"] = dup_line_char_frac
+        batch["top_2gram_char_frac"] = top_2gram_char_frac
+        batch["dup_5gram_frac"] = dup_5gram_frac
+        return batch
+
+
 class FingerprintStage:
     """Deterministic 63-bit document fingerprint: Rabin-Karp rolling
     polynomial hash over the whitespace-normalized text."""
