@@ -118,6 +118,26 @@ class _EntityPartition:
             for p in parts
         ]
 
+    def _apply_one(self, p: AggregationPart, ir, mr: dict, qts):
+        """Apply one mutation row to a scalar py IR. qts=None skips the
+        window check (unbounded parts); otherwise the reference's
+        rowInWindow guard applies against THAT query's hop-rounded tail."""
+        v = mr.get(p.input_column)
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return ir
+        if qts is not None and not p.window.unbounded:
+            rts = mr.get("_row_ts")
+            rts = int(mr["ts"]) if rts is None or \
+                (isinstance(rts, float) and np.isnan(rts)) else int(rts)
+            hop = tail_hop_millis(p.window)
+            if not (rts >= round_ts(qts - p.window.millis, hop)
+                    and rts < qts):
+                return ir
+        op = OPS[p.operation]
+        if mr.get("is_before"):
+            return op.py_delete(ir, v, int(mr["ts"]), p)
+        return op.py_update(ir, v, int(mr["ts"]), p)
+
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
         snaps = pdf[pdf["_kind"] == 0]
@@ -246,40 +266,101 @@ class _EntityPartition:
                     feats[p.output_name].extend(
                         reps[ci][pi] for ci in inv)
                 continue
+            # CDC replay. Windowed parts must apply each mutation PER QUERY
+            # (reference SawtoothMutationAggregator rowInWindow: the mutated
+            # row's event ts must lie in THAT query's hop-rounded window — a
+            # row can exit the window between two same-day queries, so a
+            # shared running state over the mutation prefix is only exact
+            # for unbounded parts). Windowed SUM/COUNT/AVERAGE use a dense
+            # (query x mutation) signed mask — one matvec per part instead
+            # of a per-row Python sweep; windowed VARIANCE/HISTOGRAM and
+            # oversized groups fall back to per-query scalar replay.
             grp = grp.sort_values("ts", kind="stable")
+            qts_arr = grp["ts"].astype(np.int64).to_numpy()
+            nq, nm = len(grp), len(mg)
+            mts = mg["ts"].astype(np.int64).to_numpy()
+            if "_row_ts" in mg.columns:
+                rts_arr = pd.to_numeric(mg["_row_ts"], errors="coerce") \
+                    .fillna(pd.Series(mts, index=mg.index)) \
+                    .to_numpy(dtype=np.int64)
+            else:
+                rts_arr = mts
+            is_b = mg["is_before"].astype("boolean").fillna(False) \
+                .to_numpy(dtype=bool) \
+                if "is_before" in mg.columns else np.zeros(nm, dtype=bool)
+            sign = np.where(is_b, -1.0, 1.0)
+            cuts = np.searchsorted(mts, qts_arr, side="left")
+
+            vec_ops = (Operation.SUM, Operation.COUNT, Operation.AVERAGE)
+            per_q: dict[str, list] = {}
+            seq_shared: list = []     # unbounded: running-prefix replay
+            seq_per_query: list = []  # windowed scalar: replay per query
+            before = None
+            for p in self.parts:
+                if p.operation not in vec_ops or nq * nm > 4_000_000:
+                    (seq_shared if p.window.unbounded
+                     else seq_per_query).append(p)
+                    continue
+                if before is None:
+                    before = mts[None, :] < qts_arr[:, None]
+                col = mg[p.input_column]
+                valid = col.notna().to_numpy()
+                v = pd.to_numeric(col, errors="coerce").fillna(0.0) \
+                    .to_numpy(dtype=np.float64)
+                m = before & valid[None, :]
+                if not p.window.unbounded:
+                    hop = tail_hop_millis(p.window)
+                    qtail = round_ts(qts_arr - p.window.millis, hop)
+                    m = m & (rts_arr[None, :] >= qtail[:, None]) \
+                          & (rts_arr[None, :] < qts_arr[:, None])
+                sm = np.where(m, sign[None, :], 0.0)
+                applied = m.any(axis=1)
+                base = base_irs[p.output_name]
+                has = applied | (base is not None)
+                if p.operation == Operation.SUM:
+                    s = (0.0 if base is None else float(base)) + sm @ v
+                    irs = [float(s[i]) if has[i] else None for i in range(nq)]
+                elif p.operation == Operation.COUNT:
+                    n = (0 if base is None else int(base)) + sm.sum(axis=1)
+                    irs = [int(round(n[i])) if has[i] else None
+                           for i in range(nq)]
+                else:  # AVERAGE
+                    bs, bn = (0.0, 0) if base is None \
+                        else (float(base[0]), int(base[1]))
+                    s = bs + sm @ v
+                    n = bn + sm.sum(axis=1)
+                    irs = [(float(s[i]), int(round(n[i]))) if has[i] else None
+                           for i in range(nq)]
+                per_q[p.output_name] = irs
+
+            mrows = mg.to_dict("records") \
+                if (seq_shared or seq_per_query) else None
+            cur_shared = {p.output_name: base_irs[p.output_name]
+                          for p in seq_shared}
             mi = 0
-            mrows = mg.to_dict("records")
-            cur = dict(base_irs)
-            for _, qr in grp.iterrows():
-                qts = int(qr["ts"])
-                while mi < len(mrows) and int(mrows[mi]["ts"]) < qts:
+            for c in self.left_cols:
+                out_cols[c].extend(grp[c].tolist())
+            for qi in range(nq):
+                qts = int(qts_arr[qi])
+                while seq_shared and mi < cuts[qi]:
                     mr = mrows[mi]
-                    for p in self.parts:
-                        v = mr.get(p.input_column)
-                        if v is None or (isinstance(v, float) and np.isnan(v)):
-                            continue
-                        if not p.window.unbounded:
-                            # reference updateIr rowInWindow: the mutated
-                            # row's EVENT ts must fall in this query's
-                            # hop-rounded window
-                            rts = mr.get("_row_ts")
-                            rts = int(mr["ts"]) if rts is None or \
-                                (isinstance(rts, float) and np.isnan(rts)) \
-                                else int(rts)
-                            hop = tail_hop_millis(p.window)
-                            if not (rts >= round_ts(qts - p.window.millis, hop)
-                                    and rts < qts):
-                                continue
-                        op = OPS[p.operation]
-                        if mr.get("is_before"):
-                            cur[p.output_name] = op.py_delete(
-                                cur[p.output_name], v, int(mr["ts"]), p)
-                        else:
-                            cur[p.output_name] = op.py_update(
-                                cur[p.output_name], v, int(mr["ts"]), p)
+                    for p in seq_shared:
+                        cur_shared[p.output_name] = self._apply_one(
+                            p, cur_shared[p.output_name], mr, None)
                     mi += 1
-                for c in self.left_cols:
-                    out_cols[c].append(qr[c])
+                cur = {}
+                for p in self.parts:
+                    name = p.output_name
+                    if name in per_q:
+                        cur[name] = per_q[name][qi]
+                    elif p.window.unbounded:
+                        cur[name] = cur_shared[name]
+                    else:
+                        base = base_irs[name]
+                        ir = dict(base) if isinstance(base, dict) else base
+                        for j in range(cuts[qi]):
+                            ir = self._apply_one(p, ir, mrows[j], qts)
+                        cur[name] = ir
                 # mergeTailHops + finalize (shared with the fast path)
                 vals = feats_for(cur, tails, qts, batch_end)
                 for pi, p in enumerate(self.parts):

@@ -184,3 +184,41 @@ def test_unbounded_and_windowed_mix(ray_session, windowed_entity_data):
     # windowed ≤ unbounded for nonneg amounts wherever both defined
     both = out.dropna(subset=["amount_sum", "amount_sum_3d"])
     assert (both["amount_sum_3d"] <= both["amount_sum"] + 1e-9).all()
+
+
+def test_windowed_mutation_exits_between_same_day_queries(ray_session):
+    """rowInWindow must be evaluated per query (reference
+    SawtoothMutationAggregator.updateIr): a row inserted by a day-D
+    mutation is inside the first query's 1h window but has exited the
+    second query's window two hours later — the second query must NOT
+    keep it (regression: the old shared-prefix replay did)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.mutations import temporal_entities_join
+
+    d0 = pd.Timestamp("2024-01-10").value // 10**6
+    snap = pa.table({"entity_id": pa.array([], type=pa.int64()),
+                     "ds": pa.array([], type=pa.string()),
+                     "ts": pa.array([], type=pa.int64()),
+                     "amount": pa.array([], type=pa.float64())})
+    mut = pa.table({"entity_id": [1], "mutation_ts": [d0 + 40 * 60_000],
+                    "is_before": [False], "ts": [d0 + 30 * 60_000],
+                    "amount": [10.0]})
+    q = pa.table({"entity_id": [1, 1],
+                  "ts": [d0 + 60 * 60_000, d0 + 180 * 60_000]})
+    conf = GroupByConf(
+        name="m", sources=(), key_columns=("entity_id",),
+        aggregations=(agg("amount", "sum", [window(1, "h")]),
+                      agg("amount", "variance", [window(1, "h")])))
+    out = temporal_entities_join(
+        rd.from_arrow(q), rd.from_arrow(snap), rd.from_arrow(mut), conf,
+        num_partitions=2).to_pandas().sort_values("ts").reset_index(drop=True)
+    # q @ 01:00: row (event ts 00:30) in window [00:00, 01:00)
+    assert out["amount_sum_1h"].iloc[0] == 10.0
+    # q @ 03:00: window tail 02:00 -> row exited, feature is null
+    assert pd.isna(out["amount_sum_1h"].iloc[1])
+    # the windowed scalar (per-query replay) path agrees
+    assert out["amount_variance_1h"].iloc[0] == 0.0
+    assert pd.isna(out["amount_variance_1h"].iloc[1])
