@@ -511,6 +511,38 @@ def q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language Bernoulli sampling by a seeded rank hash
+    (murmur3 fmix32 — reproduced exactly in the SQL oracle). Zero-shuffle."""
+    import ray.data as rd
+
+    from chronon_ray.functions.sampling import stratified_sample
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out = stratified_sample(docs, "doc_id", "lang",
+                            fractions={"en": 0.5, "zh": 0.25},
+                            default_fraction=0.1, seed=7).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Per-source char-budget mixture draw in rank order (the training-mix
+    op): bucket-classified distributed scan, exact boundary pass."""
+    import ray.data as rd
+
+    from chronon_ray.functions.sampling import budget_sample
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    out = budget_sample(docs, "doc_id", "source", "n_chars",
+                        default_budget=4000, seed=11).to_pandas()
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF ANN with nprobe = n_clusters (exhaustive probing): exercises the
     full partition/sub-shard/merge machinery while returning the EXACT
@@ -824,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": q_repetition_signals,
         "dup_ngrams": q_dup_ngrams,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "ivf_knn": q_ivf_knn,
         "multimodal_features": q_multimodal_features,
     }
@@ -1331,8 +1365,43 @@ def oracle_sql() -> dict[str, str]:
                        - (tok_offset // 512) + 1 as n_seqs
             from o
         """,
+        "stratified_sample": _stratified_sample_oracle_sql(),
+        "mixture_sample": _mixture_sample_oracle_sql(),
         "token_backfill": _token_backfill_oracle_sql(),
     }
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from chronon_ray.functions.sampling import rank_hash_sql
+    h = rank_hash_sql("doc_id", seed=7)
+    t_en = int(0.5 * 4294967296)
+    t_zh = int(0.25 * 4294967296)
+    t_def = int(0.1 * 4294967296)
+    return f"""
+        with r as (select doc_id, lang, cast({h} as bigint) as h
+                   from documents)
+        select doc_id, lang from r
+        where h < case lang when 'en' then {t_en} when 'zh' then {t_zh}
+                  else {t_def} end
+    """
+
+
+def _mixture_sample_oracle_sql() -> str:
+    from chronon_ray.functions.sampling import rank_hash_sql
+    h = rank_hash_sql("doc_id", seed=11)
+    return f"""
+        with r as (select doc_id, source, n_chars,
+                          cast({h} as bigint) as h
+                   from documents),
+             o as (select doc_id, source, n_chars,
+                          coalesce(sum(n_chars) over (partition by source
+                              order by h, doc_id
+                              rows between unbounded preceding
+                              and 1 preceding), 0) as cum
+                   from r)
+        select doc_id, source, cast(n_chars as bigint) as n_chars
+        from o where cum < 4000
+    """
 
 
 def _token_backfill_oracle_sql() -> str:

@@ -120,3 +120,65 @@ def test_pack_sequences_matches_serial_scan(ray_session):
     assert (out["n_tok"].to_numpy() == ntok).all()
     assert (out["tok_offset"].to_numpy() == exp_off).all()
     assert (out["seq_id"].to_numpy() == exp_off // 64).all()
+
+
+def test_hash_sample_deterministic_and_shard_independent(ray_session):
+    from chronon_ray.functions.sampling import hash_sample, rank_hash
+
+    ids = np.arange(2000, dtype=np.int64)
+    docs = pd.DataFrame({"doc_id": ids})
+    a = hash_sample(rd.from_pandas(docs), "doc_id", 0.3, seed=3) \
+        .to_pandas()["doc_id"].sort_values().to_numpy()
+    # resharded input -> identical sample
+    b = hash_sample(rd.from_pandas(docs).repartition(7), "doc_id", 0.3,
+                    seed=3).to_pandas()["doc_id"].sort_values().to_numpy()
+    assert (a == b).all()
+    # matches the serial definition
+    exp = ids[rank_hash(ids, 3).astype(np.uint64) < np.uint64(int(0.3 * 2**32))]
+    assert (a == np.sort(exp)).all()
+    # fraction is roughly honored
+    assert 0.25 < len(a) / len(ids) < 0.35
+
+
+def test_budget_sample_exact_boundary(ray_session):
+    from chronon_ray.functions.sampling import budget_sample, rank_hash
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "grp": np.where(np.arange(n) % 3 == 0, "a", "b"),
+        "w": rng.integers(1, 50, size=n).astype(np.int64),
+    })
+    out = budget_sample(rd.from_pandas(docs), "doc_id", "grp", "w",
+                        budgets={"a": 1500, "b": 900}, seed=5,
+                        rank_bucket_bits=28).to_pandas()
+    # serial oracle: per group, order by (hash, id), keep while cum_excl < B
+    h = rank_hash(docs["doc_id"].to_numpy(), 5).astype(np.int64)
+    docs2 = docs.assign(h=h)
+    keep = []
+    for g, B in [("a", 1500), ("b", 900)]:
+        sub = docs2[docs2["grp"] == g].sort_values(["h", "doc_id"])
+        cum = np.concatenate([[0], np.cumsum(sub["w"].to_numpy())[:-1]])
+        keep.extend(sub["doc_id"].to_numpy()[cum < B].tolist())
+    got = out["doc_id"].sort_values().to_numpy()
+    assert (got == np.sort(np.array(keep))).all()
+    # budgets respected: overshoot only by the last straddling row
+    for g, B in [("a", 1500), ("b", 900)]:
+        s = out[out["grp"] == g]["w"].sum()
+        assert s >= B or len(out[out["grp"] == g]) == (docs["grp"] == g).sum()
+        assert s - B < 50  # < max weight
+
+
+def test_budget_sample_zero_and_unlimited(ray_session):
+    from chronon_ray.functions.sampling import budget_sample
+
+    docs = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                         "grp": ["x"] * 100,
+                         "w": np.ones(100, dtype=np.int64)})
+    none = budget_sample(rd.from_pandas(docs), "doc_id", "grp", "w",
+                         default_budget=0).to_pandas()
+    assert len(none) == 0
+    everything = budget_sample(rd.from_pandas(docs), "doc_id", "grp", "w",
+                               default_budget=10**9).to_pandas()
+    assert len(everything) == 100
