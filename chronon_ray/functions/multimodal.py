@@ -1,13 +1,21 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+decode kernels for the uncompressed formats this container can handle.
 
 Images/audio/video are carried as `binary` columns with a metadata struct
-(`{modality, format, width/height | sample_rate | fps, n_bytes}`). The
-decode/resize/feature kernels are STUBS in this container (no image/audio
-libraries available): `DecodeStage(fake=True)` produces a deterministic fake
-decode (seeded by a content hash) so the Ray-side plumbing — schema, actor
-pool signature, batch sizing, output layout — is real and tested; with
-`fake=False` they raise NotImplementedError where the real library call
-(PIL/libav/soundfile) belongs.
+(`{modality, format, width/height | sample_rate | fps, n_bytes}`).
+
+Decode support matrix (no PIL/libav/soundfile in this container):
+
+- image **bmp** (24-bit uncompressed) and **ppm** (P6): real decode, pure
+  numpy header parse + frombuffer, plus real nearest-neighbor resize.
+- audio **wav** (PCM16): real decode via the stdlib ``wave`` module; frame
+  energies are true RMS over equal windows.
+- video **rawvideo** (concatenated RGB24 frames, dimensions from meta):
+  real frame sampling by slicing.
+- compressed formats (jpeg/png/mp3/mp4/...): deterministic fake decode
+  (seeded by content hash) when ``fake=True`` so plumbing stays testable;
+  with ``fake=False`` they raise NotImplementedError where the real
+  library call belongs.
 
 Actor-pool stages with small batch sizes: large binary rows mean a batch ×
 concurrency must fit the worker heap — callers should pass
@@ -17,6 +25,9 @@ concurrency must fit the worker heap — callers should pass
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Optional
 
 import numpy as np
@@ -24,13 +35,18 @@ import pyarrow as pa
 
 MEDIA_META_TYPE = pa.struct([
     ("modality", pa.string()),   # image | audio | video
-    ("format", pa.string()),     # png/jpeg/wav/mp4/...
+    ("format", pa.string()),     # bmp/ppm/wav/rawvideo/png/jpeg/...
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("sample_rate", pa.int32()),
     ("fps", pa.float32()),
     ("n_bytes", pa.int64()),
 ])
+
+#: formats with a real decoder in this container
+REAL_IMAGE_FORMATS = ("bmp", "ppm")
+REAL_AUDIO_FORMATS = ("wav",)
+REAL_VIDEO_FORMATS = ("rawvideo",)
 
 
 def media_schema(extra_fields: Optional[list[pa.Field]] = None) -> pa.Schema:
@@ -42,6 +58,107 @@ def media_schema(extra_fields: Optional[list[pa.Field]] = None) -> pa.Schema:
     return pa.schema(fields + (extra_fields or []))
 
 
+# ----------------------------------------------------------- real codecs
+
+
+def encode_bmp(pix: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → 24-bit uncompressed BMP bytes."""
+    h, w, _ = pix.shape
+    row_size = (3 * w + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = pix[:, :, ::-1]
+    pad = b"\x00" * (row_size - 3 * w)
+    rows = [bgr[r].tobytes() + pad for r in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → uint8 (h, w, 3) RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    w = struct.unpack_from("<i", buf, 18)[0]
+    h_raw = struct.unpack_from("<i", buf, 22)[0]
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    bottom_up, h = h_raw > 0, abs(h_raw)
+    row_size = (3 * w + 3) & ~3
+    arr = np.frombuffer(buf, np.uint8, row_size * h, off).reshape(h, row_size)
+    img = arr[:, :3 * w].reshape(h, w, 3)[:, :, ::-1]
+    return np.ascontiguousarray(img[::-1] if bottom_up else img)
+
+
+def encode_ppm(pix: np.ndarray) -> bytes:
+    h, w, _ = pix.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pix.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = 4 whitespace-separated tokens: P6, w, h, maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment to EOL
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255")
+    return np.frombuffer(buf, np.uint8, h * w * 3, pos).reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float in [-1, 1] or int16 mono samples → PCM16 WAV bytes."""
+    if samples.dtype != np.int16:
+        samples = np.clip(samples, -1.0, 1.0)
+        samples = (samples * 32767.0).astype("<i2")
+    b = io.BytesIO()
+    with wave.open(b, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return b.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes → (float32 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(buf)) as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        ch, rate = f.getnchannels(), f.getframerate()
+        raw = f.readframes(f.getnframes())
+    x = np.frombuffer(raw, "<i2").astype(np.float32).reshape(-1, ch)
+    return x.mean(axis=1) / 32768.0, rate
+
+
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames → concatenated raw bytes."""
+    return frames.astype(np.uint8).tobytes()
+
+
+def resize_nearest(pix: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real nearest-neighbor resize, pure numpy indexing."""
+    h, w = pix.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return pix[ri][:, ci]
+
+
 def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
     """Deterministic pseudo-decode: pixels seeded by content hash."""
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "little")
@@ -49,27 +166,46 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+def _formats(batch: pa.Table, meta_col: str) -> list:
+    if meta_col in batch.column_names:
+        col = batch[meta_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.field("format").to_pylist()
+    return [None] * len(batch)
+
+
+# ---------------------------------------------------------------- stages
+
+
 class DecodeImageStage:
     """binary payload → fixed-size uint8 pixel tensor (flattened list col).
 
-    Real implementation decodes with PIL/turbojpeg and resizes; the stub
-    substitutes a deterministic fake so downstream stages are testable.
-    """
+    Real decode + nearest-neighbor resize for bmp/ppm; compressed formats
+    use the deterministic fake when ``fake=True``, else raise where the
+    PIL/turbojpeg call belongs."""
 
     def __init__(self, out_h: int = 32, out_w: int = 32, fake: bool = True,
-                 payload_col: str = "payload"):
+                 payload_col: str = "payload", meta_col: str = "meta"):
         self.out_h, self.out_w, self.fake = out_h, out_w, fake
-        self.payload_col = payload_col
-        if not fake:
+        self.payload_col, self.meta_col = payload_col, meta_col
+
+    def _decode_one(self, payload: bytes, fmt) -> np.ndarray:
+        if fmt == "bmp" or (fmt is None and payload[:2] == b"BM"):
+            return resize_nearest(decode_bmp(payload), self.out_h, self.out_w)
+        if fmt == "ppm" or (fmt is None and payload[:2] == b"P6"):
+            return resize_nearest(decode_ppm(payload), self.out_h, self.out_w)
+        if not self.fake:
             raise NotImplementedError(
-                "real image decode requires PIL/turbojpeg — not in this container; "
-                "construct with fake=True for plumbing tests")
+                f"image format {fmt!r} needs PIL/turbojpeg — not in this "
+                f"container (real decoders: {REAL_IMAGE_FORMATS})")
+        return _fake_pixels(payload, self.out_h, self.out_w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        pix = np.stack([
-            _fake_pixels(p, self.out_h, self.out_w) for p in payloads
-        ])
+        fmts = _formats(batch, self.meta_col)
+        pix = np.stack([self._decode_one(p or b"", f)
+                        for p, f in zip(payloads, fmts)])
         flat = pix.reshape(len(payloads), -1)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.reshape(-1), type=pa.uint8()), flat.shape[1])
@@ -77,7 +213,7 @@ class DecodeImageStage:
 
 
 class ImageFeatureStage:
-    """pixel tensor → small feature vector (channel means/stds + histogram).
+    """pixel tensor → small feature vector (channel means/stds).
     Pure numpy — real either way."""
 
     def __init__(self, h: int = 32, w: int = 32):
@@ -95,48 +231,88 @@ class ImageFeatureStage:
 
 
 class AudioFrameStage:
-    """binary audio → fixed number of frame energies. STUB decode (seeded by
-    content hash); real impl reads PCM via soundfile/libav."""
+    """binary audio → n_frames RMS frame energies. Real PCM16 WAV decode
+    (stdlib ``wave``); other formats fake/raise as configured."""
 
     def __init__(self, n_frames: int = 16, fake: bool = True,
-                 payload_col: str = "payload"):
-        self.n_frames, self.fake, self.payload_col = n_frames, fake, payload_col
-        if not fake:
-            raise NotImplementedError("real audio decode requires soundfile/libav")
+                 payload_col: str = "payload", meta_col: str = "meta"):
+        self.n_frames, self.fake = n_frames, fake
+        self.payload_col, self.meta_col = payload_col, meta_col
+
+    def _energies_one(self, payload: bytes, fmt) -> np.ndarray:
+        if fmt == "wav" or (fmt is None and payload[:4] == b"RIFF"):
+            x, _ = decode_wav(payload)
+            n = self.n_frames
+            if len(x) == 0:
+                return np.zeros(n, dtype=np.float32)
+            edges = (np.arange(n + 1) * len(x)) // n
+            sq = np.concatenate([[0.0], np.cumsum(x.astype(np.float64) ** 2)])
+            cnt = np.maximum(np.diff(edges), 1)
+            return np.sqrt(np.diff(sq[edges]) / cnt).astype(np.float32)
+        if not self.fake:
+            raise NotImplementedError(
+                f"audio format {fmt!r} needs soundfile/libav (real "
+                f"decoders: {REAL_AUDIO_FORMATS})")
+        seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8],
+                              "little")
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.random(self.n_frames, dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        rows = []
-        for p in payloads:
-            seed = int.from_bytes(hashlib.md5(p or b"").digest()[:8], "little")
-            rng = np.random.Generator(np.random.PCG64(seed))
-            rows.append(rng.random(self.n_frames, dtype=np.float32))
-        feats = np.stack(rows)
+        fmts = _formats(batch, self.meta_col)
+        feats = np.stack([self._energies_one(p or b"", f)
+                          for p, f in zip(payloads, fmts)])
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), type=pa.float32()), self.n_frames)
         return batch.append_column("frame_energy", col)
 
 
 class VideoFrameSampleStage:
-    """binary video → k sampled frame tensors. STUB decode; emits
-    list<fixed_size_list<uint8>> of k frames per row."""
+    """binary video → k evenly-sampled frame tensors
+    (list<fixed_size_list<uint8>>). Real for rawvideo (RGB24 frames sliced
+    by the meta dimensions); other formats fake/raise as configured."""
 
     def __init__(self, k_frames: int = 4, out_h: int = 16, out_w: int = 16,
-                 fake: bool = True, payload_col: str = "payload"):
-        self.k, self.h, self.w = k_frames, out_h, out_w
-        self.payload_col = payload_col
-        if not fake:
-            raise NotImplementedError("real video decode requires libav/ffmpeg")
+                 fake: bool = True, payload_col: str = "payload",
+                 meta_col: str = "meta"):
+        self.k, self.h, self.w, self.fake = k_frames, out_h, out_w, fake
+        self.payload_col, self.meta_col = payload_col, meta_col
+
+    def _frames_one(self, payload: bytes, fmt, w, h) -> list[np.ndarray]:
+        if fmt == "rawvideo" and w and h:
+            fsz = int(w) * int(h) * 3
+            n = len(payload) // fsz if fsz else 0
+            if n > 0:
+                vid = np.frombuffer(payload, np.uint8, n * fsz) \
+                    .reshape(n, int(h), int(w), 3)
+                idx = np.minimum((np.arange(self.k) * n) // self.k, n - 1)
+                return [resize_nearest(vid[i], self.h, self.w).reshape(-1)
+                        for i in idx]
+        if not self.fake:
+            raise NotImplementedError(
+                f"video format {fmt!r} needs libav/ffmpeg (real decoders: "
+                f"{REAL_VIDEO_FORMATS})")
+        return [_fake_pixels((payload or b"") + bytes([f]), self.h,
+                             self.w).reshape(-1) for f in range(self.k)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
+        fmts = _formats(batch, self.meta_col)
+        if self.meta_col in batch.column_names:
+            meta = batch[self.meta_col]
+            if isinstance(meta, pa.ChunkedArray):
+                meta = meta.combine_chunks()
+            ws = meta.field("width").to_pylist()
+            hs = meta.field("height").to_pylist()
+        else:
+            ws = hs = [None] * len(batch)
         per_frame = self.h * self.w * 3
-        all_frames = []
-        for p in payloads:
-            for f in range(self.k):
-                px = _fake_pixels((p or b"") + bytes([f]), self.h, self.w)
-                all_frames.append(px.reshape(-1))
-        flat = np.concatenate(all_frames) if all_frames else np.array([], dtype=np.uint8)
+        all_frames: list[np.ndarray] = []
+        for p, f, w, h in zip(payloads, fmts, ws, hs):
+            all_frames.extend(self._frames_one(p or b"", f, w, h))
+        flat = np.concatenate(all_frames) if all_frames \
+            else np.array([], dtype=np.uint8)
         inner = pa.FixedSizeListArray.from_arrays(
             pa.array(flat, type=pa.uint8()), per_frame)
         offsets = pa.array(np.arange(0, (len(payloads) + 1) * self.k, self.k,
@@ -145,16 +321,41 @@ class VideoFrameSampleStage:
         return batch.append_column("frames", frames)
 
 
-def synth_media_table(n: int, seed: int = 42, modality: str = "image") -> pa.Table:
-    """Deterministic fake media table for plumbing tests (payload = random
-    bytes; metadata populated)."""
+# --------------------------------------------------------------- fixtures
+
+
+def synth_media_table(n: int, seed: int = 42,
+                      modality: str = "image") -> pa.Table:
+    """Deterministic REAL media table: BMP images / PCM16 WAV audio /
+    rawvideo clips with correct metadata (payloads decodable by the real
+    kernels above)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    payloads = [rng.bytes(int(rng.integers(100, 1000))) for _ in range(n)]
-    meta = [
-        {"modality": modality, "format": "fake", "width": 64, "height": 64,
-         "sample_rate": 0, "fps": 0.0, "n_bytes": len(p)}
-        for p in payloads
-    ]
+    payloads, meta = [], []
+    for i in range(n):
+        if modality == "image":
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            p = encode_bmp(pix) if i % 2 == 0 else encode_ppm(pix)
+            meta.append({"modality": "image",
+                         "format": "bmp" if i % 2 == 0 else "ppm",
+                         "width": w, "height": h, "sample_rate": 0,
+                         "fps": 0.0, "n_bytes": len(p)})
+        elif modality == "audio":
+            rate = 8000
+            t = np.arange(int(rng.integers(400, 4000))) / rate
+            x = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 800)) * t)
+            p = encode_wav_pcm16(x.astype(np.float32), rate)
+            meta.append({"modality": "audio", "format": "wav", "width": 0,
+                         "height": 0, "sample_rate": rate, "fps": 0.0,
+                         "n_bytes": len(p)})
+        else:
+            h, w, k = 12, 16, int(rng.integers(4, 12))
+            frames = rng.integers(0, 256, size=(k, h, w, 3), dtype=np.uint8)
+            p = encode_rawvideo(frames)
+            meta.append({"modality": "video", "format": "rawvideo",
+                         "width": w, "height": h, "sample_rate": 0,
+                         "fps": 10.0, "n_bytes": len(p)})
+        payloads.append(p)
     return pa.table({
         "media_id": pa.array([f"m{i:06d}" for i in range(n)]),
         "payload": pa.array(payloads, type=pa.binary()),
