@@ -323,6 +323,22 @@ class _MomentBase(AggOp):
             )
         return tuple(out)
 
+    def py_delete(self, ir, v, ts, part):
+        """Abelian-group delete via the signed-merge identity: the central-
+        moment pairwise combination formulas are exact algebraic identities
+        that hold for a signed element (n=-1), so merging (-1, v, 0, ...)
+        removes v from the state. (VarianceOp overrides with the more
+        FP-stable reverse-Welford form.)"""
+        neg = (-1.0, float(v)) + (0.0,) * (self.n_moments - 1)
+        if ir is None:
+            return neg
+        if ir[0] - 1 == 0:
+            return None
+        out = list(self.py_merge(ir, neg, part))
+        if self.n_moments >= 2:
+            out[2] = max(out[2], 0.0)  # FP cancellation guard
+        return tuple(out)
+
 
 @_register
 class VarianceOp(_MomentBase):
@@ -361,6 +377,7 @@ class SkewOp(_MomentBase):
 
     op = Operation.SKEW
     n_moments = 3
+    deletable = True
 
     def finalize(self, ir, part):
         n, m2, m3 = ir["n"], ir["m2"], ir["m3"]
@@ -381,6 +398,7 @@ class KurtosisOp(_MomentBase):
 
     op = Operation.KURTOSIS
     n_moments = 4
+    deletable = True
 
     def finalize(self, ir, part):
         n, m2, m4 = ir["n"], ir["m2"], ir["m4"]

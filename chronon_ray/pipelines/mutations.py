@@ -26,7 +26,8 @@ tail are kept as per-hop IRs instead of being collapsed, so each query can
 trim its own hop-rounded tail (`mergeTailHops`); mutations apply per part
 only when the mutated row's event ts is inside that query's window
 (`updateIr` rowInWindow check). Supported ops are the deletable set
-(SUM / COUNT / AVERAGE / VARIANCE / HISTOGRAM). Reserved columns follow the
+(SUM / COUNT / AVERAGE / VARIANCE / SKEW / KURTOSIS / HISTOGRAM —
+higher moments delete via the exact signed-merge identity). Reserved columns follow the
 reference: ``mutation_ts``, ``is_before`` (api/Constants.scala:22-28);
 windowed parts additionally need an event-``ts`` column on snapshots (and
 use it on mutations when present, falling back to mutation_ts).
@@ -54,7 +55,8 @@ from .groupby import _factorize_keys, stable_key_hash
 MILLIS_DAY = 86_400_000
 TAIL_BUFFER_MS = 2 * MILLIS_DAY  # reference tailBufferMillis default
 _SUPPORTED = {Operation.SUM, Operation.COUNT, Operation.AVERAGE,
-              Operation.VARIANCE, Operation.HISTOGRAM}
+              Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS,
+              Operation.HISTOGRAM}
 
 
 def _ir_row_to_py(p: AggregationPart, row: pd.Series):
@@ -74,6 +76,13 @@ def _ir_row_to_py(p: AggregationPart, row: pd.Series):
     if op == Operation.VARIANCE:
         return (float(row[f"{name}__n"]), float(row[f"{name}__m1"]),
                 float(row[f"{name}__m2"]))
+    if op == Operation.SKEW:
+        return (float(row[f"{name}__n"]), float(row[f"{name}__m1"]),
+                float(row[f"{name}__m2"]), float(row[f"{name}__m3"]))
+    if op == Operation.KURTOSIS:
+        return (float(row[f"{name}__n"]), float(row[f"{name}__m1"]),
+                float(row[f"{name}__m2"]), float(row[f"{name}__m3"]),
+                float(row[f"{name}__m4"]))
     if op == Operation.HISTOGRAM:
         h = row[f"{name}__hist"]
         return dict(h) if not isinstance(h, dict) else dict(h)
@@ -95,6 +104,12 @@ def _ir_rec_to_py(p: AggregationPart, rec: dict):
         return (float(rec["s"]), int(rec["n"]))
     if op == Operation.VARIANCE:
         return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]))
+    if op == Operation.SKEW:
+        return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]),
+                float(rec["m3"]))
+    if op == Operation.KURTOSIS:
+        return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]),
+                float(rec["m3"]), float(rec["m4"]))
     if op == Operation.HISTOGRAM:
         return dict(rec["hist"])
     raise KeyError(op)
@@ -391,7 +406,7 @@ def temporal_entities_join(
         if p.operation not in _SUPPORTED:
             raise NotImplementedError(
                 "temporal_entities_join supports deletable ops only: "
-                "SUM/COUNT/AVERAGE/VARIANCE/HISTOGRAM")
+                "SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS/HISTOGRAM")
     q_schema = dataset_schema(queries)
     s_schema = dataset_schema(snapshots)
     windowed = [p for p in parts if not p.window.unbounded]

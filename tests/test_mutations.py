@@ -170,3 +170,45 @@ def test_mutation_tie_excluded(ray_session, entity_data):
     delta = (mpd_pair.apply(lambda r: -r["amount"] if r["is_before"] else r["amount"],
                             axis=1)).sum()
     assert abs(out_after["amount_sum"].iloc[0] - (base + delta)) < 1e-9
+
+
+def test_skew_kurtosis_deletes(ray_session):
+    """SKEW/KURTOSIS over mutating entities: signed-merge deletes must land
+    on the same values as recomputing the moments from the surviving rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.mutations import temporal_entities_join
+
+    d0 = pd.Timestamp("2024-02-05").value // 10**6
+    start = [3.0, 9.5, 1.0, 7.25, 4.0, 2.5, 8.0]
+    snap = pa.table({
+        "entity_id": [1] * len(start),
+        "ds": ["2024-02-04"] * len(start),
+        "amount": start,
+    })
+    # day-D CDC: delete 9.5 and 1.0, insert 6.0
+    mut = pa.table({
+        "entity_id": [1, 1, 1],
+        "mutation_ts": [d0 + 1000, d0 + 2000, d0 + 3000],
+        "is_before": [True, True, False],
+        "amount": [9.5, 1.0, 6.0],
+    })
+    q = pa.table({"entity_id": [1], "ts": [d0 + 10_000]})
+    conf = GroupByConf(name="mom", sources=(), key_columns=("entity_id",),
+                       aggregations=(agg("amount", "skew"),
+                                     agg("amount", "kurtosis")))
+    out = temporal_entities_join(rd.from_arrow(q), rd.from_arrow(snap),
+                                 rd.from_arrow(mut), conf,
+                                 num_partitions=2).to_pandas()
+    final = np.array([3.0, 7.25, 4.0, 2.5, 8.0, 6.0])
+    n = len(final)
+    m = final.mean()
+    m2 = ((final - m) ** 2).sum()
+    m3 = ((final - m) ** 3).sum()
+    m4 = ((final - m) ** 4).sum()
+    exp_skew = np.sqrt(n) * m3 / m2 ** 1.5
+    exp_kurt = n * m4 / (m2 * m2) - 3.0
+    assert out["amount_skew"].iloc[0] == pytest.approx(exp_skew, rel=1e-9)
+    assert out["amount_kurtosis"].iloc[0] == pytest.approx(exp_kurt, rel=1e-9)
