@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..util import auto_partitions
+
 # --------------------------------------------------------------- exact
 
 
@@ -36,10 +38,12 @@ def exact_dedup(
     ds: ray.data.Dataset,
     on: Sequence[str],
     id_col: str,
-    num_partitions: int = 200,
+    num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Keep one row per distinct `on` values — the one with the minimum id
     (hash-partition by content hash → per-group first)."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         pdf = batch.select(list(on)).to_pandas()
@@ -304,7 +308,8 @@ def minhash_lsh_pairs(
                               batch_format="pyarrow", concurrency=concurrency)
     else:  # plain tasks — cheap init, no CPU reservation
         sigs = ds.map_batches(MinHashStage(**kw), batch_format="pyarrow")
-    sigs = _partition_by_hash(sigs, ["band", "band_hash"], num_partitions=64)
+    sigs = _partition_by_hash(sigs, ["band", "band_hash"],
+                              auto_partitions(ds))
     pairs = sigs.groupby("_part").map_groups(
         _BandBucketsPartition(id_col, threshold), batch_format="pandas")
     # a pair can surface from several bands — keep one
@@ -351,7 +356,7 @@ def connected_components(
     ids: ray.data.Dataset,
     id_col: str,
     max_iters: int = 10,
-    num_partitions: int = 64,
+    num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Min-label propagation over undirected edges: every node's label
     converges to the min id in its component. Each round = ONE hash shuffle
@@ -359,6 +364,8 @@ def connected_components(
     (no driver-side union-find, no broadcast of the label table — scales to
     edge/node sets that don't fit one node). Rounds ≈ component diameter;
     near-dup components are shallow."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(pairs)
     labels = ids.map_batches(
         lambda t: pa.table({"node": t[id_col], "label": t[id_col]}),
         batch_format="pyarrow").materialize()
@@ -528,7 +535,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 
     long = _partition_by_hash(
         sigs.map_batches(melt, batch_format="pyarrow"),
-        ["band", "band_hash"], num_partitions=64)
+        ["band", "band_hash"], auto_partitions(ds))
     pairs = long.groupby("_part").map_groups(
         _HammingPartition(), batch_format="pandas")
     return _dedup_pairs_ds(pairs)
@@ -540,7 +547,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
                         shingle_k: int = 5, threshold: float = 0.8,
                         concurrency: int | None = None,
-                        num_partitions: int = 64,
+                        num_partitions: Optional[int] = None,
                         broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
     """Exact Jaccard verification over MinHash-LSH candidates, fully
     distributed: candidate pairs are co-partitioned with per-doc shingle
@@ -550,6 +557,9 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
     When the candidate id set is small (≤ broadcast_limit) it is broadcast
     via ``ray.put`` once and the shingle stream is semi-join-filtered
     before the shuffle, so only candidate docs' shingles move."""
+    if num_partitions is None:
+        # shingle streams blow text up ~shingle_k-fold through the exchange
+        num_partitions = auto_partitions(ds, expansion=float(shingle_k))
     from ..pipelines.assembly import key_partitioned_join
 
     cands = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold * 0.8,
@@ -749,7 +759,8 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, emb_col: str, id_col: str,
                 return pd.DataFrame({"a": [], "b": [], "cosine": []})
             return pd.concat(frames, ignore_index=True)
 
-    bucketed = _partition_by_hash(sigs, ["table", "bucket"], num_partitions=64)
+    bucketed = _partition_by_hash(sigs, ["table", "bucket"],
+                                  auto_partitions(ds))
     pairs = bucketed.groupby("_part").map_groups(
         _CosPartition(), batch_format="pandas")
     return _dedup_pairs_ds(pairs)
@@ -799,7 +810,7 @@ class _NgramEmit:
 
 def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
                     n: int = 5,
-                    num_partitions: int = 64) -> ray.data.Dataset:
+                    num_partitions: Optional[int] = None) -> ray.data.Dataset:
     """Corpus-wide duplicate word-n-gram statistics per document — the
     exact-substring-dedup family (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better") at word-n-gram granularity.
@@ -814,6 +825,9 @@ def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
     (total>1 / ndocs>1) and drops the gram strings → groupby(doc) sums.
     Two shuffles; gram strings cross only the first, and only at
     distinct-(gram, doc) volume. No driver-side materialization."""
+    if num_partitions is None:
+        # the distinct-(gram, doc) stream is ~n words per word of text
+        num_partitions = auto_partitions(ds, expansion=float(n))
     grams = ds.map_batches(_NgramEmit(text_col, id_col, n),
                            batch_format="pandas")
 

@@ -24,3 +24,24 @@ def dataset_schema(ds: ray.data.Dataset) -> pa.Schema:
             except (pa.ArrowNotImplementedError, TypeError):
                 fields.append(pa.field(name, pa.string()))
     return pa.schema(fields)
+
+
+def auto_partitions(ds: ray.data.Dataset, expansion: float = 1.0,
+                    target_bytes: int = 256 << 20,
+                    floor_per_cpu: int = 2) -> int:
+    """Size a hash exchange from the input's byte size (parquet/block
+    metadata — no data read): enough partitions that one partition
+    (~target_bytes after an `expansion`-fold blowup from the map stage)
+    fits a worker heap at any input scale, floored at a multiple of the
+    cluster CPU count so the straggler tail can pack."""
+    import math
+
+    import ray as _ray
+
+    try:
+        total = int((ds.size_bytes() or 0) * expansion)
+    except Exception:
+        total = 0
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    return max(floor_per_cpu * cpus, math.ceil(total / target_bytes))
