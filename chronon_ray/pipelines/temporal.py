@@ -429,44 +429,9 @@ class TemporalPartition:
     # ---------------------------------------------------------- sawtooth
 
     def _hop_ir_to_py(self, p: AggregationPart, op: AggOp, row):
-        """Grouped-path partial IR row → scalar py IR (hop prebuild)."""
-        o = p.operation
-        if o in (Operation.MIN, Operation.MAX):
-            return row["x"]
-        if o == Operation.UNIQUE_COUNT:
-            u = row["uniq"]
-            return set(u.tolist() if isinstance(u, np.ndarray) else u)
-        if o in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
-            h = row["hist"]
-            return dict(h)
-        if o == Operation.APPROX_UNIQUE_COUNT:
-            from ..aggregators.sketches import HLL
+        return ir_rec_to_py(p, op, row)
 
-            return HLL.deserialize(row["sketch"])
-        if o == Operation.APPROX_PERCENTILE:
-            from ..aggregators.sketches import KLL
 
-            return KLL.deserialize(row["sketch"])
-        if o in (Operation.TOP_K, Operation.BOTTOM_K):
-            return [tuple(t) for t in row["items"]]
-        # prefix-family inner ops reach here only via BUCKETED parts (plain
-        # prefix parts take the vectorized moments path)
-        if o == Operation.SUM:
-            return float(row["s"])
-        if o == Operation.COUNT:
-            return int(row["n"])
-        if o == Operation.AVERAGE:
-            return (float(row["s"]), int(row["n"]))
-        if o in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
-            nm = {Operation.VARIANCE: 2, Operation.SKEW: 3,
-                  Operation.KURTOSIS: 4}[o]
-            return (float(row["n"]), float(row["m1"]),
-                    *[float(row[f"m{k}"]) for k in range(2, nm + 1)])
-        if o in (Operation.FIRST, Operation.LAST):
-            return (row["ts"], row["payload"])
-        if o in (Operation.FIRST_K, Operation.LAST_K):
-            return [tuple(t) for t in row["items"]]
-        raise KeyError(o)
 
     def _prebuild_hops(self, saw_parts, e_tbl, e_key, e_ts, col_values):
         """Vectorized per-(key, hop) partial IRs for eligible sawtooth parts
@@ -1101,3 +1066,46 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
     return cold_rows.union(
         merged.map_batches(lambda t: t.select(final_order),
                            batch_format="pyarrow"))
+
+
+def ir_rec_to_py(p: AggregationPart, op: AggOp, row):
+    """Grouped-path partial IR row (dict/rec of this op's unprefixed IR
+    columns) → scalar py IR. Generic over every op — shared by the hop
+    prebuild and the FinalBatchIr upload/serve path."""
+    o = p.operation
+    if o in (Operation.MIN, Operation.MAX):
+        return row["x"]
+    if o == Operation.UNIQUE_COUNT:
+        u = row["uniq"]
+        return set(u.tolist() if isinstance(u, np.ndarray) else u)
+    if o in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
+        h = row["hist"]
+        return dict(h)
+    if o == Operation.APPROX_UNIQUE_COUNT:
+        from ..aggregators.sketches import HLL
+
+        return HLL.deserialize(row["sketch"])
+    if o == Operation.APPROX_PERCENTILE:
+        from ..aggregators.sketches import KLL
+
+        return KLL.deserialize(row["sketch"])
+    if o in (Operation.TOP_K, Operation.BOTTOM_K):
+        return [tuple(t) for t in row["items"]]
+    # prefix-family inner ops reach here only via BUCKETED parts (plain
+    # prefix parts take the vectorized moments path)
+    if o == Operation.SUM:
+        return float(row["s"])
+    if o == Operation.COUNT:
+        return int(row["n"])
+    if o == Operation.AVERAGE:
+        return (float(row["s"]), int(row["n"]))
+    if o in (Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
+        nm = {Operation.VARIANCE: 2, Operation.SKEW: 3,
+              Operation.KURTOSIS: 4}[o]
+        return (float(row["n"]), float(row["m1"]),
+                *[float(row[f"m{k}"]) for k in range(2, nm + 1)])
+    if o in (Operation.FIRST, Operation.LAST):
+        return (row["ts"], row["payload"])
+    if o in (Operation.FIRST_K, Operation.LAST_K):
+        return [tuple(t) for t in row["items"]]
+    raise KeyError(o)
