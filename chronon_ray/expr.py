@@ -64,6 +64,13 @@ class SqlExpr:
     def __repr__(self):
         return f"SqlExpr({self.expression!r})"
 
+    def __eq__(self, other):
+        return isinstance(other, SqlExpr) \
+            and other.expression == self.expression
+
+    def __hash__(self):
+        return hash(("SqlExpr", self.expression))
+
 
 def sql_expr(expression: str) -> SqlExpr:
     return SqlExpr(expression)
