@@ -234,9 +234,14 @@ class RowAggregator:
                 full = f"{bp.name}__{irc}"
                 fields = self._ir_arrow_fields(bp, irc, full)
                 if irc == "items":
+                    def _isnull(v):
+                        return v is None or (isinstance(v, float)
+                                             and np.isnan(v))
                     col = df[full]
-                    o_vals = col.map(lambda lst: [t[0] for t in lst] if lst is not None else None)
-                    p_vals = col.map(lambda lst: [t[1] for t in lst] if lst is not None else None)
+                    o_vals = col.map(lambda lst: None if _isnull(lst)
+                                     else [t[0] for t in lst])
+                    p_vals = col.map(lambda lst: None if _isnull(lst)
+                                     else [t[1] for t in lst])
                     arrays[fields[0].name] = pa.array(o_vals.tolist(), type=fields[0].type)
                     arrays[fields[1].name] = pa.array(p_vals.tolist(), type=fields[1].type)
                 elif irc == "hist":
@@ -246,7 +251,10 @@ class RowAggregator:
                     arrays[full] = pa.array(col.tolist(), type=fields[0].type)
                 elif irc == "uniq":
                     arrays[full] = pa.array(
-                        [None if v is None else list(v) for v in df[full]], type=fields[0].type
+                        [None if v is None
+                         or (isinstance(v, float) and np.isnan(v))
+                         else list(v) for v in df[full]],
+                        type=fields[0].type
                     )
                 elif irc == "payload" or irc == "x":
                     arrays[full] = pa.array(

@@ -72,9 +72,17 @@ def groupby_upload(
     conf: GroupByConf,
     batch_end_ts: int,
     num_partitions: Optional[int] = None,
+    full_hops: bool = False,
 ) -> ray.data.Dataset:
     """events (keys + ts + inputs) → one FinalBatchIr row per key (see
-    module docstring). Only events with ``ts < batch_end_ts`` contribute."""
+    module docstring). Only events with ``ts < batch_end_ts`` contribute.
+
+    ``full_hops=True`` switches to the rolling layout: windowed parts keep
+    their ENTIRE window as per-hop IRs (the HopsAggregator pattern —
+    reference aggregator/windowing/HopsAggregator.scala) instead of
+    collapsed + 2-day tail. Bigger rows (W/hop IRs per part), but the
+    checkpoint can then be advanced day by day with ``roll_checkpoint``
+    forever — no serving-horizon limit."""
     from ..util import auto_partitions, dataset_schema
 
     keys = list(conf.key_columns)
@@ -100,7 +108,8 @@ def groupby_upload(
             W = p.window.millis
             hop = tail_hop_millis(p.window)
             wstart = round_ts(batch_end_ts - W, hop)
-            cut = batch_end_ts - W + TAIL_BUFFER_MS
+            cut = batch_end_ts + 1 if full_hops \
+                else batch_end_ts - W + TAIL_BUFFER_MS
             rel = ts_row >= wstart
             coll = rel & (ts_row >= cut)
             tail = rel & ~coll
@@ -169,12 +178,16 @@ def groupby_upload(
             op = OPS[p.operation]
             acc: dict[int, dict] = {}
             vals = pdf[col].to_numpy()
+            floor = round_ts(batch_end_ts - p.window.millis,
+                             tail_hop_millis(p.window))
             for i, c in enumerate(codes):
                 b = vals[i]
                 if b is None or (isinstance(b, float) and np.isnan(b)):
                     continue
                 slot = acc.setdefault(int(c), {})
                 for hopstart, hir in pickle.loads(b).items():
+                    if hopstart < floor:  # slid out of the window
+                        continue
                     prev = slot.get(hopstart)
                     slot[hopstart] = hir if prev is None \
                         else op.py_merge(prev, hir, p)
@@ -190,9 +203,11 @@ def groupby_upload(
         out = agg.ir_frame_to_arrow(merged.reset_index(), key_arrays)
         for col, vals in tails_out.items():
             out = out.append_column(col, pa.array(vals, type=pa.binary()))
-        return out.append_column(
+        out = out.append_column(
             "_batch_end_ts",
             pa.array(np.full(len(out), batch_end_ts, dtype=np.int64)))
+        return out.append_column(
+            "_full_hops", pa.array(np.full(len(out), full_hops)))
 
     merge_part.__name__ = "upload_merge"
     return shuffled.groupby("_part").map_groups(merge_part,
@@ -204,11 +219,13 @@ class _ServePartition:
     1 = head events (ts ≥ batch_end), 2 = queries."""
 
     def __init__(self, keys, parts, schema: pa.Schema, left_cols,
-                 batch_end_ts: int):
+                 batch_end_ts: int, full_hops: bool = False):
         self.__name__ = type(self).__name__
         self.keys, self.parts = list(keys), parts
         self.left_cols = left_cols
         self.batch_end = batch_end_ts
+        self.full_hops = full_hops
+        self.agg = RowAggregator(parts, schema)
         self.out_fields = [
             pa.field(p.output_name,
                      OPS[p.operation].output_arrow_type(
@@ -229,8 +246,9 @@ class _ServePartition:
                            for f in self.out_fields})
             return pa.table(arrays)
         qts_all = queries["ts"].astype(np.int64)
-        if (qts_all < self.batch_end).any() or \
-                (qts_all >= self.batch_end + TAIL_BUFFER_MS).any():
+        if (qts_all < self.batch_end).any() or (
+                not self.full_hops
+                and (qts_all >= self.batch_end + TAIL_BUFFER_MS).any()):
             raise ValueError(
                 "serve_with_events queries must lie in [batch_end_ts, "
                 "batch_end_ts + tail buffer) — outside that horizon the "
@@ -239,6 +257,10 @@ class _ServePartition:
 
         base_by_key: dict[tuple, dict] = {}
         tails_by_key: dict[tuple, dict] = {}
+        if len(irs):
+            # rebuild composite IR columns (items __o/__p pairs, hist maps)
+            # that the Arrow round-trip splits
+            irs = self.agg.ir_frame_from_pandas(irs)
         for _, row in irs.iterrows():
             kv = tuple(row[k] for k in self.keys)
             base_by_key[kv] = {
@@ -279,7 +301,8 @@ class _ServePartition:
                     if not p.window.unbounded:
                         hop = tail_hop_millis(p.window)
                         qtail = round_ts(qts - p.window.millis, hop)
-                        cut = self.batch_end - p.window.millis \
+                        cut = qts + 1 if self.full_hops \
+                            else self.batch_end - p.window.millis \
                             + TAIL_BUFFER_MS
                         for hopstart, hir in tails.get(p.output_name,
                                                        {}).items():
@@ -322,11 +345,16 @@ def serve_with_events(
     conf: GroupByConf,
     batch_end_ts: int,
     num_partitions: Optional[int] = None,
+    full_hops: bool = False,
 ) -> ray.data.Dataset:
     """Lambda merge: FinalBatchIr checkpoint + head events in
     [batch_end_ts, query ts) → PITC features for queries in
     [batch_end_ts, batch_end_ts + tail buffer). Bit-equal to running
-    temporal_join over the full event history (tested)."""
+    temporal_join over the full event history (tested).
+
+    ``full_hops=True`` serves a rolling-layout checkpoint (see
+    groupby_upload); the 2-day horizon cap is lifted (head events must
+    still cover [batch_end_ts, max query ts))."""
     from ..util import auto_partitions, dataset_schema
 
     keys = list(conf.key_columns)
@@ -353,7 +381,7 @@ def serve_with_events(
         _addf(pa.field(k, q_schema.field(k).type))
     _addf(pa.field("ts", pa.int64()))
     for f in ir_schema:
-        if f.name not in ("_batch_end_ts", "_part"):
+        if f.name not in ("_batch_end_ts", "_full_hops", "_part"):
             _addf(f)
     for c in input_cols:
         _addf(pa.field(c, ev_schema.field(c).type))
@@ -390,7 +418,8 @@ def serve_with_events(
         return f
 
     ir_cols = [f.name for f in ir_schema
-               if f.name not in (*keys, "_batch_end_ts", "_part")]
+               if f.name not in (*keys, "_batch_end_ts", "_full_hops",
+                                 "_part")]
     tagged_ir = ir_table.map_batches(tag(0, None, ir_cols),
                                      batch_format="pyarrow")
     tagged_ev = head_events.map_batches(tag(1, "ts", input_cols),
@@ -399,6 +428,116 @@ def serve_with_events(
         tag(2, "ts", [c for c in left_cols if c != "ts"]),
         batch_format="pyarrow")
 
-    proc = _ServePartition(keys, parts, ev_schema, left_cols, batch_end_ts)
+    proc = _ServePartition(keys, parts, ev_schema, left_cols, batch_end_ts,
+                           full_hops=full_hops)
     return tagged_ir.union(tagged_ev).union(tagged_q) \
         .groupby("_part").map_groups(proc, batch_format="pandas")
+
+
+def roll_checkpoint(
+    ir_table: ray.data.Dataset,
+    day_events: ray.data.Dataset,
+    conf: GroupByConf,
+    old_end_ts: int,
+    new_end_ts: int,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Advance a FULL-HOPS checkpoint from ``old_end_ts`` to ``new_end_ts``
+    using only the events of [old_end_ts, new_end_ts): merge the old
+    per-key row with the interval's new hop IRs, dropping hops that slid
+    out of each part's window. Daily incremental backfill = one roll +
+    one serve per day — O(one day of events), never a history rescan.
+
+    The checkpoint must have been built with ``full_hops=True`` (a
+    collapsed+tail-buffer checkpoint cannot un-collapse hops that the new
+    window boundary needs separated)."""
+    import pyarrow.compute as _pc
+
+    from ..util import auto_partitions, dataset_schema
+
+    if new_end_ts <= old_end_ts:
+        raise ValueError("new_end_ts must be > old_end_ts")
+    keys = list(conf.key_columns)
+    parts = conf.parts()
+    _check_parts(parts)
+    windowed = [p for p in parts if not p.window.unbounded]
+    if num_partitions is None:
+        num_partitions = auto_partitions(day_events)
+
+    def day_cut(t: pa.Table) -> pa.Table:
+        ts = _pc.cast(t["ts"], pa.int64())
+        return t.filter(_pc.and_(_pc.greater_equal(ts, old_end_ts),
+                                 _pc.less(ts, new_end_ts)))
+
+    day_cut.__name__ = "day_cut"
+    day_ir = groupby_upload(day_events.map_batches(day_cut,
+                                                   batch_format="pyarrow"),
+                            conf, new_end_ts, num_partitions=num_partitions,
+                            full_hops=True)
+
+    schema = dataset_schema(ir_table)
+    if "_full_hops" in schema.names:
+        pass  # validated per-row below is overkill; layout documented
+    agg = RowAggregator(parts, dataset_schema(day_events))
+
+    def strip(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("_batch_end_ts", "_full_hops", "_part")
+                if c in t.column_names]
+        t = t.drop(drop)
+        kdf = t.select(keys).to_pandas()
+        part = stable_key_hash(kdf, keys) % num_partitions
+        return t.append_column("_part", pa.array(part.astype(np.int64)))
+
+    strip.__name__ = "strip_ir"
+    unioned = ir_table.map_batches(strip, batch_format="pyarrow") \
+        .union(day_ir.map_batches(strip, batch_format="pyarrow"))
+
+    def merge_part(pdf: pd.DataFrame) -> pa.Table:
+        codes, kdf = _factorize_keys(pdf, keys)
+        irf = agg.ir_frame_from_pandas(pdf)
+        irf = irf.drop(columns=[c for c in (*keys, "_part") if c in irf],
+                       errors="ignore")
+        irf["g"] = codes
+        merged = agg.merge_frame(irf).set_index("g").sort_index()
+        tails_out: dict[str, list] = {}
+        for p in windowed:
+            col = f"{p.output_name}__tailhops"
+            op = OPS[p.operation]
+            floor = round_ts(new_end_ts - p.window.millis,
+                             tail_hop_millis(p.window))
+            acc: dict[int, dict] = {}
+            vals = pdf[col].to_numpy() if col in pdf.columns \
+                else np.full(len(pdf), None, dtype=object)
+            for i, c in enumerate(codes):
+                b = vals[i]
+                if b is None or (isinstance(b, float) and np.isnan(b)):
+                    continue
+                slot = acc.setdefault(int(c), {})
+                for hopstart, hir in pickle.loads(b).items():
+                    if hopstart < floor:
+                        continue
+                    prev = slot.get(hopstart)
+                    slot[hopstart] = hir if prev is None \
+                        else op.py_merge(prev, hir, p)
+            tails_out[col] = [
+                pickle.dumps(acc[g]) if g in acc else None
+                for g in merged.index
+            ]
+        ir_schema = dataset_schema(ir_table)
+        key_arrays = {
+            k: pa.array(kdf[k].to_numpy(dtype=object)[merged.index],
+                        type=ir_schema.field(k).type)
+            for k in keys
+        }
+        out = agg.ir_frame_to_arrow(merged.reset_index(), key_arrays)
+        for col, vals in tails_out.items():
+            out = out.append_column(col, pa.array(vals, type=pa.binary()))
+        out = out.append_column(
+            "_batch_end_ts",
+            pa.array(np.full(len(out), new_end_ts, dtype=np.int64)))
+        return out.append_column(
+            "_full_hops", pa.array(np.full(len(out), True)))
+
+    merge_part.__name__ = "roll_merge"
+    return unioned.groupby("_part").map_groups(merge_part,
+                                               batch_format="pandas")
