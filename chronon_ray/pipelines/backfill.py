@@ -18,6 +18,7 @@ computeJoin range planning; TableUtils.scala:779-858 unfilledRanges):
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Callable, Optional
 
@@ -332,4 +333,121 @@ def backfill_join(
                 metrics={"step_wall_sec":
                          round(time.perf_counter() - t0, 3)})
             summary["partitions_written"].extend(sorted(manifests))
+    return summary
+
+
+def backfill_incremental(
+    left_table: str,
+    right_table: str,
+    conf: GroupByConf,
+    out_dir: str,
+    checkpoint_dir: str,
+    start: str,
+    end: str,
+    num_partitions: int = 64,
+) -> dict:
+    """Day-by-day incremental backfill via rolling FinalBatchIr
+    checkpoints: day D's features = serve(checkpoint@D, day-D events) and
+    checkpoint@D = roll(checkpoint@(D-1), day-(D-1) events). After the
+    first bootstrap (one max-window scan), every day touches ONE day of
+    events instead of the whole window history — the O(1-day) daily
+    backfill (reference upload semantics: GroupByUpload.scala:65-105).
+
+    Checkpoints persist as parquet under ``checkpoint_dir/ds=<D>`` with a
+    config-hash manifest; output days under ``out_dir`` via the same
+    atomic lineage writes as the other drivers. Resume: completed output
+    days are skipped, and the newest usable checkpoint is rolled forward
+    instead of re-bootstrapping."""
+    import json
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..api import TQuery
+    from .upload import groupby_upload, roll_checkpoint, serve_with_events
+
+    config_hash = conf.semantic_hash()
+    archived = archive_mismatched(out_dir, config_hash)
+    done = completed_partitions(out_dir, config_hash)
+    days = PartitionRange(start, end).partitions()
+    w_days = max_window_days(conf) or 3650
+
+    def _ck_dir(ds: str) -> str:
+        return os.path.join(checkpoint_dir, f"ds={ds}")
+
+    def _ck_ok(ds: str) -> bool:
+        mf = os.path.join(_ck_dir(ds), "_MANIFEST.json")
+        if not os.path.exists(mf):
+            return False
+        with open(mf) as f:
+            return json.load(f).get("config_hash") == config_hash
+
+    def _midnight_ms(ds: str) -> int:
+        import pandas as _pd
+
+        return int(_pd.Timestamp(ds).value // 10**6)
+
+    def _events_range(lo_ds: str, hi_ds: str):
+        return scan_table(right_table, TQuery(start_partition=lo_ds,
+                                              end_partition=hi_ds,
+                                              time_column="ts"))
+
+    def _ensure_checkpoint(ds: str):
+        """Checkpoint AT midnight of `ds` (covers events < ds)."""
+        if _ck_ok(ds):
+            return rd.read_parquet(_ck_dir(ds)), "cached"
+        prev = shift_ds(ds, -1)
+        end_ms = _midnight_ms(ds)
+        if _ck_ok(prev):
+            old = rd.read_parquet(_ck_dir(prev))
+            ck = roll_checkpoint(old, _events_range(prev, prev), conf,
+                                 end_ms - 86_400_000, end_ms,
+                                 num_partitions=num_partitions)
+            how = "rolled"
+        else:
+            lo = shift_ds(ds, -w_days)
+            ck = groupby_upload(_events_range(lo, prev), conf, end_ms,
+                                num_partitions=num_partitions,
+                                full_hops=True)
+            how = "bootstrapped"
+        tmp = _ck_dir(ds) + f".tmp.{os.getpid()}"
+        ck.write_parquet(tmp)
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"config_hash": config_hash, "batch_end_ts": end_ms},
+                      f)
+        if os.path.exists(_ck_dir(ds)):
+            import shutil
+
+            shutil.rmtree(_ck_dir(ds))
+        os.rename(tmp, _ck_dir(ds))
+        return rd.read_parquet(_ck_dir(ds)), how
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    summary = {"days": len(days), "partitions_written": [], "archived":
+               archived, "skipped": [], "checkpoints": {}, "metrics": {}}
+    for ds in days:
+        if ds in done:
+            summary["skipped"].append(ds)
+            continue
+        t0 = time.perf_counter()
+        ck, how = _ensure_checkpoint(ds)
+        summary["checkpoints"][ds] = how
+        end_ms = _midnight_ms(ds)
+        left = scan_table(left_table, TQuery(start_partition=ds,
+                                             end_partition=ds,
+                                             time_column="ts"))
+        head = _events_range(ds, ds)
+        out = serve_with_events(ck, head, left, conf, end_ms,
+                                num_partitions=num_partitions,
+                                full_hops=True)
+        manifests = write_partitioned(
+            out, out_dir, config_hash, input_range=(ds, ds),
+            metrics={"checkpoint": how,
+                     "wall_sec": round(time.perf_counter() - t0, 3)})
+        summary["partitions_written"].extend(sorted(manifests))
+        summary["metrics"][ds] = {
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "rows": sum(m["rows"] for m in manifests.values()),
+            "checkpoint": how,
+        }
     return summary

@@ -170,7 +170,11 @@ def groupby_upload(
         irf = irf.drop(columns=[c for c in (*keys, "_part") if c in irf],
                        errors="ignore")
         irf["g"] = codes
-        merged = agg.merge_frame(irf).set_index("g").sort_index()
+        # reindex to every present key: in full-hops mode a key's whole
+        # windowed state lives in the tail hops and its collapsed IR
+        # columns are all null — merge_frame alone would drop the row
+        merged = agg.merge_frame(irf).set_index("g") \
+            .reindex(np.unique(codes)).sort_index()
         # merge pickled tail dicts per key per part
         tails_out: dict[str, list] = {}
         for p in windowed:
@@ -498,7 +502,11 @@ def roll_checkpoint(
         irf = irf.drop(columns=[c for c in (*keys, "_part") if c in irf],
                        errors="ignore")
         irf["g"] = codes
-        merged = agg.merge_frame(irf).set_index("g").sort_index()
+        # reindex to every present key: in full-hops mode a key's whole
+        # windowed state lives in the tail hops and its collapsed IR
+        # columns are all null — merge_frame alone would drop the row
+        merged = agg.merge_frame(irf).set_index("g") \
+            .reindex(np.unique(codes)).sort_index()
         tails_out: dict[str, list] = {}
         for p in windowed:
             col = f"{p.output_name}__tailhops"

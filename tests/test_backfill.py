@@ -126,3 +126,54 @@ def test_backfill_matches_direct(backfill_env):
         w = exp[col].astype(float).to_numpy()
         nan = np.isnan(g) & np.isnan(w)
         np.testing.assert_allclose(g[~nan], w[~nan], rtol=1e-9, err_msg=col)
+
+
+def test_backfill_incremental_rolls_and_resumes(backfill_env):
+    """Incremental driver: day D = roll(checkpoint) + serve(day events);
+    output equals the one-shot temporal join, resume reuses checkpoints."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from chronon_ray.api import TQuery
+    from chronon_ray.pipelines.backfill import backfill_incremental
+    from chronon_ray.pipelines.temporal import temporal_join
+    from chronon_ray.sources import list_partitions, scan_table
+
+    out_dir = os.path.join(backfill_env["base"], "out_inc")
+    ck_dir = os.path.join(backfill_env["base"], "ck_inc")
+    left_parts = list_partitions(backfill_env["left"])
+    start, end = left_parts[8], left_parts[11]
+    s1 = backfill_incremental(backfill_env["left"], backfill_env["right"],
+                              _conf(), out_dir, ck_dir, start, end,
+                              num_partitions=4)
+    days = PartitionRange(start, end).partitions()
+    assert sorted(s1["partitions_written"]) == days
+    # first day bootstraps one max-window scan; every later day only rolls
+    assert s1["checkpoints"][days[0]] == "bootstrapped"
+    assert all(s1["checkpoints"][d] == "rolled" for d in days[1:])
+
+    got = rd.read_parquet(out_dir).to_pandas() \
+        .sort_values(["doc_id", "ts"], kind="stable").reset_index(drop=True)
+    left = scan_table(backfill_env["left"],
+                      TQuery(start_partition=start, end_partition=end))
+    right = scan_table(backfill_env["right"], TQuery())
+    exp = temporal_join(left, right, _conf(), num_partitions=4).to_pandas() \
+        .drop(columns=["ds"]) \
+        .sort_values(["doc_id", "ts"], kind="stable").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("n_tok_sum_7d", "n_tok_count_7d"):
+        a = got[c].astype(float)
+        b = exp[c].astype(float)
+        assert (a.isna() == b.isna()).all(), c
+        np.testing.assert_allclose(a.dropna(), b.dropna(), rtol=1e-9,
+                                   err_msg=c)
+
+    # kill one output day -> only it refills, from the CACHED checkpoint
+    victim = days[2]
+    shutil.rmtree(os.path.join(out_dir, f"ds={victim}"))
+    s2 = backfill_incremental(backfill_env["left"], backfill_env["right"],
+                              _conf(), out_dir, ck_dir, start, end,
+                              num_partitions=4)
+    assert s2["partitions_written"] == [victim]
+    assert s2["checkpoints"][victim] == "cached"
+    assert sorted(s2["skipped"]) == sorted(set(days) - {victim})
