@@ -58,16 +58,22 @@ class _CountTokens:
 
 
 def pack_sequences(ds: ray.data.Dataset, text_col: str, id_col: str,
-                   seq_len: int = 2048, n_buckets: int = 256,
+                   seq_len: int = 2048, n_buckets: int | None = None,
                    count_fn=None) -> ray.data.Dataset:
     """Assign every document its slot in the concat-and-chunk training
     layout (see module docstring). Documents are concatenated in ``id_col``
-    order; ``seq_len`` is the training sequence length L."""
+    order; ``seq_len`` is the training sequence length L. ``n_buckets``
+    defaults to a byte-based auto size so one bucket's counts stay within
+    a worker heap at any corpus size."""
+    from ..util import auto_partitions
+
     # materialize the tiny (id, n_tok) table once — 16 bytes/doc in the
     # object store — instead of re-scanning the text for each consumer
     counts = ds.map_batches(
         _CountTokens(text_col, id_col, count_fn=count_fn),
         batch_format="pandas").materialize()
+    if n_buckets is None:
+        n_buckets = auto_partitions(counts, target_bytes=64 << 20)
 
     # order-preserving bucket width from the id range (parquet stats would
     # give min/max for free; here one cheap agg over the materialized counts)
