@@ -184,6 +184,23 @@ def run_bench() -> dict:
     minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8).count()
     times["minhash_pairs"] = round(time.perf_counter() - t0, 3)
 
+    from chronon_ray.functions.dedup import dup_ngram_stats
+    from chronon_ray.functions.packing import pack_sequences
+    from chronon_ray.functions.sampling import budget_sample
+
+    t0 = time.perf_counter()
+    dup_ngram_stats(docs, "text", "doc_id").count()
+    times["dup_ngrams"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pack_sequences(docs, "text", "doc_id", seq_len=2048).count()
+    times["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    budget_sample(docs, "doc_id", "source", "n_chars",
+                  default_budget=40_000).count()
+    times["mixture_sample"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     import numpy as np

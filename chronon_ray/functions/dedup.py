@@ -836,22 +836,31 @@ def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
         total = g.transform("sum").to_numpy()
         ndocs = g.transform("size").to_numpy()
         cnt = pdf["cnt"].to_numpy()
+        # pre-aggregate per doc inside the partition (combiner): the next
+        # exchange then carries <= docs x partitions partial rows
         return pd.DataFrame({
             "doc": pdf["doc"].to_numpy(),
             "cnt": cnt,
             "dup": np.where(total > 1, cnt, 0).astype(np.int64),
             "cross": np.where(ndocs > 1, cnt, 0).astype(np.int64),
-        })
+        }).groupby("doc", sort=False).sum().reset_index()
 
     mark.__name__ = "mark_dup_grams"
     marked = _partition_by_hash(grams, ["gram"], num_partitions) \
         .groupby("_part").map_groups(mark, batch_format="pandas")
-    out = marked.groupby("doc").sum(["cnt", "dup", "cross"])
+
+    def doc_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop(columns=["_part"]) \
+            .groupby("doc", sort=False).sum().reset_index()
+
+    doc_sum.__name__ = "doc_sum"
+    out = _partition_by_hash(marked, ["doc"], num_partitions) \
+        .groupby("_part").map_groups(doc_sum, batch_format="pandas")
 
     def finish(t: pa.Table) -> pa.Table:
-        cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dup = t["sum(dup)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cross = t["sum(cross)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = t["cross"].to_numpy(zero_copy_only=False).astype(np.int64)
         denom = np.maximum(cnt, 1)
         return pa.table({
             id_col: t["doc"],
