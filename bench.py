@@ -72,7 +72,7 @@ def run_bench() -> dict:
     nblocks = 32
 
     # warm the page cache (untimed) so we measure compute+shuffle, not cold IO
-    rd.read_parquet(paths["events_file"], override_num_blocks=nblocks).count()
+    rd.read_parquet(paths["events_shards"], override_num_blocks=nblocks).count()
     rd.read_parquet(f"{sf_dir}/events.parquet").count()
 
     # ---------------- headline: token backfill
@@ -95,9 +95,9 @@ def run_bench() -> dict:
     pin = os.environ.get("BENCH_PIN") == "1"
     ev_pinned = left_pinned = None
     if pin:
-        ev_pinned = rd.read_parquet(paths["events_file"],
+        ev_pinned = rd.read_parquet(paths["events_shards"],
                                     override_num_blocks=nblocks).materialize()
-        left_pinned = rd.read_parquet(paths["queries_file"],
+        left_pinned = rd.read_parquet(paths["queries_shards"],
                                       override_num_blocks=8).materialize()
 
     # hot-key detection is a property of the DATA, not of one run — detect
@@ -106,15 +106,15 @@ def run_bench() -> dict:
     from chronon_ray.pipelines.salting import detect_hot_keys
 
     _ev_det = ev_pinned if pin else rd.read_parquet(
-        paths["events_file"], override_num_blocks=nblocks)
+        paths["events_shards"], override_num_blocks=nblocks)
     hot = detect_hot_keys(_ev_det, "doc_id", 64) or None
 
     def _headline_once() -> tuple[int, float]:
         if pin:
             ev, left = ev_pinned, left_pinned
         else:
-            ev = rd.read_parquet(paths["events_file"], override_num_blocks=nblocks)
-            left = rd.read_parquet(paths["queries_file"], override_num_blocks=8)
+            ev = rd.read_parquet(paths["events_shards"], override_num_blocks=nblocks)
+            left = rd.read_parquet(paths["queries_shards"], override_num_blocks=8)
         # scaling runs need a FIXED workload shape across cpu counts —
         # auto partitioning (2 tasks/cpu floor) would hand the low-cpu run
         # fewer/fatter (cheaper per row on this box) partitions and skew

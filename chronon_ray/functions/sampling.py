@@ -86,9 +86,9 @@ def stratified_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
 
     def f(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = pd.Series(t[group_col].to_pandas())
-        row_thr = g.map(lambda v: thr.get(v, dthr)).to_numpy(dtype=np.uint64)
-        keep = rank_hash(ids, seed).astype(np.uint64) < row_thr
+        codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()))
+        lut = np.array([thr.get(u, dthr) for u in uniq], dtype=np.uint64)
+        keep = rank_hash(ids, seed).astype(np.uint64) < lut[codes]
         return t.filter(pa.array(keep))
 
     f.__name__ = "stratified_sample"
@@ -156,12 +156,11 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.plan is None:
                 self.plan = ray.get(self.ref)
-            g = t[group_col].to_pandas()
             rb = t["_rb"].to_numpy(zero_copy_only=False)
-            below = g.map(lambda v: self.plan.get(v, (-1, -1, 0, 0))[0]) \
-                .to_numpy(dtype=np.int64)
-            bnd = g.map(lambda v: self.plan.get(v, (-1, -1, 0, 0))[1]) \
-                .to_numpy(dtype=np.int64)
+            codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()))
+            per = [self.plan.get(u, (-1, -1, 0, 0)) for u in uniq]
+            below = np.array([p[0] for p in per], dtype=np.int64)[codes]
+            bnd = np.array([p[1] for p in per], dtype=np.int64)[codes]
             mask = (rb == bnd) if self.boundary else (rb < below)
             return t.filter(pa.array(mask))
 
