@@ -612,6 +612,25 @@ def q_ivf_knn(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_hnsw_knn(sf_dir: str):
+    """HNSW graph-ANN with ef_search >= shard size (exact degenerate mode):
+    exercises the shard/build/merge machinery while returning the EXACT
+    top-k, so the brute-force SQL oracle applies. pytest covers the real
+    graph regime (beam search, ef < shard size) with a recall fixture."""
+    import ray.data as rd
+
+    from chronon_ray.functions.knn import hnsw_knn
+
+    _ctx()
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = corpus.filter(expr="vec_id < 10").to_pandas()
+    qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    out = hnsw_knn(corpus, head["vec_id"].to_numpy(), qm, k=5, n_shards=4,
+                   ef_search=10**9).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -909,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "ivf_knn": q_ivf_knn,
+        "hnsw_knn": q_hnsw_knn,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1151,6 +1171,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # IVF with nprobe = n_clusters is exact → same oracle as brute force
         "ivf_knn": """
+            select query_id, neighbor_id, rank from (
+                select q.vec_id as query_id, c.vec_id as neighbor_id,
+                       row_number() over (
+                           partition by q.vec_id
+                           order by list_cosine_similarity(q.embedding,
+                                                           c.embedding) desc,
+                                    c.vec_id) as rank
+                from (select * from embeddings where vec_id < 10) q
+                cross join embeddings c)
+            where rank <= 5
+        """,
+        "hnsw_knn": """
             select query_id, neighbor_id, rank from (
                 select q.vec_id as query_id, c.vec_id as neighbor_id,
                        row_number() over (

@@ -209,3 +209,190 @@ def ivf_knn(
     cands = assigned.groupby(group_keys).map_groups(ClusterTopK(),
                                                     batch_format="pandas")
     return _per_query_topk(cands, k)
+
+
+# ----------------------------------------------------------------- HNSW
+
+
+class _ShardHNSW:
+    """Minimal in-memory HNSW (Malkov & Yashunin 2016, public algorithm)
+    over unit-normalized vectors with cosine similarity.
+
+    Pure numpy; neighbor expansion is vectorized per visited node. Built
+    once per shard inside a map_groups task — the third ANN tier beside
+    brute-force (exact) and IVF (clustered): graphs scale by sharding the
+    corpus and merging per-shard candidates in the existing top-k reduce.
+    """
+
+    def __init__(self, vecs: np.ndarray, M: int = 16,
+                 ef_construction: int = 100, seed: int = 7):
+        self.v = vecs
+        self.M = M
+        self.M0 = 2 * M
+        self.efC = ef_construction
+        n = len(vecs)
+        rng = np.random.Generator(np.random.PCG64(seed))
+        mL = 1.0 / np.log(M)
+        self.levels = np.floor(
+            -np.log(rng.random(n) + 1e-300) * mL).astype(np.int64)
+        self.max_level = int(self.levels.max(initial=0))
+        # adjacency: per layer, list-of-int64-arrays
+        self.adj: list[list[np.ndarray]] = [
+            [None] * n for _ in range(self.max_level + 1)]
+        self._visited = np.zeros(n, dtype=bool)
+        self.entry = 0
+        for i in range(n):
+            self._insert(i)
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int,
+                      layer: int) -> list[tuple[float, int]]:
+        """Beam search; returns up to ef (sim, node) best, sim descending."""
+        import heapq
+        adj = self.adj[layer]
+        sims = float(self.v[entry] @ q)
+        visited = self._visited
+        visited[:] = False
+        visited[entry] = True
+        # best: min-heap of (sim, node) holding the ef best so far
+        best = [(sims, entry)]
+        cand = [(-sims, entry)]  # max-heap by sim
+        while cand:
+            cs, cn = heapq.heappop(cand)
+            if -cs < best[0][0] and len(best) >= ef:
+                break
+            nbrs = adj[cn]
+            if nbrs is None or len(nbrs) == 0:
+                continue
+            new = nbrs[~visited[nbrs]]
+            if len(new) == 0:
+                continue
+            visited[new] = True
+            s = self.v[new] @ q
+            floor = best[0][0] if len(best) >= ef else -np.inf
+            ok = s > floor
+            for sim, node in zip(s[ok].tolist(), new[ok].tolist()):
+                if len(best) < ef or sim > best[0][0]:
+                    heapq.heappush(best, (sim, node))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    heapq.heappush(cand, (-sim, node))
+        return sorted(best, reverse=True)
+
+    def _insert(self, i: int) -> None:
+        if i == 0:
+            for lvl in range(min(self.levels[0], self.max_level) + 1):
+                self.adj[lvl][0] = np.empty(0, dtype=np.int64)
+            self.entry = 0
+            self._entry_level = int(self.levels[0])
+            return
+        q = self.v[i]
+        lvl_i = int(self.levels[i])
+        ep = self.entry
+        # greedy descent through layers above lvl_i
+        for lvl in range(self._entry_level, lvl_i, -1):
+            ep = self._search_layer(q, ep, 1, lvl)[0][1]
+        for lvl in range(min(lvl_i, self._entry_level), -1, -1):
+            found = self._search_layer(q, ep, self.efC, lvl)
+            mmax = self.M0 if lvl == 0 else self.M
+            sel = np.array([n for _, n in found[:self.M]], dtype=np.int64)
+            self.adj[lvl][i] = sel
+            for n in sel:
+                cur = self.adj[lvl][n]
+                cur = np.append(cur, i) if cur is not None \
+                    else np.array([i], dtype=np.int64)
+                if len(cur) > mmax:  # prune to the mmax most similar
+                    s = self.v[cur] @ self.v[n]
+                    cur = cur[np.argsort(-s)[:mmax]]
+                self.adj[lvl][n] = cur
+            ep = found[0][1]
+        if lvl_i > self._entry_level:
+            for lvl in range(self._entry_level + 1, lvl_i + 1):
+                if self.adj[lvl][i] is None:
+                    self.adj[lvl][i] = np.empty(0, dtype=np.int64)
+            self.entry = i
+            self._entry_level = lvl_i
+
+    def search(self, q: np.ndarray, k: int, ef: int) -> tuple[np.ndarray,
+                                                              np.ndarray]:
+        ep = self.entry
+        for lvl in range(self._entry_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lvl)[0][1]
+        found = self._search_layer(q, ep, max(ef, k), 0)[:k]
+        idx = np.array([n for _, n in found], dtype=np.int64)
+        sims = np.array([s for s, _ in found], dtype=np.float64)
+        return idx, sims
+
+
+def hnsw_knn(
+    corpus: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_shards: int = 4,
+    M: int = 16,
+    ef_construction: int = 100,
+    ef_search: int = 64,
+) -> ray.data.Dataset:
+    """Graph-ANN top-k: hash-shard the corpus, build one HNSW graph per
+    shard (inside its map_groups task), beam-search every broadcast query
+    against every shard, merge shards in the per-query top-k reduce.
+
+    Scale: shard count bounds per-task memory (graph ~ rows × M × 8 B +
+    vectors); query work is n_shards × log-ish per shard — for query sets
+    large enough to dominate, prefer ivf_knn. ``ef_search >= shard rows``
+    degenerates to an exact within-shard scan (graph recall caveats do not
+    apply), which is the oracle mode — same trick as ivf_knn(nprobe=all).
+    """
+    qm = _normalize(np.asarray(query_matrix))
+    ref = ray.put((np.asarray(query_ids), qm))
+    nsh = np.uint64(max(n_shards, 1))
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pandas()
+        h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
+        return t.append_column("_shard",
+                               pa.array((h % nsh).astype(np.int64)))
+
+    add_shard.__name__ = "add_shard"
+
+    class ShardSearch:
+        __name__ = "HnswShardSearch"
+
+        def __init__(self):
+            self._q = None
+
+        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            if self._q is None:
+                self._q = ray.get(ref)
+            qids, qm_ = self._q
+            # deterministic build order regardless of upstream partitioning
+            pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+            emb = _normalize(np.stack(pdf[emb_col].to_numpy()))
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, len(ids))
+            if ef_search >= len(ids):  # exact degenerate mode
+                sim = qm_ @ emb.T
+                top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+                return pd.DataFrame({
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": ids[top.reshape(-1)],
+                    "score": np.take_along_axis(sim, top, axis=1).reshape(-1),
+                })
+            g = _ShardHNSW(emb, M=M, ef_construction=ef_construction)
+            out_q, out_n, out_s = [], [], []
+            for qi, qv in zip(qids, qm_):
+                idx, sims = g.search(qv, kk, ef_search)
+                out_q.append(np.repeat(qi, len(idx)))
+                out_n.append(ids[idx])
+                out_s.append(sims)
+            return pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "score": np.concatenate(out_s),
+            })
+
+    cands = corpus.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("_shard").map_groups(ShardSearch(), batch_format="pandas")
+    return _per_query_topk(cands, k)

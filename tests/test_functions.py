@@ -161,6 +161,32 @@ def test_ivf_knn_recall(ray_session, sf_dir):
     assert recall / len(qids) >= 0.5
 
 
+def test_hnsw_knn_recall_and_exact(ray_session, sf_dir):
+    from chronon_ray.functions.knn import hnsw_knn
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = corpus.to_pandas()
+    emb = np.stack(pdf["embedding"].to_numpy())
+    qm = emb[:5]
+    qids = pdf["vec_id"].to_numpy()[:5]
+    bf = brute_force_knn(corpus, qids, qm, k=5).to_pandas()
+    # approximate regime: real graph beam search across 2 shards
+    out = hnsw_knn(corpus, qids, qm, k=5, n_shards=2, ef_search=64).to_pandas()
+    recall = 0
+    for qid in qids:
+        a = set(out[out["query_id"] == qid]["neighbor_id"])
+        b = set(bf[bf["query_id"] == qid]["neighbor_id"])
+        recall += len(a & b) / len(b)
+    assert recall / len(qids) >= 0.8, recall / len(qids)
+    # exact degenerate mode (ef >= shard size) == brute force, bit for bit
+    ex = hnsw_knn(corpus, qids, qm, k=5, n_shards=3,
+                  ef_search=10**9).to_pandas()
+    cols = ["query_id", "rank", "neighbor_id"]
+    ex = ex.sort_values(cols[:2]).reset_index(drop=True)
+    bfs = bf.sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ex[cols], bfs[cols])
+
+
 def test_text_stages(docs_ds, duck):
     out = docs_ds.map_batches(LangIdStage(), batch_format="pandas") \
         .map_batches(QualityScoreStage(), batch_format="pandas") \
