@@ -109,6 +109,28 @@ def q_asof_window_sums(sf_dir: str):
     return _round(out, ["value_sum_1d", "value_sum_7d", "value_sum"])
 
 
+def q_asof_exact_windows(sf_dir: str):
+    """exact_windows=True: per-event windows [q.ts - w, q.ts) with NO
+    hop-rounded tail (TwoStackLite at event granularity for non-invertible
+    ops) — the SQL oracle is the clean `e.ts >= q.ts - w` form, no hop
+    arithmetic."""
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    conf = GroupByConf(
+        name="asof_exact", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(1, "d"), window(7, "d")]),
+                      agg("value", "min", [window(7, "d")]),
+                      agg("event_type", "unique_count", [window(7, "d")])),
+    )
+    _ctx()
+    out = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
+                        num_partitions=32, exact_windows=True).to_pandas()
+    out["event_type_unique_count_7d"] = \
+        out["event_type_unique_count_7d"].fillna(0).astype(np.int64)
+    return _round(out, ["value_sum_1d", "value_sum_7d", "value_min_7d"])
+
+
 def q_asof_first_last(sf_dir: str):
     from chronon_ray.api import GroupByConf, agg, window
     from chronon_ray.pipelines.temporal import temporal_join
@@ -894,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_user_stats": q_groupby_user_stats,
         "asof_window_sums": q_asof_window_sums,
+        "asof_exact_windows": q_asof_exact_windows,
         "asof_first_last": q_asof_first_last,
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
@@ -945,6 +968,23 @@ def oracle_sql() -> dict[str, str]:
                    round(var_pop(value), 4) as value_variance,
                    count(distinct event_type) as event_type_unique_count
             from events group by user_id
+        """,
+        "asof_exact_windows": f"""
+            with q as (select distinct user_id, epoch_ms(ts) as ts from events
+                       where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, value, event_type
+                       from events)
+            select q.user_id, q.ts,
+                round(sum(case when e.ts < q.ts and e.ts >= q.ts - {MS_1D}
+                     then e.value end), 4) as value_sum_1d,
+                round(sum(case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
+                     then e.value end), 4) as value_sum_7d,
+                round(min(case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
+                     then e.value end), 4) as value_min_7d,
+                count(distinct case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
+                     then e.event_type end) as event_type_unique_count_7d
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts
         """,
         "asof_window_sums": f"""
             with q as (select distinct user_id, epoch_ms(ts) as ts from events

@@ -104,9 +104,13 @@ class TemporalPartition:
     def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
                  right_schema: pa.Schema, left_cols: list[str],
                  tie_break: Optional[str] = None, daily: bool = False,
-                 emit_partials: bool = False):
+                 emit_partials: bool = False, exact: bool = False):
         self.__name__ = type(self).__name__
         self.daily = daily  # SNAPSHOT accuracy → DailyResolution hops
+        self.exact = exact  # per-event windows, no sawtooth tail rounding
+        if exact and daily:
+            raise ValueError("exact windows and daily (snapshot) accuracy "
+                             "are mutually exclusive")
         self.emit_partials = emit_partials  # salted path: mergeable IR columns
         self.keys = list(keys)
         self.parts = parts
@@ -189,9 +193,12 @@ class TemporalPartition:
         head_idx = np.searchsorted(comp_e, q_key * shift + (q_ts - base_ts), side="left")
 
         def tail_index(window: Window) -> np.ndarray:
-            tail_ts = window_tail(q_ts, window, self.daily)
-            if tail_ts is None:
+            if window.unbounded:
                 return np.searchsorted(comp_e, q_key * shift, side="left")
+            if self.exact:  # per-event window start, no hop rounding
+                tail_ts = q_ts - window.millis
+            else:
+                tail_ts = window_tail(q_ts, window, self.daily)
             rel = np.clip(tail_ts - base_ts, 0, None)
             return np.searchsorted(comp_e, q_key * shift + rel, side="left")
 
@@ -566,7 +573,8 @@ class TemporalPartition:
             col_cache[key] = (vals, valid)
             return col_cache[key]
 
-        prebuilt = self._prebuild_hops(saw_parts, e_tbl, e_key, e_ts, col_values)
+        prebuilt = {} if self.exact else self._prebuild_hops(
+            saw_parts, e_tbl, e_key, e_ts, col_values)
 
         # iterate keys that have queries
         q_bounds = np.flatnonzero(np.diff(q_key)) + 1
@@ -597,7 +605,8 @@ class TemporalPartition:
                             np.array([], dtype=np.int64), [])
                 res = sawtooth_one_key(op, replace(p, bucket=None), p.window,
                                        ets, evs, qts, hops_cache=cache,
-                                       daily=self.daily, transform=transform)
+                                       daily=self.daily, transform=transform,
+                                       exact=self.exact)
                 out_list = results[p.output_name]
                 for t, v in enumerate(res):
                     out_list[a + t] = v
@@ -703,6 +712,7 @@ def temporal_join(
     hot_keys=None,
     salt_shards: Optional[int] = None,
     broadcast_left_keys: bool = False,
+    exact_windows: bool = False,
 ) -> ray.data.Dataset:
     """left (key, ts, ...) ⟕ windowed aggregates of right events, PITC.
 
@@ -716,7 +726,13 @@ def temporal_join(
     ``hot_keys``: None (no salting), "auto" (sample the event stream and salt
     keys that would dominate a partition), or an explicit key list. Hot keys
     take the salted two-stage path (pipelines/salting.py); cold keys the
-    single-pass path; outputs are unioned."""
+    single-pass path; outputs are unioned.
+
+    ``exact_windows=True`` computes per-event exact windows [q.ts - w, q.ts)
+    instead of the reference's sawtooth (hop-rounded tail) semantics —
+    prefix/slice families are exact via raw-ts searchsorted, the rest via a
+    per-event TwoStack sweep (TwoStackLiteAggregator at event granularity).
+    Strictly more work than sawtooth; incompatible with daily accuracy."""
     keys = list(conf.key_columns)
     parts = conf.parts()
     from ..util import dataset_schema
@@ -808,12 +824,14 @@ def temporal_join(
             salt_shards = max(8, _math.ceil(2 * cpus / max(1, len(hot_keys))))
         return _salted_temporal_join(
             left_ds, right_ds, conf, keys, parts, left_schema, right_schema,
-            left_cols, num_partitions, daily, list(hot_keys), salt_shards)
+            left_cols, num_partitions, daily, list(hot_keys), salt_shards,
+            exact=exact_windows)
 
     unioned = _tagged_union(left_ds, right_ds, left_schema, right_schema,
                             keys, num_partitions)
     proc = TemporalPartition(keys, parts, right_schema, left_cols,
-                             tie_break=conf.tie_break_column, daily=daily)
+                             tie_break=conf.tie_break_column, daily=daily,
+                             exact=exact_windows)
     return unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
 
 
@@ -879,7 +897,8 @@ def _bloom_filter_events(left_ds, right_ds, keys, bits_per_key: int = 12,
 
 def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
                           right_schema, left_cols, num_partitions, daily,
-                          hot_keys: list, salt_shards: int):
+                          hot_keys: list, salt_shards: int,
+                          exact: bool = False):
     """Single-pass salted plan: ONE scan of each input, ONE sort exchange.
 
     Cold rows hash into partitions [0, num_partitions); each hot
@@ -1002,11 +1021,12 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
         right_ds.map_batches(tag_events, batch_format="pyarrow"))
 
     cold_proc = TemporalPartition(keys, parts, right_schema, left_cols,
-                                  tie_break=conf.tie_break_column, daily=daily)
+                                  tie_break=conf.tie_break_column, daily=daily,
+                                  exact=exact)
     hot_proc = TemporalPartition([key, "_salt"], parts, right_schema,
                                  [*left_cols, "_qid_hi", "_qid_lo"],
                                  tie_break=conf.tie_break_column, daily=daily,
-                                 emit_partials=True)
+                                 emit_partials=True, exact=exact)
     final_fields = cold_proc.out_fields
     part_fields = partial_fields(parts, right_schema)
     out_schema = pa.schema(

@@ -113,6 +113,7 @@ def sawtooth_one_key(
     daily: bool = False,
     transform=None,  # per-query IR transform; default = finalize. Pass e.g.
     #                  pickle.dumps to emit mergeable partials (salted path).
+    exact: bool = False,  # per-event windows (no hop-rounded tail)
 ) -> list:
     """Finalized feature value per query (aligned to sorted q_ts order)."""
     nq = len(q_ts)
@@ -122,6 +123,28 @@ def sawtooth_one_key(
     if transform is None:
         def transform(ir):
             return op.py_finalize(ir, part)
+
+    if exact and not window.unbounded:
+        # per-event two-stack: the reference's TwoStackLiteAggregator applied
+        # at event granularity (TwoStackLiteAggregator.scala:26-160) — exact
+        # window [q - w, q), no sawtooth tail rounding. Each event is its own
+        # item; eviction compares raw event ts against the exact tail.
+        buf = TwoStackBuffer(op, part)
+        ep = 0
+        ne = len(ev_ts)
+        w = window.millis
+        for qi in range(nq):
+            q = int(q_ts[qi])
+            while ep < ne and ev_ts[ep] < q:
+                buf.push(int(ev_ts[ep]),
+                         op.py_update(None, ev_vals[ep], int(ev_ts[ep]), part))
+                ep += 1
+            tail = q - w
+            while len(buf) and buf.front_tag() < tail:
+                buf.pop()
+            ir = buf.query()
+            out[qi] = transform(ir) if ir is not None else None
+        return out
 
     if window.unbounded:
         ir = None

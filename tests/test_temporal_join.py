@@ -23,7 +23,7 @@ def token_data():
     return ev, q
 
 
-def naive_features(ev: pa.Table, q: pa.Table, parts):
+def naive_features(ev: pa.Table, q: pa.Table, parts, exact=False):
     """Brute-force rescan per (query, part) using the scalar op path."""
     epd = ev.to_pandas()
     qpd = q.to_pandas()
@@ -32,7 +32,12 @@ def naive_features(ev: pa.Table, q: pa.Table, parts):
         sel = epd[epd["doc_id"] == qr["doc_id"]]
         for p in parts:
             w = p.window
-            lo = None if w.unbounded else round_ts(qr["ts"] - w.millis, tail_hop_millis(w))
+            if w.unbounded:
+                lo = None
+            elif exact:
+                lo = qr["ts"] - w.millis
+            else:
+                lo = round_ts(qr["ts"] - w.millis, tail_hop_millis(w))
             m = sel[sel["ts"] < qr["ts"]]
             if lo is not None:
                 m = m[m["ts"] >= lo]
@@ -107,6 +112,63 @@ def test_temporal_vs_naive(ray_session, token_data):
             if _none(a) and _none(b):
                 continue
             if p.operation in (Operation.LAST_K, Operation.TOP_K):
+                assert list(a) == list(b), f"{col} row {i}: {a} vs {b}"
+            elif p.operation == Operation.HISTOGRAM or p.bucket is not None:
+                assert [tuple(x) for x in a] == [tuple(x) for x in b], \
+                    f"{col} row {i}: {a} vs {b}"
+            else:
+                assert a == b, f"{col} row {i}: {a} vs {b}"
+
+
+def test_temporal_exact_windows_vs_naive(ray_session, token_data):
+    """exact_windows=True: per-event window [q.ts - w, q.ts), no hop-rounded
+    tail — every family (prefix, slice, sawtooth, bucketed) against the
+    naive oracle with exact tails."""
+    ev, q = token_data
+    conf = GroupByConf(
+        name="tok_exact",
+        sources=(),
+        key_columns=("doc_id",),
+        aggregations=(
+            agg("n_tok", "sum", [window(1, "h"), window(7, "d"), UNBOUNDED]),
+            agg("n_tok", "average", [window(1, "d")]),
+            agg("n_tok", "min", [window(1, "d")]),
+            agg("n_tok", "last_k", [window(1, "d")], k=3),
+            agg("source", "unique_count", [window(1, "d")]),
+            agg("source", "histogram", [window(1, "d")]),
+            agg("n_tok", "sum", [window(1, "d")], buckets=["source"]),
+        ),
+    )
+    parts = conf.parts()
+    left = ray.data.from_arrow(q)
+    right = ray.data.from_arrow(ev)
+    out = temporal_join(left, right, conf, num_partitions=4,
+                        exact_windows=True).to_pandas()
+    out = out.sort_values(["doc_id", "ts"], kind="stable").reset_index(drop=True)
+    naive = naive_features(ev, q, parts, exact=True)
+    qpd = q.to_pandas()
+    ndf = pd.DataFrame({"doc_id": qpd["doc_id"], "ts": qpd["ts"], **naive})
+    ndf = ndf.sort_values(["doc_id", "ts"], kind="stable").reset_index(drop=True)
+    assert len(out) == len(ndf)
+
+    def _none(x):
+        return x is None or (isinstance(x, float) and np.isnan(x))
+
+    for p in parts:
+        col = p.output_name
+        got, want = out[col], ndf[col]
+        if p.operation in (Operation.SUM, Operation.AVERAGE, Operation.MIN) \
+                and p.bucket is None:
+            g = got.astype(float).to_numpy()
+            wv = want.astype(float).to_numpy()
+            both_nan = np.isnan(g) & np.isnan(wv)
+            np.testing.assert_allclose(g[~both_nan], wv[~both_nan], rtol=1e-9,
+                                       err_msg=col)
+            continue
+        for i, (a, b) in enumerate(zip(got, want)):
+            if _none(a) and _none(b):
+                continue
+            if p.operation == Operation.LAST_K:
                 assert list(a) == list(b), f"{col} row {i}: {a} vs {b}"
             elif p.operation == Operation.HISTOGRAM or p.bucket is not None:
                 assert [tuple(x) for x in a] == [tuple(x) for x in b], \
