@@ -17,6 +17,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 GAP_MS = 30 * 60 * 1000
 MS_1D = 86_400_000
@@ -634,6 +635,53 @@ def q_ivf_knn(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over documents with deterministic synthetic PII appended
+    (the raw corpus has none) — scrubbed text + per-category counts, matched
+    bit-for-bit by a nested regexp_replace oracle."""
+    import ray.data as rd
+
+    from chronon_ray.functions.scrub import PIIScrubStage
+
+    _ctx()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def augment(pdf):
+        ids = pdf["doc_id"].astype(str)
+        pdf = pdf.copy()
+        pdf["text"] = (pdf["text"].fillna("") + " contact user" + ids
+                       + "@example.com or 10.0." + (pdf["doc_id"] % 256).astype(str)
+                       + ".7 tel +1 415 555 0" + ids)
+        return pdf
+
+    augment.__name__ = "augment_pii"
+    out = ds.map_batches(augment, batch_format="pandas") \
+        .map_batches(PIIScrubStage(), batch_format="pandas").to_pandas()
+    return out[["doc_id", "text_scrubbed", "n_email", "n_ipv4", "n_phone"]]
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: 5-gram overlap of every doc against the
+    broadcast benchmark subset (doc_id % 20 == 0); zero-shuffle corpus scan."""
+    import ray.data as rd
+
+    from chronon_ray.functions.decontaminate import decontaminate
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def bench_subset(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench_subset.__name__ = "bench_subset"
+    bench = docs.map_batches(bench_subset, batch_format="pyarrow")
+    out = decontaminate(docs, bench, "text", "doc_id", n=5).to_pandas()
+    out["keep"] = out["keep"].astype(np.int64)
+    out["contaminated_frac"] = out["contaminated_frac"].round(6)
+    return out
+
+
 def q_hnsw_knn(sf_dir: str):
     """HNSW graph-ANN with ef_search >= shard size (exact degenerate mode):
     exercises the shard/build/merge machinery while returning the EXACT
@@ -952,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "ivf_knn": q_ivf_knn,
         "hnsw_knn": q_hnsw_knn,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1221,6 +1271,52 @@ def oracle_sql() -> dict[str, str]:
                 from (select * from embeddings where vec_id < 10) q
                 cross join embeddings c)
             where rank <= 5
+        """,
+        "pii_scrub": """
+            select doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(coalesce(text,'') || ' contact user' || cast(doc_id as varchar) || '@example.com or 10.0.' || cast(doc_id % 256 as varchar) || '.7 tel +1 415 555 0' || cast(doc_id as varchar), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') as text_scrubbed,
+                   cast(len(regexp_extract_all(coalesce(text,'') || ' contact user' || cast(doc_id as varchar) || '@example.com or 10.0.' || cast(doc_id % 256 as varchar) || '.7 tel +1 415 555 0' || cast(doc_id as varchar), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) as bigint) as n_email,
+                   cast(len(regexp_extract_all(regexp_replace(coalesce(text,'') || ' contact user' || cast(doc_id as varchar) || '@example.com or 10.0.' || cast(doc_id % 256 as varchar) || '.7 tel +1 415 555 0' || cast(doc_id as varchar), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) as bigint) as n_ipv4,
+                   cast(len(regexp_extract_all(regexp_replace(regexp_replace(coalesce(text,'') || ' contact user' || cast(doc_id as varchar) || '@example.com or 10.0.' || cast(doc_id % 256 as varchar) || '.7 tel +1 415 555 0' || cast(doc_id as varchar), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'), '\+?[0-9][0-9() .-]{6,}[0-9]')) as bigint) as n_phone
+            from documents
+        """,
+        "decontaminate": r"""
+            with w as (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           as w,
+                       generate_subscripts(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                           as ord
+                from documents
+            ), g as (
+                select a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                           || ' ' || e.w as gram
+                from w a
+                join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+                join w c on a.doc_id = c.doc_id and c.ord = a.ord + 2
+                join w d on a.doc_id = d.doc_id and d.ord = a.ord + 3
+                join w e on a.doc_id = e.doc_id and e.ord = a.ord + 4
+            ), bg as (
+                select distinct gram from g where doc_id % 20 = 0
+            ), per as (
+                select g.doc_id, count(*) as n_grams,
+                       sum(case when bg.gram is not null then 1 else 0 end)
+                           as n_contaminated
+                from g left join bg on g.gram = bg.gram
+                group by g.doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(per.n_grams, 0) as bigint) as n_grams,
+                   cast(coalesce(per.n_contaminated, 0) as bigint)
+                       as n_contaminated,
+                   round(cast(coalesce(per.n_contaminated, 0) as double)
+                       / greatest(coalesce(per.n_grams, 0), 1), 6)
+                       as contaminated_frac,
+                   cast(case when coalesce(per.n_contaminated, 0) = 0
+                        then 1 else 0 end as bigint) as keep
+            from documents d left join per on d.doc_id = per.doc_id
         """,
         "hnsw_knn": """
             select query_id, neighbor_id, rank from (

@@ -14,6 +14,11 @@ from chronon_ray.functions.packing import pack_sequences
 from chronon_ray.functions.text import RepetitionSignalsStage
 
 
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
 def test_repetition_signals_edges(ray_session):
     docs = pd.DataFrame({
         "doc_id": [1, 2, 3],
@@ -182,3 +187,72 @@ def test_budget_sample_zero_and_unlimited(ray_session):
     everything = budget_sample(rd.from_pandas(docs), "doc_id", "grp", "w",
                                default_budget=10**9).to_pandas()
     assert len(everything) == 100
+
+
+def test_pii_scrub_matches_duckdb(ray_session, docs_ds, duck):
+    from chronon_ray.functions.scrub import PIIScrubStage, scrub_oracle_sql
+
+    out = docs_ds.map_batches(PIIScrubStage(), batch_format="pandas") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    expr, counts = scrub_oracle_sql("coalesce(text,'')")
+    sql = (f"select doc_id, {expr} as text_scrubbed, "
+           + ", ".join(f"{v} as {k}" for k, v in counts.items())
+           + " from documents order by doc_id")
+    exp = duck.sql(sql).df()
+    for c in ["text_scrubbed", "n_email", "n_ipv4", "n_phone"]:
+        assert out[c].tolist() == exp[c].tolist(), c
+
+
+def test_decontaminate_against_serial(ray_session, docs_ds):
+    import pandas as pd
+    import ray.data as rd
+
+    from chronon_ray.functions.decontaminate import decontaminate, _doc_grams
+
+    def _b(t):
+        import pyarrow.compute as pc
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        import pyarrow as pa
+        return t.filter(pa.array(ids % 20 == 0))
+
+    _b.__name__ = "bench_subset"
+    bench = docs_ds.map_batches(_b, batch_format="pyarrow")
+    out = decontaminate(docs_ds, bench, "text", "doc_id", n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # serial oracle
+    pdf = docs_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bset = set()
+    for t in pdf[pdf["doc_id"] % 20 == 0]["text"]:
+        bset.update(_doc_grams(pd.Series([t]), 5).tolist())
+    for _, r in pdf.iterrows():
+        g = _doc_grams(pd.Series([r["text"]]), 5)
+        total = len(g)
+        bad = int(g.isin(bset).sum())
+        row = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert row["n_grams"] == total
+        assert row["n_contaminated"] == bad, r["doc_id"]
+        assert bool(row["keep"]) == (bad / max(total, 1) <= 0.0)
+    # every benchmark member with >=5 words is fully contaminated
+    m = out[(out["doc_id"] % 20 == 0) & (out["n_grams"] > 0)]
+    assert (m["n_contaminated"] == m["n_grams"]).all()
+    assert (~m["keep"]).all()
+
+
+def test_decontaminate_hashed_mode(ray_session, docs_ds):
+    from chronon_ray.functions.decontaminate import decontaminate
+
+    def _b(t):
+        import pyarrow.compute as pc
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        import pyarrow as pa
+        return t.filter(pa.array(ids % 20 == 0))
+
+    _b.__name__ = "bench_subset"
+    bench = docs_ds.map_batches(_b, batch_format="pyarrow")
+    a = decontaminate(docs_ds, bench, "text", "doc_id", n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = decontaminate(docs_ds, bench, "text", "doc_id", n=5,
+                      hashed=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["n_contaminated"] == b["n_contaminated"]).all()
+    assert (a["keep"] == b["keep"]).all()
