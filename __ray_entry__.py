@@ -497,6 +497,24 @@ def q_repetition_signals(sf_dir: str):
     return out
 
 
+def q_char_dup_ngrams(sf_dir: str):
+    """Duplicate 20-CHAR-gram stats per doc (Lee et al. exact-substring
+    granularity): grams cross the exchange as 8-byte rolling hashes, never
+    strings; the oracle rebuilds the same windows with substring()."""
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import char_dup_ngram_stats
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = char_dup_ngram_stats(docs, "text", "doc_id", L=20,
+                               num_partitions=32).to_pandas()
+    for c in ("n_grams", "n_dup_grams", "n_cross_doc_grams"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_dup_ngrams(sf_dir: str):
     """Corpus-wide duplicate 5-gram stats per doc (exact-substring-dedup
     family, Lee et al. 2022): two co-partitioned shuffles, gram strings
@@ -994,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_signals": q_text_signals,
         "repetition_signals": q_repetition_signals,
         "dup_ngrams": q_dup_ngrams,
+        "char_dup_ngrams": q_char_dup_ngrams,
         "pack_sequences": q_pack_sequences,
         "incremental_serve": q_incremental_serve,
         "stratified_sample": q_stratified_sample,
@@ -1523,6 +1542,38 @@ def oracle_sql() -> dict[str, str]:
             left join wc using (doc_id)
             left join top2 using (doc_id)
             left join g5a using (doc_id)
+        """,
+        "char_dup_ngrams": r"""
+            with pos as (
+                select doc_id,
+                       unnest(generate_series(1,
+                           greatest(length(coalesce(text,'')) - 19, 0))) as i
+                from documents
+            ), g as (
+                select p.doc_id, substring(coalesce(d.text,''), p.i, 20)
+                    as gram
+                from pos p join documents d using (doc_id)
+            ), gc as (
+                select doc_id, gram, count(*) as cnt
+                from g group by doc_id, gram
+            ), gt as (
+                select gram, sum(cnt) as total, count(*) as ndocs
+                from gc group by gram
+            ), per as (
+                select gc.doc_id, gc.cnt,
+                       case when gt.total > 1 then gc.cnt else 0 end as dup,
+                       case when gt.ndocs > 1 then gc.cnt else 0 end as xd
+                from gc join gt using (gram)
+            )
+            select doc_id,
+                   cast(sum(cnt) as bigint) as n_grams,
+                   cast(sum(dup) as bigint) as n_dup_grams,
+                   cast(sum(xd) as bigint) as n_cross_doc_grams,
+                   cast(cast(sum(dup) as bigint) as double)
+                       / cast(sum(cnt) as bigint) as dup_gram_frac,
+                   cast(cast(sum(xd) as bigint) as double)
+                       / cast(sum(cnt) as bigint) as cross_doc_gram_frac
+            from per group by doc_id
         """,
         "dup_ngrams": r"""
             with w as (

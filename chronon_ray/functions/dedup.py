@@ -830,6 +830,14 @@ def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
         num_partitions = auto_partitions(ds, expansion=float(n))
     grams = ds.map_batches(_NgramEmit(text_col, id_col, n),
                            batch_format="pandas")
+    return _dup_gram_pipeline(grams, id_col, num_partitions)
+
+
+def _dup_gram_pipeline(grams: ray.data.Dataset, id_col: str,
+                       num_partitions: int) -> ray.data.Dataset:
+    """Shared tail of the dup-gram family: (gram, doc, cnt) → per-doc stats.
+    ``gram`` may be a string (word n-grams) or an int64 hash (char grams) —
+    only the first exchange carries it either way."""
 
     def mark(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("gram", sort=False)["cnt"]
@@ -874,3 +882,79 @@ def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
 
     finish.__name__ = "finish_dup_ngrams"
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+class _CharGramEmit:
+    """Distinct (char-L-gram rolling hash, doc, cnt) rows per batch, fully
+    vectorized: texts are decoded to UTF-32 codepoint arrays (so gram
+    positions/lengths are CHARACTER-based, matching SQL substring()), and
+    every window hash comes from one polynomial prefix-scan — no per-doc
+    Python loop. Hash: H(i,L) = sum c[j]·b^(i+L-1-j) mod 2^64, computed as
+    (S[i+L]-S[i])·b^(i+L-1) with S the binv-weighted prefix sum (b odd ⇒
+    invertible mod 2^64)."""
+
+    _B = np.uint64(0x100000001B3)  # FNV64 prime (odd)
+
+    def __init__(self, text_col: str, id_col: str, L: int):
+        self.__name__ = type(self).__name__
+        self.text_col, self.id_col, self.L = text_col, id_col, L
+        self._binv = np.uint64(pow(int(self._B), -1, 1 << 64))
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        L = self.L
+        texts = pdf[self.text_col].fillna("")
+        enc = texts.str.encode("utf-32-le").to_numpy()
+        lens = np.fromiter((len(x) >> 2 for x in enc), dtype=np.int64,
+                           count=len(enc))
+        empty = pd.DataFrame({"gram": pd.Series([], dtype=np.int64),
+                              "doc": pd.Series([], dtype=np.int64),
+                              "cnt": pd.Series([], dtype=np.int64)})
+        n = int(lens.sum())
+        if n == 0:
+            return empty
+        c = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            binv_pows = np.concatenate(
+                [[np.uint64(1)],
+                 np.cumprod(np.full(n - 1, self._binv, dtype=np.uint64))]) \
+                if n > 1 else np.array([1], dtype=np.uint64)
+            b_pows = np.concatenate(
+                [[np.uint64(1)],
+                 np.cumprod(np.full(n - 1, self._B, dtype=np.uint64))]) \
+                if n > 1 else np.array([1], dtype=np.uint64)
+            S = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(c * binv_pows, out=S[1:])
+            counts = np.maximum(lens - L + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                return empty
+            doc_idx = np.repeat(np.arange(len(lens)), counts)
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            starts = offs[doc_idx] + (np.arange(total) - cum[doc_idx])
+            H = ((S[starts + L] - S[starts]) * b_pows[starts + L - 1]) \
+                .view(np.int64)
+        ids = pdf[self.id_col].to_numpy()[doc_idx]
+        cc = pd.DataFrame({"gram": H, "doc": ids}) \
+            .groupby(["gram", "doc"], sort=False).size()
+        return pd.DataFrame({
+            "gram": cc.index.get_level_values(0).to_numpy(),
+            "doc": cc.index.get_level_values(1).to_numpy(),
+            "cnt": cc.to_numpy().astype(np.int64),
+        })
+
+
+def char_dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
+                         L: int = 20,
+                         num_partitions: Optional[int] = None
+                         ) -> ray.data.Dataset:
+    """dup_ngram_stats at CHARACTER granularity (Lee et al. 2022's
+    exact-substring unit): per doc, how many of its L-char windows are
+    duplicated elsewhere in the corpus. Grams cross the exchange as 8-byte
+    rolling hashes, never as strings — collision odds ~(distinct²)/2^65.
+    Same two-shuffle co-partitioned plan as dup_ngram_stats."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds, expansion=8.0)
+    grams = ds.map_batches(_CharGramEmit(text_col, id_col, L),
+                           batch_format="pandas")
+    return _dup_gram_pipeline(grams, id_col, num_partitions)

@@ -256,3 +256,40 @@ def test_decontaminate_hashed_mode(ray_session, docs_ds):
         .sort_values("doc_id").reset_index(drop=True)
     assert (a["n_contaminated"] == b["n_contaminated"]).all()
     assert (a["keep"] == b["keep"]).all()
+
+
+
+def test_char_dup_ngram_stats_matches_duckdb(ray_session, docs_ds, duck):
+    from chronon_ray.functions.dedup import char_dup_ngram_stats
+
+    out = char_dup_ngram_stats(docs_ds, "text", "doc_id", L=12,
+                               num_partitions=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = duck.sql(r"""
+        with pos as (
+            select doc_id,
+                   unnest(generate_series(1,
+                       greatest(length(coalesce(text,'')) - 11, 0))) as i
+            from documents
+        ), g as (
+            select p.doc_id, substring(coalesce(d.text,''), p.i, 12) as gram
+            from pos p join documents d using (doc_id)
+        ), gc as (
+            select doc_id, gram, count(*) as cnt from g group by doc_id, gram
+        ), gt as (
+            select gram, sum(cnt) as total, count(*) as ndocs
+            from gc group by gram
+        ), per as (
+            select gc.doc_id, gc.cnt,
+                   case when gt.total > 1 then gc.cnt else 0 end as dup,
+                   case when gt.ndocs > 1 then gc.cnt else 0 end as xd
+            from gc join gt using (gram)
+        )
+        select doc_id, cast(sum(cnt) as bigint) as n_grams,
+               cast(sum(dup) as bigint) as n_dup_grams,
+               cast(sum(xd) as bigint) as n_cross_doc_grams
+        from per group by doc_id order by doc_id
+    """).df()
+    assert len(out) == len(exp)
+    for c in ["n_grams", "n_dup_grams", "n_cross_doc_grams"]:
+        assert out[c].tolist() == exp[c].tolist(), c
