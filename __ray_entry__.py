@@ -653,6 +653,34 @@ def q_ivf_knn(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_curate(sf_dir: str):
+    """Flagship curation composite: length gate + decontamination (benchmark
+    = doc_id %% 20 == 0) + deterministic 80%% sample + exact-dedup canonical
+    election, ONE shuffle, audit row per doc."""
+    import ray.data as rd
+
+    from chronon_ray.pipelines.curation import curate_documents
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_subset(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench_subset.__name__ = "bench_subset"
+    bench = docs.map_batches(bench_subset, batch_format="pyarrow")
+    out = curate_documents(docs, bench, min_tokens=50, ngram_n=5,
+                           sample_fraction=0.8, seed=7,
+                           num_partitions=32).to_pandas()
+    for c in ("pass_length", "pass_decontaminate", "pass_sample",
+              "is_canonical", "keep"):
+        out[c] = out[c].astype(np.int64)
+    out["contaminated_frac"] = out["contaminated_frac"].round(6)
+    return out
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction over documents with deterministic synthetic PII appended
     (the raw corpus has none) — scrubbed text + per-category counts, matched
@@ -1019,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "ivf_knn": q_ivf_knn,
         "hnsw_knn": q_hnsw_knn,
+        "curate": q_curate,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "multimodal_features": q_multimodal_features,
@@ -1290,6 +1319,59 @@ def oracle_sql() -> dict[str, str]:
                 from (select * from embeddings where vec_id < 10) q
                 cross join embeddings c)
             where rank <= 5
+        """,
+        "curate": r"""
+            with w as (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           as w,
+                       generate_subscripts(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                           as ord
+                from documents
+            ), g as (
+                select a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                           || ' ' || e.w as gram
+                from w a
+                join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+                join w c on a.doc_id = c.doc_id and c.ord = a.ord + 2
+                join w d on a.doc_id = d.doc_id and d.ord = a.ord + 3
+                join w e on a.doc_id = e.doc_id and e.ord = a.ord + 4
+            ), bg as (
+                select distinct gram from g where doc_id % 20 = 0
+            ), per as (
+                select g.doc_id, count(*) as n_grams,
+                       sum(case when bg.gram is not null then 1 else 0 end)
+                           as n_contaminated
+                from g left join bg on g.gram = bg.gram
+                group by g.doc_id
+            )
+            select d.doc_id,
+                   cast(len(regexp_extract_all(coalesce(d.text, ''), '\S+'))
+                        as bigint) as n_tokens,
+                   round(cast(coalesce(per.n_contaminated, 0) as double)
+                       / greatest(coalesce(per.n_grams, 0), 1), 6)
+                       as contaminated_frac,
+                   cast(case when len(regexp_extract_all(coalesce(d.text, ''),
+                        '\S+')) between 50 and 1000000
+                        then 1 else 0 end as bigint) as pass_length,
+                   cast(case when coalesce(per.n_contaminated, 0) = 0
+                        then 1 else 0 end as bigint) as pass_decontaminate,
+                   cast(case when (xor((((xor((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296), ((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296), ((((xor((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296), ((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296)) // 65536)) < 3435973836 then 1 else 0 end as bigint)
+                       as pass_sample,
+                   cast(case when d.doc_id = min(d.doc_id) over
+                        (partition by d.text) then 1 else 0 end as bigint)
+                       as is_canonical,
+                   cast(case when
+                        len(regexp_extract_all(coalesce(d.text, ''), '\S+'))
+                            between 50 and 1000000
+                        and coalesce(per.n_contaminated, 0) = 0
+                        and (xor((((xor((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296), ((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296), ((((xor((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296), ((((xor(xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7), (xor(xor(cast(d.doc_id as hugeint) % 4294967296, cast(d.doc_id as hugeint) // 4294967296), 7)) // 65536)) * 2246822507) % 4294967296)) // 8192)) * 3266489909) % 4294967296)) // 65536)) < 3435973836
+                        and d.doc_id = min(d.doc_id) over
+                            (partition by d.text)
+                        then 1 else 0 end as bigint) as keep
+            from documents d left join per on d.doc_id = per.doc_id
         """,
         "pii_scrub": """
             select doc_id,
