@@ -444,6 +444,23 @@ def q_embedding_neardup(sf_dir: str):
     return out[["a", "b", "cosine"]]
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc TF-IDF top-5 terms: one streaming DF pass (vocab-sized
+    partials through a small groupby), broadcast DF table, vectorized
+    per-batch ranking. Integer-only output columns (tf, df, rank) so the
+    value hash never touches floats; ties broken by term ascending in
+    exact parity with the oracle's row_number() ordering."""
+    import ray.data as rd
+
+    from chronon_ray.functions.text import tfidf_top_terms
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=5).to_pandas()
+    return out[["doc_id", "term", "tf", "df", "rank"]]
+
+
 def q_text_quality(sf_dir: str):
     """Quality-score metrics (C4/Gopher-style heuristics) — every output
     column is an exact integer-ratio computation reproducible in SQL."""
@@ -1036,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality": q_text_quality,
         "text_signals": q_text_signals,
         "repetition_signals": q_repetition_signals,
@@ -1500,6 +1518,27 @@ def oracle_sql() -> dict[str, str]:
                                                     y.embedding), 4) as cosine
                 from embeddings x join embeddings y on x.vec_id < y.vec_id)
             where cosine >= 0.95
+        """,
+        "tfidf_top_terms": """
+            with toks as (
+                select doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) as term
+                from documents
+            ), tf as (
+                select doc_id, term, count(*)::bigint as tf
+                from toks where term <> '' group by 1, 2
+            ), df as (
+                select term, count(*)::bigint as df from tf group by 1
+            ), n as (select count(*) as n from documents),
+            scored as (
+                select tf.doc_id, tf.term, tf.tf, df.df,
+                    row_number() over (partition by tf.doc_id
+                        order by tf.tf * ln((select n from n)::double / df.df)
+                                 desc, tf.term) as rnk
+                from tf join df using (term)
+            )
+            select doc_id, term, tf, df, rnk::bigint as rank
+            from scored where rnk <= 5
         """,
         "text_quality": """
             with w as (

@@ -259,3 +259,123 @@ class FingerprintStage:
                 out[i] = np.int64(h >> np.uint64(1))
         batch[self.out_col] = out
         return batch
+
+
+# ------------------------------------------------------------- TF-IDF
+
+#: sentinel term carrying the corpus doc count through the DF aggregation,
+#: so N and DF come out of ONE streaming pass (no second scan for count()).
+_N_DOCS_SENTINEL = "\x00__n_docs__\x00"
+
+
+class _DfPartial:
+    """Per-batch document-frequency partial: (term, df) where df is the
+    number of docs IN THIS BATCH containing the term, plus one sentinel row
+    with the batch's doc count. Only vocab-sized partials cross the shuffle
+    — the (doc, term) explosion never leaves the task."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        toks = texts.str.split()
+        lengths = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        if lengths.sum() == 0:
+            return pd.DataFrame({
+                "term": [_N_DOCS_SENTINEL],
+                "df": np.array([len(batch)], dtype=np.int64)})
+        flat = np.concatenate(toks.to_numpy())
+        doc_idx = np.repeat(np.arange(len(batch)), lengths)
+        # distinct (doc, term) pairs, then count docs per term — all C paths
+        pairs = pd.DataFrame({"d": doc_idx, "term": flat})
+        df = (pairs.drop_duplicates().groupby("term", sort=False)
+              .size().reset_index(name="df"))
+        df["df"] = df["df"].astype(np.int64)
+        sent = pd.DataFrame({"term": [_N_DOCS_SENTINEL],
+                             "df": np.array([len(batch)], dtype=np.int64)})
+        return pd.concat([df, sent], ignore_index=True)
+
+
+def document_frequency(docs, text_col: str = "text"):
+    """(vocab-sized pandas DF table, corpus doc count N) in one streaming
+    pass: per-batch partials → small groupby(term) sum. The result is
+    driver-materialized BY DESIGN — document frequency is the canonical
+    small side of TF-IDF (vocab ≪ corpus; prune with min_df downstream
+    if a pathological corpus breaks that assumption)."""
+    part = docs.map_batches(_DfPartial(text_col), batch_format="pandas",
+                            batch_size=4096)
+    agg = part.groupby("term").sum("df").to_pandas()
+    # groupby.sum names the output column sum(df)
+    col = "sum(df)" if "sum(df)" in agg.columns else "df"
+    agg = agg.rename(columns={col: "df"})
+    n_mask = agg["term"] == _N_DOCS_SENTINEL
+    n_docs = int(agg.loc[n_mask, "df"].iloc[0])
+    return agg.loc[~n_mask].reset_index(drop=True), n_docs
+
+
+class TfIdfTopK:
+    """Per-doc TF-IDF top-k terms against a BROADCAST document-frequency
+    table (ray.put once, fetched per actor — never re-shipped per batch).
+
+    Score = tf * ln(N / df); rank ties broken by term ascending, matching
+    the SQL oracle's row_number() ordering. Output columns are integer-only
+    (tf, df, rank) so the driver's value hash never touches floats."""
+
+    def __init__(self, ref, k: int = 5, min_df: int = 1,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.ref, self.k, self.min_df = ref, k, min_df
+        self.text_col, self.id_col = text_col, id_col
+        self._df = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self._df is None:
+            import ray
+            df_tbl, n_docs = ray.get(self.ref)
+            self._df = df_tbl.set_index("term")["df"]
+            self._idf = np.log(float(n_docs) / self._df.to_numpy())
+            self._idf = pd.Series(self._idf, index=self._df.index)
+        texts = batch[self.text_col].fillna("")
+        toks = texts.str.split()
+        lengths = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=str),
+            "tf": pd.Series([], dtype=np.int64),
+            "df": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64)})
+        if lengths.sum() == 0:
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        d = np.repeat(batch[self.id_col].to_numpy(), lengths)
+        tf = (pd.DataFrame({"doc_id": d, "term": flat})
+              .groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["df"] = tf["term"].map(self._df).fillna(0).astype(np.int64)
+        tf = tf[tf["df"] >= self.min_df]
+        if not len(tf):
+            return empty
+        score = tf["tf"].to_numpy() * tf["term"].map(self._idf).to_numpy()
+        tf = tf.assign(_neg=-score).sort_values(
+            ["doc_id", "_neg", "term"], kind="mergesort")
+        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        out = tf[tf["rank"] <= self.k].drop(columns="_neg")
+        out["tf"] = out["tf"].astype(np.int64)
+        out["rank"] = out["rank"].astype(np.int64)
+        return out.reset_index(drop=True)
+
+
+def tfidf_top_terms(docs, k: int = 5, min_df: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k TF-IDF terms per document. Two streaming passes over the
+    corpus: (1) vocab-sized DF partials → one small groupby; (2) broadcast
+    the DF table (ray.put once) and rank per batch. No (doc, term) pairs
+    ever cross a shuffle — the design holds at corpus sizes where exploding
+    tokens through an exchange would dominate."""
+    import ray
+
+    df_tbl, n_docs = document_frequency(docs, text_col)
+    ref = ray.put((df_tbl, n_docs))
+    return docs.map_batches(
+        TfIdfTopK(ref, k=k, min_df=min_df, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=4096)

@@ -316,3 +316,38 @@ def test_multimodal_real_codecs(ray_session):
     first = vid[0]  # k=3, idx0 = 0
     np.testing.assert_array_equal(
         np.asarray(vout["frames"].iloc[0][0]).reshape(12, 16, 3), first)
+
+
+def test_tfidf_top_terms(ray_session):
+    """TF-IDF edge cases: empty docs drop out, min_df prunes rare terms,
+    rank ties break by term ascending."""
+    import pandas as pd
+
+    from chronon_ray.functions.text import document_frequency, tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple banana apple", "banana cherry", "", "yak zebra"],
+    })
+    ds = ray.data.from_pandas(docs)
+    df_tbl, n = document_frequency(ds)
+    assert n == 4
+    got_df = dict(zip(df_tbl["term"], df_tbl["df"]))
+    assert got_df == {"apple": 1, "banana": 2, "cherry": 1,
+                      "yak": 1, "zebra": 1}
+
+    out = tfidf_top_terms(ray.data.from_pandas(docs), k=2).to_pandas()
+    assert set(out["doc_id"]) == {1, 2, 4}  # empty doc emits nothing
+    d1 = out[out["doc_id"] == 1].sort_values("rank")
+    # doc1: apple tf=2 idf=ln(4) beats banana tf=1 idf=ln(2)
+    assert list(d1["term"]) == ["apple", "banana"]
+    d2 = out[out["doc_id"] == 2].sort_values("rank")
+    # cherry idf=ln(4) > banana idf=ln(2), equal tf
+    assert list(d2["term"]) == ["cherry", "banana"]
+    d4 = out[out["doc_id"] == 4].sort_values("rank")
+    # equal tf, equal df -> exact score tie -> term ascending
+    assert list(d4["term"]) == ["yak", "zebra"]
+
+    pruned = tfidf_top_terms(ray.data.from_pandas(docs), k=2,
+                             min_df=2).to_pandas()
+    assert set(pruned["term"]) == {"banana"}
