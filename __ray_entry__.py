@@ -423,6 +423,25 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-cosine semantic dedup) — rows-only check:
+    k-means clustering is not SQL-expressible. Every input vector gets one
+    decision row (keep / dup_of), so the row count is the corpus size;
+    planted-duplicate recall and greedy-chain semantics are covered in
+    pytest (test_functions.test_semdedup)."""
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import semdedup
+
+    _ctx()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(emb, "embedding", "vec_id", threshold=0.4,
+                   n_clusters=8).to_pandas()
+    out["keep"] = out["keep"].astype(bool)
+    return out[["vec_id", "cluster", "keep", "dup_of"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Multi-table SRP-LSH candidates verified by exact cosine; emits the
     canonical (a<b) pair set with cosine ≥ 0.95."""
@@ -1053,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality": q_text_quality,
         "text_signals": q_text_signals,

@@ -351,3 +351,43 @@ def test_tfidf_top_terms(ray_session):
     pruned = tfidf_top_terms(ray.data.from_pandas(docs), k=2,
                              min_df=2).to_pandas()
     assert set(pruned["term"]) == {"banana"}
+
+
+def test_semdedup(ray_session):
+    """Planted duplicates collapse to their first id; greedy kept-set
+    semantics: a chain a~b, b~c (a !~ c) keeps both ends."""
+    from chronon_ray.functions.dedup import semdedup
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = rng.normal(size=(30, 64)).astype(np.float32)
+    dup = base[:8] + rng.normal(scale=0.005, size=(8, 64)).astype(np.float32)
+    emb = np.concatenate([base, dup])
+    ids = np.arange(len(emb))
+    tbl = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(list(emb), type=pa.list_(pa.float32()))})
+    out = semdedup(ray.data.from_arrow(tbl), "embedding", "vec_id",
+                   threshold=0.98, n_clusters=4).to_pandas() \
+        .set_index("vec_id").sort_index()
+    assert len(out) == len(emb)  # one decision per vector
+    # each planted dup (30+i) is dropped in favor of base i
+    for i in range(8):
+        assert not out.loc[30 + i, "keep"]
+        assert out.loc[30 + i, "dup_of"] == i
+    # bases unrelated to each other all kept
+    assert out.loc[:29, "keep"].all()
+
+    # greedy chain: b ~ a and c ~ b but c !~ a -> c is KEPT (its only
+    # near neighbor b was already dropped)
+    a = np.zeros(8, dtype=np.float32); a[0] = 1.0
+    rot = np.zeros(8, dtype=np.float32); rot[1] = 1.0
+    theta = 0.18  # cos(theta)=0.984 ; cos(2*theta)=0.936 < 0.98
+    b = np.cos(theta) * a + np.sin(theta) * rot
+    c = np.cos(2 * theta) * a + np.sin(2 * theta) * rot
+    tbl2 = pa.table({"vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                     "embedding": pa.array([list(a), list(b), list(c)],
+                                           type=pa.list_(pa.float32()))})
+    out2 = semdedup(ray.data.from_arrow(tbl2), "embedding", "vec_id",
+                    threshold=0.98, n_clusters=1).to_pandas() \
+        .set_index("vec_id").sort_index()
+    assert bool(out2.loc[0, "keep"]) and not bool(out2.loc[1, "keep"])
+    assert bool(out2.loc[2, "keep"])  # chain does not cascade
