@@ -200,6 +200,163 @@ def _tile_array(arr, times: int) -> pa.Array:
     return pa.concat_arrays([arr] * times)
 
 
+class _MinHashTagged:
+    """One pass over docs → tagged union of LEAN band rows (band ≥ 0:
+    id, band, band_hash, sig=null) and ONE signature row per doc
+    (band = -1, sig=list<int64>). Unlike the replicated layout, the full
+    num_perm signature is emitted once, not once per band — the band
+    exchange ships ~20 B/doc/band instead of ~1 KB/doc/band."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
+                 bands: int = 16, shingle_k: int = 5):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sh = _char_shingles(texts, self.k)
+        sigs = _minhash_sig_batch(sh, self.a, self.b)
+        r = self.rows_per_band
+        n = len(texts)
+        band_hash = np.empty((n, self.bands), dtype=np.int64)
+        for bi in range(self.bands):
+            seg = sigs[:, bi * r:(bi + 1) * r]
+            hh = np.zeros(n, dtype=np.uint64)
+            for c in range(r):
+                hh = hh * np.uint64(1099511628211) + seg[:, c]
+            band_hash[:, bi] = (hh >> np.uint64(1)).astype(np.int64)
+        offsets = np.arange(0, (n + 1) * self.num_perm, self.num_perm,
+                            dtype=np.int32)
+        sig_list = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(sigs.view(np.int64).reshape(-1)))
+        return pa.table({
+            self.id_col: pa.concat_arrays([_tile_array(ids, self.bands), ids]),
+            "band": pa.array(np.concatenate([
+                np.repeat(np.arange(self.bands, dtype=np.int32), n),
+                np.full(n, -1, dtype=np.int32)])),
+            "band_hash": pa.array(np.concatenate([
+                band_hash.T.reshape(-1), np.zeros(n, dtype=np.int64)])),
+            "sig": pa.concat_arrays([
+                pa.nulls(n * self.bands, pa.list_(pa.int64())), sig_list]),
+        })
+
+
+class _BandBucketCandidates:
+    """One hash partition of lean (band, band_hash) buckets → raw candidate
+    id pairs (a < b), no signatures. Pair emission per bucket is a single
+    triu_indices gather — no python pair loop."""
+
+    def __init__(self, id_col: str):
+        self.__name__ = type(self).__name__
+        self.id_col = id_col
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64)})
+        if len(pdf) < 2:
+            return empty
+        order, bounds = _bucket_bounds([
+            pdf["band"].to_numpy().astype(np.int64),
+            pdf["band_hash"].to_numpy()])
+        ids_all = pdf[self.id_col].to_numpy()
+        out_a, out_b = [], []
+        for s, e in bounds[(bounds[:, 1] - bounds[:, 0]) >= 2]:
+            ids = np.unique(ids_all[order[s:e]])
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+
+def _attach_sigs_and_estimate(
+    pairs: ray.data.Dataset,
+    sig_rows: ray.data.Dataset,
+    id_col: str,
+    threshold: float,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Distributed signature verification: pairs explode into two keyed
+    halves, co-partitioned with the (one-copy) signature table; a second
+    tiny exchange on (a, b) reunites the halves and computes the estimate.
+    Signatures cross ONE exchange once each; no driver collection."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        n = len(a)
+        return pa.table({
+            "key": pa.concat_arrays([a, b]),
+            "slot": pa.array(np.repeat(np.array([0, 1], np.int8), n)),
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
+            "sig": pa.nulls(2 * n, pa.list_(pa.int64())),
+        })
+
+    explode.__name__ = "explode_pair_halves"
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "key": t[id_col],
+            "slot": pa.array(np.full(n, -1, dtype=np.int8)),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "sig": t["sig"],
+        })
+
+    tag_sigs.__name__ = "tag_sig_rows"
+
+    u = pairs.map_batches(explode, batch_format="pyarrow") \
+        .union(sig_rows.map_batches(tag_sigs, batch_format="pyarrow"))
+    u = _partition_by_hash(u, ["key"], num_partitions)
+
+    def attach(pdf: pd.DataFrame) -> pd.DataFrame:
+        halves = pdf[pdf["slot"] >= 0]
+        sigs = pdf[pdf["slot"] < 0][["key", "sig"]]
+        if not len(halves):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "slot": pd.Series(dtype=np.int8),
+                                 "sig": pd.Series(dtype=object)})
+        out = halves[["key", "slot", "a", "b"]].merge(sigs, on="key")
+        return out[["a", "b", "slot", "sig"]].astype(
+            {"a": np.int64, "b": np.int64})
+
+    attach.__name__ = "attach_sigs"
+    attached = u.groupby("_part").map_groups(attach, batch_format="pandas")
+    attached = _partition_by_hash(attached, ["a", "b"], num_partitions)
+
+    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "jaccard": pd.Series(dtype=np.float64)})
+        if not len(pdf):
+            return empty
+        pdf = pdf.sort_values(["a", "b", "slot"], kind="mergesort")
+        S = np.stack([np.asarray(s, dtype=np.int64)
+                      for s in pdf["sig"].to_numpy()])
+        est = (S[0::2] == S[1::2]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"a": pdf["a"].to_numpy()[0::2][keep],
+                             "b": pdf["b"].to_numpy()[0::2][keep],
+                             "jaccard": est[keep]})
+
+    estimate.__name__ = "estimate_pairs"
+    return attached.groupby("_part").map_groups(estimate,
+                                                batch_format="pandas")
+
+
 def _bucket_bounds(bucket_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized bucket grouping: rows → (sort order, bucket boundaries).
 
@@ -216,50 +373,6 @@ def _bucket_bounds(bucket_cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarra
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(sk))
     return order, np.stack([starts, ends], axis=1)
-
-
-class _BandBucketsPartition:
-    """One hash partition of (band, band_hash) buckets → candidate pairs
-    with sig-estimated Jaccard. Bucket bookkeeping is vectorized; only
-    buckets holding ≥2 docs (rare — docs agreeing on a full band) run the
-    pairwise signature compare."""
-
-    def __init__(self, id_col: str, threshold: float):
-        self.__name__ = type(self).__name__
-        self.id_col = id_col
-        self.threshold = threshold
-
-    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        order, bounds = _bucket_bounds([
-            pdf["band"].to_numpy().astype(np.int64),
-            pdf["band_hash"].to_numpy()])
-        ids_all = pdf[self.id_col].to_numpy()
-        sig_all = pdf["sig"].to_numpy()
-        out_a, out_b, out_j = [], [], []
-        for s, e in bounds[(bounds[:, 1] - bounds[:, 0]) >= 2]:
-            rows = order[s:e]
-            ids = ids_all[rows]
-            uniq, first = np.unique(ids, return_index=True)
-            if len(uniq) < 2:
-                continue
-            rows = rows[np.sort(first)]
-            ids = ids_all[rows]
-            sigs = np.stack([np.asarray(sig_all[r], dtype=np.int64)
-                             for r in rows])
-            n = len(ids)
-            for i in range(n - 1):
-                eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-                hit = np.flatnonzero(eq >= self.threshold)
-                for j in hit:
-                    x, y = ids[i], ids[i + 1 + j]
-                    if x > y:
-                        x, y = y, x
-                    out_a.append(x)
-                    out_b.append(y)
-                    out_j.append(float(eq[j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
 
 
 def _partition_by_hash(ds: ray.data.Dataset, cols: list[str],
@@ -299,21 +412,82 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     concurrency: int | None = None,
+    small_mode_cutoff: int = 100_000,
 ) -> ray.data.Dataset:
-    """Near-duplicate candidate pairs (a, b, jaccard-estimate), deduplicated."""
+    """Near-duplicate candidate pairs (a, b, jaccard-estimate), deduplicated.
+
+    Lean-exchange plan: ONE minhash pass emits 20-byte band rows (×bands)
+    plus the full signature ONCE per doc (tagged union, materialized so the
+    band and signature consumers don't recompute the pass). Candidates come
+    from a (band, band_hash) bucket exchange of band rows only; the few
+    surviving pairs are verified against signatures either driver-side
+    (small mode, bounded by `small_mode_cutoff` ids) or through a
+    co-partitioned halves/signatures exchange — signatures cross a shuffle
+    exactly once, vs once per band in a replicated layout (~16× fewer
+    exchange bytes at the defaults)."""
     kw = dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
               shingle_k=shingle_k)
     if concurrency:
-        sigs = ds.map_batches(MinHashStage, fn_constructor_kwargs=kw,
-                              batch_format="pyarrow", concurrency=concurrency)
+        tagged = ds.map_batches(_MinHashTagged, fn_constructor_kwargs=kw,
+                                batch_format="pyarrow",
+                                concurrency=concurrency)
     else:  # plain tasks — cheap init, no CPU reservation
-        sigs = ds.map_batches(MinHashStage(**kw), batch_format="pyarrow")
-    sigs = _partition_by_hash(sigs, ["band", "band_hash"],
-                              auto_partitions(ds))
-    pairs = sigs.groupby("_part").map_groups(
-        _BandBucketsPartition(id_col, threshold), batch_format="pandas")
-    # a pair can surface from several bands — keep one
-    return _dedup_pairs_ds(pairs)
+        tagged = ds.map_batches(_MinHashTagged(**kw), batch_format="pyarrow")
+    tagged = tagged.materialize()
+    nparts = auto_partitions(ds)
+
+    def bands_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["band"], 0)).drop_columns(["sig"])
+
+    bands_only.__name__ = "bands_only"
+
+    def sigs_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["band"], -1)).select([id_col, "sig"])
+
+    sigs_only.__name__ = "sigs_only"
+
+    band_rows = _partition_by_hash(
+        tagged.map_batches(bands_only, batch_format="pyarrow"),
+        ["band", "band_hash"], nparts)
+    cand = band_rows.groupby("_part").map_groups(
+        _BandBucketCandidates(id_col), batch_format="pandas")
+    pairs = _dedup_pairs_ds(cand).materialize()  # tiny: unique (a, b)
+    sig_rows = tagged.map_batches(sigs_only, batch_format="pyarrow")
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+            "jaccard": pd.Series(dtype=np.float64)}))
+    if 2 * n_pairs <= small_mode_cutoff:
+        # small mode (reference small_mode_cutoff analog): the candidate id
+        # set is tiny — broadcast it, stream-filter the sig table, and
+        # estimate on the driver over ≤ cutoff signatures.
+        pp = pairs.to_pandas()
+        idset = ray.put(set(pp["a"]) | set(pp["b"]))
+
+        def flt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            wanted = ray.get(idset)
+            mask = pc.is_in(t[id_col],
+                            value_set=pa.array(list(wanted), pa.int64()))
+            return t.filter(mask)
+
+        flt.__name__ = "filter_pair_sigs"
+        sp = sig_rows.map_batches(flt, batch_format="pyarrow").to_pandas()
+        sig_of = dict(zip(sp[id_col],
+                          (np.asarray(s, np.int64) for s in sp["sig"])))
+        A = np.stack([sig_of[x] for x in pp["a"]])
+        B = np.stack([sig_of[x] for x in pp["b"]])
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return ray.data.from_pandas(pd.DataFrame({
+            "a": pp["a"].to_numpy()[keep], "b": pp["b"].to_numpy()[keep],
+            "jaccard": est[keep]}))
+    return _attach_sigs_and_estimate(pairs, sig_rows, id_col, threshold,
+                                     nparts)
 
 
 def _label_checksum(labels: ray.data.Dataset) -> int:
