@@ -480,6 +480,22 @@ def q_tfidf_top_terms(sf_dir: str):
     return out[["doc_id", "term", "tf", "df", "rank"]]
 
 
+def q_classifier_score(sf_dir: str):
+    """Hashed-feature linear document scorer (fastText-style bag of hashed
+    unigrams): per-actor word→weight cache, integer-only contract columns.
+    The codepoint polynomial hash and Knuth-multiplicative weights are
+    reproduced bit-identically in the SQL oracle."""
+    import ray.data as rd
+
+    from chronon_ray.functions.text import score_documents
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = score_documents(docs, concurrency=4).to_pandas()
+    return out[["doc_id", "n_words", "score_int", "label"]]
+
+
 def q_text_quality(sf_dir: str):
     """Quality-score metrics (C4/Gopher-style heuristics) — every output
     column is an exact integer-ratio computation reproducible in SQL."""
@@ -1074,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
         "text_signals": q_text_signals,
         "repetition_signals": q_repetition_signals,
@@ -1538,6 +1555,29 @@ def oracle_sql() -> dict[str, str]:
                                                     y.embedding), 4) as cosine
                 from embeddings x join embeddings y on x.vec_id < y.vec_id)
             where cosine >= 0.95
+        """,
+        "classifier_score": """
+            with toks as (
+                select doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) as term
+                from documents
+            ), h as (
+                select doc_id,
+                       list_reduce(
+                           list_prepend(cast(0 as bigint), list_transform(
+                               string_split(term, ''), c -> ord(c))),
+                           (acc, x) -> (acc * 31 + x) % 4294967296) as ph
+                from toks where term <> ''
+            ), w as (
+                select doc_id,
+                       ((ph % 1048576) * 2654435761) % 4294967296
+                           - 2147483648 as wt
+                from h
+            )
+            select doc_id, count(*)::bigint as n_words,
+                   sum(wt)::bigint as score_int,
+                   (sum(wt) > 0) as label
+            from w group by doc_id
         """,
         "tfidf_top_terms": """
             with toks as (

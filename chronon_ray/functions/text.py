@@ -379,3 +379,84 @@ def tfidf_top_terms(docs, k: int = 5, min_df: int = 1,
     return docs.map_batches(
         TfIdfTopK(ref, k=k, min_df=min_df, text_col=text_col, id_col=id_col),
         batch_format="pandas", batch_size=4096)
+
+
+# ------------------------------------------- hashed linear classifier
+
+
+def _poly_hash_word(w: str) -> int:
+    """Codepoint polynomial hash mod 2^32 — bit-identical to the DuckDB
+    expression list_reduce(list_prepend(0, list_transform(string_split(w,
+    ''), c -> ord(c))), (acc, x) -> (acc * 31 + x) % 4294967296)."""
+    h = 0
+    for ch in w:
+        h = (h * 31 + ord(ch)) % 4294967296
+    return h
+
+
+class HashedLinearScorerStage:
+    """FastText-style document scorer: a linear model over hashed unigram
+    features. The batched-model-inference pattern: the weight function and
+    the word→feature cache live in the actor (built in __init__, reused
+    across batches); scoring per batch is one explode + map + groupby sum.
+
+    Weights are a deterministic function of the feature index
+    (Knuth-multiplicative, centered), so the whole scorer is reproducible
+    in SQL — integer outputs only, no float in the contract. Swap
+    `_weight` for trained weights (ray.put a weight vector, fetch in
+    __init__) to serve a real model with the same plumbing."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 dim: int = 1 << 20):
+        self.text_col, self.id_col, self.dim = text_col, id_col, dim
+        self._cache: dict[str, int] = {}
+
+    def _weight(self, word: str) -> int:
+        w = self._cache.get(word)
+        if w is None:
+            idx = _poly_hash_word(word) % self.dim
+            w = (idx * 2654435761) % 4294967296 - 2147483648
+            self._cache[word] = w
+        return w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        toks = texts.str.split()
+        lengths = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_words": pd.Series([], dtype=np.int64),
+            "score_int": pd.Series([], dtype=np.int64),
+            "label": pd.Series([], dtype=bool)})
+        if lengths.sum() == 0:
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        for w in pd.unique(flat):
+            self._weight(w)  # warm the cache once per new word
+        wts = pd.Series(flat).map(self._cache).to_numpy(dtype=np.int64)
+        d = np.repeat(batch[self.id_col].to_numpy(), lengths)
+        out = (pd.DataFrame({"doc_id": d, "wt": wts})
+               .groupby("doc_id", sort=False)
+               .agg(n_words=("wt", "size"), score_int=("wt", "sum"))
+               .reset_index())
+        out["n_words"] = out["n_words"].astype(np.int64)
+        out["score_int"] = out["score_int"].astype(np.int64)
+        out["label"] = out["score_int"] > 0
+        return out
+
+
+def score_documents(docs, text_col: str = "text", id_col: str = "doc_id",
+                    dim: int = 1 << 20, concurrency: int | None = None):
+    """(doc_id, n_words, score_int, label) per document — actor pool when
+    concurrency is given (cache persists across batches), plain tasks
+    otherwise."""
+    kw = dict(text_col=text_col, id_col=id_col, dim=dim)
+    if concurrency:
+        # autoscaling pool (min 1): a fixed pool equal to the CPU count
+        # deadlocks the upstream read on small clusters
+        return docs.map_batches(HashedLinearScorerStage,
+                                fn_constructor_kwargs=kw,
+                                batch_format="pandas",
+                                concurrency=(1, concurrency))
+    return docs.map_batches(HashedLinearScorerStage(**kw),
+                            batch_format="pandas")
