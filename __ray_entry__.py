@@ -423,6 +423,25 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact-substring span removal (Lee et al. 2022 rewrite step): chars
+    covered by a 20-char window duplicated in another doc are cut, except
+    in the window's canonical (min-id) doc. Pass 1 = dup-gram exchange;
+    pass 2 = broadcast dup-gram table + streaming rewrite. Window hashes
+    are 64-bit rolling polynomials — the SQL oracle compares exact
+    substrings, so a hash collision would surface as a mismatch."""
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import remove_dup_spans
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = remove_dup_spans(docs, "text", "doc_id", L=20).to_pandas()
+    return out[["doc_id", "text", "n_chars_removed"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (cluster-then-cosine semantic dedup) — rows-only check:
     k-means clustering is not SQL-expressible. Every input vector gets one
@@ -1089,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
+        "dedup_spans": q_dedup_spans,
         "tfidf_top_terms": q_tfidf_top_terms,
         "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
@@ -1555,6 +1575,41 @@ def oracle_sql() -> dict[str, str]:
                                                     y.embedding), 4) as cosine
                 from embeddings x join embeddings y on x.vec_id < y.vec_id)
             where cosine >= 0.95
+        """,
+        "dedup_spans": """
+            with g as (
+                select doc_id, i as pos, substr(text, i::int, 20) as gram
+                from documents,
+                     lateral (select unnest(range(1, len(text) - 18)) as i)
+                where len(text) >= 20
+            ), dupg as (
+                select gram, min(doc_id) as cdoc
+                from (select distinct gram, doc_id from g) group by gram
+                having count(*) > 1
+            ), cov as (
+                select g.doc_id, g.pos from g join dupg using (gram)
+                where g.doc_id != dupg.cdoc
+            ), chars as (
+                select doc_id, i as cpos, substr(text, i::int, 1) as ch
+                from documents,
+                     lateral (select unnest(range(1, len(text) + 1)) as i)
+            ), covered as (
+                select distinct c.doc_id, c.cpos
+                from chars c join cov v on c.doc_id = v.doc_id
+                    and c.cpos >= v.pos and c.cpos < v.pos + 20
+            ), kept as (
+                select c.doc_id, c.cpos, c.ch from chars c
+                anti join covered d
+                    on c.doc_id = d.doc_id and c.cpos = d.cpos
+            )
+            select d.doc_id,
+                coalesce(k.text2, '') as text,
+                (len(d.text) - coalesce(k.n2, 0))::bigint as n_chars_removed
+            from documents d left join (
+                select doc_id, string_agg(ch, '' order by cpos) as text2,
+                       count(*) as n2 from kept group by doc_id) k
+                using (doc_id)
+            order by doc_id
         """,
         "classifier_score": """
             with toks as (

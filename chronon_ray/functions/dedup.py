@@ -1058,56 +1058,70 @@ def _dup_gram_pipeline(grams: ray.data.Dataset, id_col: str,
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-class _CharGramEmit:
-    """Distinct (char-L-gram rolling hash, doc, cnt) rows per batch, fully
-    vectorized: texts are decoded to UTF-32 codepoint arrays (so gram
-    positions/lengths are CHARACTER-based, matching SQL substring()), and
-    every window hash comes from one polynomial prefix-scan — no per-doc
-    Python loop. Hash: H(i,L) = sum c[j]·b^(i+L-1-j) mod 2^64, computed as
-    (S[i+L]-S[i])·b^(i+L-1) with S the binv-weighted prefix sum (b odd ⇒
-    invertible mod 2^64)."""
+_FNV_B = np.uint64(0x100000001B3)  # FNV64 prime (odd ⇒ invertible mod 2^64)
+_FNV_BINV = np.uint64(pow(int(_FNV_B), -1, 1 << 64))
 
-    _B = np.uint64(0x100000001B3)  # FNV64 prime (odd)
+
+def _char_window_hashes(texts: "pd.Series", L: int):
+    """All L-char rolling-window hashes for a batch of texts, fully
+    vectorized: texts decode to UTF-32 codepoint arrays (positions/lengths
+    are CHARACTER-based, matching SQL substring()); every window hash comes
+    from one polynomial prefix-scan — no per-doc Python loop.
+    Hash: H(i,L) = sum c[j]·b^(i+L-1-j) mod 2^64, computed as
+    (S[i+L]-S[i])·b^(i+L-1) with S the binv-weighted prefix sum.
+
+    Returns (H int64 window hashes, doc_idx window→row index, starts global
+    char offset per window, lens chars per row, c flat uint32 codepoints,
+    offs per-row char offsets) — or None when the batch has no windows."""
+    enc = texts.str.encode("utf-32-le").to_numpy()
+    lens = np.fromiter((len(x) >> 2 for x in enc), dtype=np.int64,
+                       count=len(enc))
+    n = int(lens.sum())
+    if n == 0:
+        return None
+    c32 = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    c = c32.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pows = np.concatenate(
+            [[np.uint64(1)],
+             np.cumprod(np.full(n - 1, _FNV_BINV, dtype=np.uint64))]) \
+            if n > 1 else np.array([1], dtype=np.uint64)
+        b_pows = np.concatenate(
+            [[np.uint64(1)],
+             np.cumprod(np.full(n - 1, _FNV_B, dtype=np.uint64))]) \
+            if n > 1 else np.array([1], dtype=np.uint64)
+        S = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c * binv_pows, out=S[1:])
+        counts = np.maximum(lens - L + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        doc_idx = np.repeat(np.arange(len(lens)), counts)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        starts = offs[doc_idx] + (np.arange(total) - cum[doc_idx])
+        H = ((S[starts + L] - S[starts]) * b_pows[starts + L - 1]) \
+            .view(np.int64)
+    return H, doc_idx, starts, lens, c32, offs
+
+
+class _CharGramEmit:
+    """Distinct (char-L-gram rolling hash, doc, cnt) rows per batch —
+    see `_char_window_hashes` for the vectorized hashing scheme."""
 
     def __init__(self, text_col: str, id_col: str, L: int):
         self.__name__ = type(self).__name__
         self.text_col, self.id_col, self.L = text_col, id_col, L
-        self._binv = np.uint64(pow(int(self._B), -1, 1 << 64))
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        L = self.L
         texts = pdf[self.text_col].fillna("")
-        enc = texts.str.encode("utf-32-le").to_numpy()
-        lens = np.fromiter((len(x) >> 2 for x in enc), dtype=np.int64,
-                           count=len(enc))
         empty = pd.DataFrame({"gram": pd.Series([], dtype=np.int64),
                               "doc": pd.Series([], dtype=np.int64),
                               "cnt": pd.Series([], dtype=np.int64)})
-        n = int(lens.sum())
-        if n == 0:
+        hw = _char_window_hashes(texts, self.L)
+        if hw is None:
             return empty
-        c = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            binv_pows = np.concatenate(
-                [[np.uint64(1)],
-                 np.cumprod(np.full(n - 1, self._binv, dtype=np.uint64))]) \
-                if n > 1 else np.array([1], dtype=np.uint64)
-            b_pows = np.concatenate(
-                [[np.uint64(1)],
-                 np.cumprod(np.full(n - 1, self._B, dtype=np.uint64))]) \
-                if n > 1 else np.array([1], dtype=np.uint64)
-            S = np.zeros(n + 1, dtype=np.uint64)
-            np.cumsum(c * binv_pows, out=S[1:])
-            counts = np.maximum(lens - L + 1, 0)
-            total = int(counts.sum())
-            if total == 0:
-                return empty
-            doc_idx = np.repeat(np.arange(len(lens)), counts)
-            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            starts = offs[doc_idx] + (np.arange(total) - cum[doc_idx])
-            H = ((S[starts + L] - S[starts]) * b_pows[starts + L - 1]) \
-                .view(np.int64)
+        H, doc_idx, _, _, _, _ = hw
         ids = pdf[self.id_col].to_numpy()[doc_idx]
         cc = pd.DataFrame({"gram": H, "doc": ids}) \
             .groupby(["gram", "doc"], sort=False).size()
@@ -1132,6 +1146,107 @@ def char_dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
     grams = ds.map_batches(_CharGramEmit(text_col, id_col, L),
                            batch_format="pandas")
     return _dup_gram_pipeline(grams, id_col, num_partitions)
+
+
+# ----------------------------------------------------- dup-span removal
+
+
+def remove_dup_spans(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    L: int = 20,
+    num_partitions: Optional[int] = None,
+    broadcast_cutoff: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Exact-substring span REMOVAL (the rewrite step of Lee et al. 2022):
+    every character covered by an L-char window that also appears in
+    ANOTHER document is cut — except in the window's canonical document
+    (minimum doc id), which keeps its copy. Within-doc repeats are left
+    alone (that's `RepetitionSignalsStage`'s job).
+
+    Plan: pass 1 reuses the dup-gram exchange — distinct (gram, doc) rows,
+    one hash partition by gram, per-partition reduce to cross-doc grams
+    with their canonical doc. That table (duplicated grams only — a small
+    fraction of the corpus) is broadcast via `ray.put` as two sorted numpy
+    arrays; pass 2 is a pure streaming map that re-derives window hashes
+    per batch and cuts covered chars with one diff-array scan. Raises when
+    the dup-gram table exceeds `broadcast_cutoff` — at that scale, shard
+    pass 2 by gram through the same co-partitioned plan as
+    `dup_ngram_stats` instead of broadcasting.
+
+    Output: (id, text rewritten, n_chars_removed)."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds, expansion=8.0)
+    grams = ds.map_batches(_CharGramEmit(text_col, id_col, L),
+                           batch_format="pandas")
+
+    def cross_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("gram", sort=False)["doc"]
+        agg = g.agg(["size", "min"])
+        dup = agg[agg["size"] > 1]
+        return pd.DataFrame({"gram": dup.index.to_numpy(),
+                             "cdoc": dup["min"].to_numpy()})
+
+    cross_doc.__name__ = "cross_doc_grams"
+    dup_tbl = _partition_by_hash(grams, ["gram"], num_partitions) \
+        .groupby("_part").map_groups(cross_doc, batch_format="pandas") \
+        .to_pandas()
+    if len(dup_tbl) > broadcast_cutoff:
+        raise ValueError(
+            f"dup-gram table has {len(dup_tbl)} rows > broadcast_cutoff="
+            f"{broadcast_cutoff}; shard pass 2 by gram instead of "
+            "broadcasting (see docstring)")
+    order = np.argsort(dup_tbl["gram"].to_numpy())
+    ref = ray.put((dup_tbl["gram"].to_numpy()[order],
+                   dup_tbl["cdoc"].to_numpy()[order]))
+
+    class CutSpans:
+        def __init__(self):
+            self._t = None
+
+        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            if self._t is None:
+                self._t = ray.get(ref)
+            gsort, cdocs = self._t
+            texts = pdf[text_col].fillna("")
+            ids = pdf[id_col].to_numpy()
+            hw = _char_window_hashes(texts, L)
+            if hw is None:
+                return pd.DataFrame({
+                    id_col: ids, text_col: texts.to_numpy(),
+                    "n_chars_removed": np.zeros(len(ids), dtype=np.int64)})
+            H, doc_idx, starts, lens, c32, offs = hw
+            if len(gsort):
+                ix = np.minimum(np.searchsorted(gsort, H), len(gsort) - 1)
+                foreign = (gsort[ix] == H) & (cdocs[ix] != ids[doc_idx])
+            else:
+                foreign = np.zeros(len(H), dtype=bool)
+            total_chars = int(lens.sum())
+            diff = np.zeros(total_chars + 1, dtype=np.int64)
+            fs = starts[foreign]
+            np.add.at(diff, fs, 1)
+            np.add.at(diff, fs + L, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            keep = ~covered
+            # per-doc kept counts via prefix sums at row boundaries
+            # (reduceat would mis-handle zero-length rows)
+            ck = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+            ends = offs + lens
+            kept_per_doc = ck[ends] - ck[offs]
+            kept_codes = c32[keep]
+            bounds = np.concatenate([[0], np.cumsum(kept_per_doc)])
+            new_texts = [
+                kept_codes[bounds[i]:bounds[i + 1]].tobytes()
+                .decode("utf-32-le")
+                for i in range(len(ids))]
+            return pd.DataFrame({
+                id_col: ids,
+                text_col: new_texts,
+                "n_chars_removed": (lens - kept_per_doc).astype(np.int64)})
+
+    return ds.map_batches(CutSpans, batch_format="pandas",
+                          concurrency=(1, 8))
 
 
 # ------------------------------------------------------------ SemDeDup
