@@ -423,6 +423,22 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_shuffle_export(sf_dir: str):
+    """Deterministic global shuffle for training export: shard =
+    rank_hash(id) % n, per-shard dense positions ordered by (rank, id).
+    One exchange; the rank hash is reproduced bit-identically in SQL."""
+    import ray.data as rd
+
+    from chronon_ray.functions.sampling import shuffle_export
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    out = shuffle_export(docs, "doc_id", n_shards=8, seed=5).to_pandas()
+    return out[["doc_id", "shard", "pos"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_spans(sf_dir: str):
     """Exact-substring span removal (Lee et al. 2022 rewrite step): chars
     covered by a 20-char window duplicated in another doc are cut, except
@@ -1109,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
         "dedup_spans": q_dedup_spans,
+        "shuffle_export": q_shuffle_export,
         "tfidf_top_terms": q_tfidf_top_terms,
         "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
@@ -1895,7 +1912,20 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle_sql(),
         "mixture_sample": _mixture_sample_oracle_sql(),
         "token_backfill": _token_backfill_oracle_sql(),
+        "shuffle_export": _shuffle_export_oracle_sql(),
     }
+
+
+def _shuffle_export_oracle_sql() -> str:
+    from chronon_ray.functions.sampling import rank_hash_sql
+    h = rank_hash_sql("doc_id", seed=5)
+    return f"""
+        with r as (select doc_id, cast({h} as bigint) as rnk from documents)
+        select doc_id, (rnk % 8)::bigint as shard,
+            (row_number() over (partition by rnk % 8
+                                order by rnk, doc_id) - 1)::bigint as pos
+        from r
+    """
 
 
 def _stratified_sample_oracle_sql() -> str:

@@ -190,3 +190,39 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
         .groupby(group_col).map_groups(_ExactScan(plan_ref),
                                        batch_format="pandas")
     return accepted.union(boundary)
+
+
+def shuffle_export(ds: ray.data.Dataset, id_col: str, n_shards: int,
+                   seed: int = 0) -> ray.data.Dataset:
+    """Deterministic global shuffle for a training-data export: every row
+    gets shard = rank_hash(id, seed) % n_shards and a dense position within
+    its shard ordered by (rank_hash, id). Reproducible run-to-run and
+    independent of input partitioning — re-running after adding data moves
+    only the affected positions, and the oracle can replay the exact order.
+
+    Shape: one zero-shuffle map adds (shard, rank); ONE exchange
+    co-partitions by shard; positions come from a per-shard in-partition
+    sort. Consumers stream shards straight to `write_partitioned(...,
+    by=["shard"])`."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = rank_hash(ids, seed)
+        t = t.append_column("rank", pa.array(r.astype(np.int64)))
+        return t.append_column(
+            "shard", pa.array((r % np.uint32(n_shards)).astype(np.int64)))
+
+    add_shard.__name__ = "add_shard"
+
+    def order_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition may hold several shards — position is per shard
+        pdf = pdf.sort_values(["shard", "rank", id_col], kind="mergesort")
+        pdf["pos"] = pdf.groupby("shard", sort=False).cumcount() \
+            .to_numpy(dtype=np.int64)
+        return pdf.drop(columns=["_part"])
+
+    order_shard.__name__ = "order_shard"
+    from .dedup import _partition_by_hash
+    tagged = ds.map_batches(add_shard, batch_format="pyarrow")
+    return _partition_by_hash(tagged, ["shard"], max(n_shards, 1)) \
+        .groupby("_part").map_groups(order_shard, batch_format="pandas")
