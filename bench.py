@@ -184,13 +184,22 @@ def run_bench() -> dict:
     minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8).count()
     times["minhash_pairs"] = round(time.perf_counter() - t0, 3)
 
-    from chronon_ray.functions.dedup import dup_ngram_stats
+    from chronon_ray.functions.dedup import dup_ngram_stats, remove_dup_spans
     from chronon_ray.functions.packing import pack_sequences
     from chronon_ray.functions.sampling import budget_sample
+    from chronon_ray.functions.text import tfidf_top_terms
 
     t0 = time.perf_counter()
     dup_ngram_stats(docs, "text", "doc_id").count()
     times["dup_ngrams"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    remove_dup_spans(docs, "text", "doc_id", L=20).count()
+    times["dedup_spans"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    tfidf_top_terms(docs, k=5).count()
+    times["tfidf"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     pack_sequences(docs, "text", "doc_id", seq_len=2048).count()
