@@ -1167,13 +1167,17 @@ def remove_dup_spans(
 
     Plan: pass 1 reuses the dup-gram exchange — distinct (gram, doc) rows,
     one hash partition by gram, per-partition reduce to cross-doc grams
-    with their canonical doc. That table (duplicated grams only — a small
-    fraction of the corpus) is broadcast via `ray.put` as two sorted numpy
-    arrays; pass 2 is a pure streaming map that re-derives window hashes
-    per batch and cuts covered chars with one diff-array scan. Raises when
-    the dup-gram table exceeds `broadcast_cutoff` — at that scale, shard
-    pass 2 by gram through the same co-partitioned plan as
-    `dup_ngram_stats` instead of broadcasting.
+    with their canonical doc. That table (duplicated grams only — usually a
+    small fraction of the corpus) is broadcast via `ray.put` as two sorted
+    numpy arrays; pass 2 is a pure streaming map that re-derives window
+    hashes per batch and cuts covered chars with one diff-array scan.
+
+    When the dup-gram table exceeds `broadcast_cutoff`, pass 2 switches to
+    the fully-distributed plan instead: all window rows co-partition with
+    the dup-gram table by gram (foreign windows → (doc, pos) intervals),
+    then intervals co-partition with the documents by doc for the rewrite —
+    the honest Lee-et-al. cost where the corpus crosses one exchange.
+    Both paths produce identical rows.
 
     Output: (id, text rewritten, n_chars_removed)."""
     if num_partitions is None:
@@ -1189,14 +1193,13 @@ def remove_dup_spans(
                              "cdoc": dup["min"].to_numpy()})
 
     cross_doc.__name__ = "cross_doc_grams"
-    dup_tbl = _partition_by_hash(grams, ["gram"], num_partitions) \
+    dup_ds = _partition_by_hash(grams, ["gram"], num_partitions) \
         .groupby("_part").map_groups(cross_doc, batch_format="pandas") \
-        .to_pandas()
-    if len(dup_tbl) > broadcast_cutoff:
-        raise ValueError(
-            f"dup-gram table has {len(dup_tbl)} rows > broadcast_cutoff="
-            f"{broadcast_cutoff}; shard pass 2 by gram instead of "
-            "broadcasting (see docstring)")
+        .materialize()
+    if dup_ds.count() > broadcast_cutoff:
+        return _remove_dup_spans_shuffled(ds, dup_ds, text_col, id_col, L,
+                                          num_partitions)
+    dup_tbl = dup_ds.to_pandas()
     order = np.argsort(dup_tbl["gram"].to_numpy())
     ref = ray.put((dup_tbl["gram"].to_numpy()[order],
                    dup_tbl["cdoc"].to_numpy()[order]))
@@ -1247,6 +1250,121 @@ def remove_dup_spans(
 
     return ds.map_batches(CutSpans, batch_format="pandas",
                           concurrency=(1, 8))
+
+
+def _remove_dup_spans_shuffled(
+    ds: ray.data.Dataset,
+    dup_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    L: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Distributed pass 2 of `remove_dup_spans` for dup-gram tables too big
+    to broadcast. Exchange A: all (gram, doc, pos) window rows co-partition
+    with (gram, cdoc) dup rows → foreign (doc, pos) interval rows.
+    Exchange B: intervals co-partition with the documents by doc; the
+    per-doc diff-array rewrite runs inside the partition. Identical output
+    to the broadcast path."""
+
+    class WindowRows:
+        """(gram, doc, pos) per window, tagged kind=0."""
+
+        def __init__(self):
+            self.__name__ = type(self).__name__
+
+        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            texts = pdf[text_col].fillna("")
+            hw = _char_window_hashes(texts, L)
+            if hw is None:
+                return pd.DataFrame({
+                    "gram": pd.Series(dtype=np.int64),
+                    "doc": pd.Series(dtype=np.int64),
+                    "pos": pd.Series(dtype=np.int64),
+                    "_kind": pd.Series(dtype=np.int8)})
+            H, doc_idx, starts, lens, _, offs = hw
+            local_pos = starts - offs[doc_idx]
+            return pd.DataFrame({
+                "gram": H,
+                "doc": pdf[id_col].to_numpy()[doc_idx],
+                "pos": local_pos.astype(np.int64),
+                "_kind": np.zeros(len(H), dtype=np.int8)})
+
+    def tag_dup(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "gram": pdf["gram"].to_numpy(),
+            "doc": pdf["cdoc"].to_numpy(),
+            "pos": np.full(len(pdf), -1, dtype=np.int64),
+            "_kind": np.ones(len(pdf), dtype=np.int8)})
+
+    tag_dup.__name__ = "tag_dup_grams"
+    u = ds.map_batches(WindowRows(), batch_format="pandas") \
+        .union(dup_ds.map_batches(tag_dup, batch_format="pandas"))
+    u = _partition_by_hash(u, ["gram"], num_partitions)
+
+    def foreign_intervals(pdf: pd.DataFrame) -> pd.DataFrame:
+        dup = pdf[pdf["_kind"] == 1][["gram", "doc"]] \
+            .rename(columns={"doc": "cdoc"})
+        win = pdf[pdf["_kind"] == 0][["gram", "doc", "pos"]]
+        if not len(dup) or not len(win):
+            return pd.DataFrame({"doc": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64)})
+        hit = win.merge(dup, on="gram")
+        hit = hit[hit["doc"] != hit["cdoc"]]
+        return hit[["doc", "pos"]].reset_index(drop=True)
+
+    foreign_intervals.__name__ = "foreign_intervals"
+    intervals = u.groupby("_part").map_groups(foreign_intervals,
+                                              batch_format="pandas")
+
+    def tag_iv(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": pdf["doc"].to_numpy(), "pos": pdf["pos"].to_numpy(),
+            text_col: pd.array([None] * len(pdf), dtype="string"),
+            "_kind": np.zeros(len(pdf), dtype=np.int8)})
+
+    tag_iv.__name__ = "tag_intervals"
+
+    def tag_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": pdf[id_col].to_numpy(),
+            "pos": np.full(len(pdf), -1, dtype=np.int64),
+            text_col: pdf[text_col].astype("string"),
+            "_kind": np.ones(len(pdf), dtype=np.int8)})
+
+    tag_docs.__name__ = "tag_docs"
+    u2 = intervals.map_batches(tag_iv, batch_format="pandas") \
+        .union(ds.map_batches(tag_docs, batch_format="pandas"))
+    u2 = _partition_by_hash(u2, ["doc"], num_partitions)
+
+    def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = pdf[pdf["_kind"] == 1]
+        iv = pdf[pdf["_kind"] == 0]
+        starts_by_doc = {d: g["pos"].to_numpy()
+                         for d, g in iv.groupby("doc", sort=False)}
+        ids, texts, removed = [], [], []
+        for d, t in zip(docs["doc"].to_numpy(), docs[text_col].to_numpy()):
+            t = "" if t is None or t is pd.NA else str(t)
+            ss = starts_by_doc.get(d)
+            if ss is None or not len(t):
+                ids.append(d); texts.append(t); removed.append(0)
+                continue
+            diff = np.zeros(len(t) + 1, dtype=np.int64)
+            np.add.at(diff, ss, 1)
+            np.add.at(diff, np.minimum(ss + L, len(t)), -1)
+            keep = np.cumsum(diff[:-1]) == 0
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            kept = codes[keep]
+            ids.append(d)
+            texts.append(kept.tobytes().decode("utf-32-le"))
+            removed.append(len(t) - len(kept))
+        return pd.DataFrame({
+            id_col: np.asarray(ids, dtype=np.int64),
+            text_col: texts,
+            "n_chars_removed": np.asarray(removed, dtype=np.int64)})
+
+    rewrite.__name__ = "rewrite_docs"
+    return u2.groupby("_part").map_groups(rewrite, batch_format="pandas")
 
 
 # ------------------------------------------------------------ SemDeDup

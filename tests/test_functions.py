@@ -391,3 +391,20 @@ def test_semdedup(ray_session):
         .set_index("vec_id").sort_index()
     assert bool(out2.loc[0, "keep"]) and not bool(out2.loc[1, "keep"])
     assert bool(out2.loc[2, "keep"])  # chain does not cascade
+
+
+def test_remove_dup_spans_paths_agree(ray_session, sf_dir):
+    """Broadcast and fully-shuffled span-removal plans emit identical
+    rewrites (cutoff=0 forces the distributed path)."""
+    from chronon_ray.functions.dedup import remove_dup_spans
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    cols = ["doc_id", "text", "n_chars_removed"]
+    a = remove_dup_spans(docs, "text", "doc_id", L=20).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[cols]
+    b = remove_dup_spans(docs, "text", "doc_id", L=20,
+                         broadcast_cutoff=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (a["n_chars_removed"] > 0).any()  # fixture has real dups
