@@ -1377,6 +1377,7 @@ def semdedup(
     threshold: float = 0.95,
     n_clusters: int = 16,
     sample_limit: int = 20_000,
+    target_cluster_rows: int = 4096,
 ) -> ray.data.Dataset:
     """Semantic dedup (Abbas et al. 2023, SemDeDup): k-means-cluster the
     embedding space, then inside each cluster drop every point whose cosine
@@ -1386,16 +1387,22 @@ def semdedup(
 
     Scale shape: centroids learned on a bounded sample (driver-side, tiny)
     and broadcast; assignment is a streaming map; the only shuffle is
-    groupby(_cluster). Pairwise work is O(rows²/n_clusters) per task — at
-    corpus scale pick n_clusters ≈ rows / (a few thousand), exactly the
-    paper's regime (50k clusters for LAION). No analog in the reference
-    (training-data op named by the task brief).
+    groupby(_cluster). Pairwise work is O(rows²/n_clusters) per task —
+    n_clusters auto-scales to keep clusters near `target_cluster_rows`
+    rows, the paper's regime (50k clusters for LAION); raise sample_limit
+    along with corpus size so centroids stay representative. No analog in
+    the reference (training-data op named by the task brief).
 
     Output: (vec_id, cluster, keep, dup_of) — dup_of is the kept point
     that evicted this one (highest cosine among kept hits), null if kept.
     """
     from .knn import _kmeans, _normalize
 
+    # keep per-cluster pairwise work bounded: one map_groups task holds one
+    # cluster, so n_clusters must grow with the corpus (the paper's regime)
+    n_rows = embeddings.count()
+    n_clusters = max(n_clusters,
+                     -(-n_rows // max(target_cluster_rows, 1)))
     sample = embeddings.limit(sample_limit).to_pandas()
     m = _normalize(np.stack(sample[emb_col].to_numpy()))
     cent = _kmeans(m, n_clusters)
