@@ -12,7 +12,9 @@ Decode support matrix (no PIL/libav/soundfile in this container):
   energies are true RMS over equal windows.
 - video **rawvideo** (concatenated RGB24 frames, dimensions from meta):
   real frame sampling by slicing.
-- compressed formats (jpeg/png/mp3/mp4/...): deterministic fake decode
+- PNG (8-bit non-interlaced gray/RGB/RGBA): REAL decode — chunk parse,
+  stdlib zlib inflate, full None/Sub/Up/Average/Paeth unfilter;
+- remaining compressed formats (jpeg/mp3/mp4/...): deterministic fake decode
   (seeded by content hash) when ``fake=True`` so plumbing stays testable;
   with ``fake=False`` they raise NotImplementedError where the real
   library call belongs.
@@ -44,7 +46,7 @@ MEDIA_META_TYPE = pa.struct([
 ])
 
 #: formats with a real decoder in this container
-REAL_IMAGE_FORMATS = ("bmp", "ppm")
+REAL_IMAGE_FORMATS = ("bmp", "ppm", "png")
 REAL_AUDIO_FORMATS = ("wav",)
 REAL_VIDEO_FORMATS = ("rawvideo",)
 
@@ -121,6 +123,126 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, np.uint8, h * w * 3, pos).reshape(h, w, 3)
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return struct.pack(">I", len(body)) + tag + body \
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pix: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, 3) RGB → non-interlaced 8-bit PNG bytes (stdlib zlib).
+    `filter_type` applies one PNG row filter (0-4) to every scanline —
+    useful to exercise each unfilter path in tests."""
+    import zlib
+    h, w, ch = pix.shape
+    assert ch == 3 and pix.dtype == np.uint8
+    prev = np.zeros((w, ch), dtype=np.int32)
+    rows = []
+    for r in range(h):
+        cur = pix[r].astype(np.int32)
+        left = np.vstack([np.zeros((1, ch), np.int32), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - upleft))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError(f"filter {filter_type}")
+        rows.append(bytes([filter_type])
+                    + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray / RGB / RGBA) → uint8 (h, w, 3) RGB.
+    Real decode: chunk parse + stdlib zlib inflate + full unfilter
+    (None/Sub/Up/Average/Paeth). Gray is stacked to 3 channels; RGBA drops
+    alpha. Interlaced / 16-bit / palette PNGs raise NotImplementedError."""
+    import zlib
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(buf):
+        ln, tag = struct.unpack_from(">I4s", buf, pos)
+        body = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace} "
+            "(supported: 8-bit non-interlaced gray/RGB/RGBA)")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    scan = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = scan[:, 0]
+    data = scan[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f, row = int(filters[r]), data[r]
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average — sequential in x
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — sequential in x
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c)
+                cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter {f}")
+        out[r] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """float in [-1, 1] or int16 mono samples → PCM16 WAV bytes."""
     if samples.dtype != np.int16:
@@ -195,6 +317,8 @@ class DecodeImageStage:
             return resize_nearest(decode_bmp(payload), self.out_h, self.out_w)
         if fmt == "ppm" or (fmt is None and payload[:2] == b"P6"):
             return resize_nearest(decode_ppm(payload), self.out_h, self.out_w)
+        if fmt == "png" or (fmt is None and payload[:8] == _PNG_SIG):
+            return resize_nearest(decode_png(payload), self.out_h, self.out_w)
         if not self.fake:
             raise NotImplementedError(
                 f"image format {fmt!r} needs PIL/turbojpeg — not in this "
@@ -335,9 +459,11 @@ def synth_media_table(n: int, seed: int = 42,
         if modality == "image":
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            p = encode_bmp(pix) if i % 2 == 0 else encode_ppm(pix)
+            fmt = ("bmp", "ppm", "png")[i % 3]
+            p = {"bmp": encode_bmp, "ppm": encode_ppm,
+                 "png": lambda x: encode_png(x, filter_type=i % 5)}[fmt](pix)
             meta.append({"modality": "image",
-                         "format": "bmp" if i % 2 == 0 else "ppm",
+                         "format": fmt,
                          "width": w, "height": h, "sample_rate": 0,
                          "fps": 0.0, "n_bytes": len(p)})
         elif modality == "audio":

@@ -408,3 +408,39 @@ def test_remove_dup_spans_paths_agree(ray_session, sf_dir):
         .sort_values("doc_id").reset_index(drop=True)[cols]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (a["n_chars_removed"] > 0).any()  # fixture has real dups
+
+
+def test_png_codec_roundtrip():
+    """Real PNG decode: every filter type inverts exactly; gray stacks to
+    RGB; RGBA drops alpha. Gray/RGBA files are built by hand (filter-0 raw
+    scanlines + stdlib zlib), independent of encode_png."""
+    import struct
+    import zlib
+
+    from chronon_ray.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(2))
+    pix = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(pix, filter_type=f)),
+                              pix), f"filter {f}"
+    g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[r].tobytes() for r in range(9))
+    buf = _PNG_SIG \
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 9, 8, 0, 0, 0, 0)) \
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(buf), np.repeat(g[:, :, None], 3, axis=2))
+    a = rng.integers(0, 256, size=(7, 5, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(7))
+    buf = _PNG_SIG \
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 6, 0, 0, 0)) \
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(buf), a[:, :, :3])
+    with pytest.raises(NotImplementedError):
+        decode_png(buf[:8] + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 3, 0, 0, 0)))
