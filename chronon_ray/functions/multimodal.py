@@ -14,7 +14,10 @@ Decode support matrix (no PIL/libav/soundfile in this container):
   real frame sampling by slicing.
 - PNG (8-bit non-interlaced gray/RGB/RGBA): REAL decode — chunk parse,
   stdlib zlib inflate, full None/Sub/Up/Average/Paeth unfilter;
-- remaining compressed formats (jpeg/mp3/mp4/...): deterministic fake decode
+- baseline JPEG (SOF0, gray / 4:4:4 / 4:2:0 / 4:2:2, DRI/RSTn): REAL
+  decode — Huffman + dequant + exact 8×8 IDCT, pure numpy (see jpeg.py;
+  progressive and arithmetic-coded JPEG raise);
+- remaining compressed formats (mp3/mp4/...): deterministic fake decode
   (seeded by content hash) when ``fake=True`` so plumbing stays testable;
   with ``fake=False`` they raise NotImplementedError where the real
   library call belongs.
@@ -46,7 +49,7 @@ MEDIA_META_TYPE = pa.struct([
 ])
 
 #: formats with a real decoder in this container
-REAL_IMAGE_FORMATS = ("bmp", "ppm", "png")
+REAL_IMAGE_FORMATS = ("bmp", "ppm", "png", "jpeg")
 REAL_AUDIO_FORMATS = ("wav",)
 REAL_VIDEO_FORMATS = ("rawvideo",)
 
@@ -319,6 +322,11 @@ class DecodeImageStage:
             return resize_nearest(decode_ppm(payload), self.out_h, self.out_w)
         if fmt == "png" or (fmt is None and payload[:8] == _PNG_SIG):
             return resize_nearest(decode_png(payload), self.out_h, self.out_w)
+        if fmt in ("jpeg", "jpg") or (fmt is None
+                                      and payload[:2] == b"\xFF\xD8"):
+            from .jpeg import decode_jpeg_baseline
+            return resize_nearest(decode_jpeg_baseline(payload),
+                                  self.out_h, self.out_w)
         if not self.fake:
             raise NotImplementedError(
                 f"image format {fmt!r} needs PIL/turbojpeg — not in this "
@@ -459,9 +467,14 @@ def synth_media_table(n: int, seed: int = 42,
         if modality == "image":
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            fmt = ("bmp", "ppm", "png")[i % 3]
-            p = {"bmp": encode_bmp, "ppm": encode_ppm,
-                 "png": lambda x: encode_png(x, filter_type=i % 5)}[fmt](pix)
+            fmt = ("bmp", "ppm", "png", "jpeg")[i % 4]
+            if fmt == "jpeg":
+                from .jpeg import encode_jpeg_baseline
+                p = encode_jpeg_baseline(
+                    pix, quality=90, subsample="420" if i % 8 else "444")
+            else:
+                p = {"bmp": encode_bmp, "ppm": encode_ppm,
+                     "png": lambda x: encode_png(x, filter_type=i % 5)}[fmt](pix)
             meta.append({"modality": "image",
                          "format": fmt,
                          "width": w, "height": h, "sample_rate": 0,

@@ -247,19 +247,19 @@ def test_multimodal_plumbing(ray_session):
     v = ds.map_batches(VideoFrameSampleStage(), batch_format="pyarrow",
                        batch_size=16).to_pandas()
     assert len(v["frames"].iloc[0]) == 4
-    # compressed formats are explicitly stubbed when fake is disabled
+    # formats with no real decoder are explicitly stubbed when fake is off
     import pyarrow as pa
 
     from chronon_ray.functions.multimodal import MEDIA_META_TYPE
-    jpeg = pa.table({
-        "media_id": ["x"], "payload": pa.array([b"\xff\xd8\xff\xe0"],
+    webp = pa.table({
+        "media_id": ["x"], "payload": pa.array([b"RIFF\x00\x00\x00\x00WEBP"],
                                                type=pa.binary()),
-        "meta": pa.array([{"modality": "image", "format": "jpeg",
+        "meta": pa.array([{"modality": "image", "format": "webp",
                            "width": 1, "height": 1, "sample_rate": 0,
-                           "fps": 0.0, "n_bytes": 4}],
+                           "fps": 0.0, "n_bytes": 12}],
                          type=MEDIA_META_TYPE)})
     with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)(jpeg)
+        DecodeImageStage(fake=False)(webp)
 
 
 def test_multimodal_real_codecs(ray_session):
@@ -444,3 +444,45 @@ def test_png_codec_roundtrip():
     with pytest.raises(NotImplementedError):
         decode_png(buf[:8] + _png_chunk(
             b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 3, 0, 0, 0)))
+
+
+def test_jpeg_codec():
+    """Baseline JPEG: flat fields near-exact; smooth content round-trips
+    at high PSNR across 4:4:4 / 4:2:0 / restart-marker configurations;
+    progressive JPEG raises."""
+    from chronon_ray.functions.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    flat = np.full((24, 40, 3), 130, dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(flat, quality=85))
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
+
+    yy, xx = np.mgrid[0:50, 0:66]
+    grad = np.stack([np.clip(yy * 3, 0, 255), np.clip(xx * 2, 0, 255),
+                     np.clip(yy + xx, 0, 255)], axis=2).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            out = decode_jpeg_baseline(encode_jpeg_baseline(
+                grad, quality=90, subsample=sub, restart_interval=ri))
+            assert psnr(grad, out) > 40, (sub, ri)
+    # odd dimensions exercise edge-replicated MCU padding
+    odd = grad[:49, :63]
+    out = decode_jpeg_baseline(encode_jpeg_baseline(odd, quality=90,
+                                                    subsample="420"))
+    assert out.shape == odd.shape and psnr(odd, out) > 40
+    # grayscale single-component scan
+    g = np.clip(yy * 4, 0, 255).astype(np.uint8)[:32, :32]
+    out = decode_jpeg_baseline(encode_jpeg_baseline(g, quality=90))
+    assert psnr(np.repeat(g[:, :, None], 3, axis=2), out) > 40
+    # progressive (SOF2) refused, not mis-decoded
+    buf = bytearray(encode_jpeg_baseline(flat))
+    i = bytes(buf).find(b"\xFF\xC0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(bytes(buf))
