@@ -283,6 +283,13 @@ def encode_jpeg_baseline(pix: np.ndarray, quality: int = 85,
             cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             sampling = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            # horizontal-only 1×2 box-average chroma downsample
+            pw = w + (w & 1)
+            cbp, crp = _pad_to(cb, h, pw), _pad_to(cr, h, pw)
+            cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
+            sampling = [(2, 1), (1, 1), (1, 1)]
         elif subsample == "444":
             sampling = [(1, 1), (1, 1), (1, 1)]
         else:

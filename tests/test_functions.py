@@ -466,7 +466,7 @@ def test_jpeg_codec():
     yy, xx = np.mgrid[0:50, 0:66]
     grad = np.stack([np.clip(yy * 3, 0, 255), np.clip(xx * 2, 0, 255),
                      np.clip(yy + xx, 0, 255)], axis=2).astype(np.uint8)
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         for ri in (0, 3):
             out = decode_jpeg_baseline(encode_jpeg_baseline(
                 grad, quality=90, subsample=sub, restart_interval=ri))
