@@ -768,6 +768,37 @@ def q_curate(sf_dir: str):
     return out
 
 
+def q_training_export(sf_dir: str):
+    """Full pre-training export chain: curate (length + decontaminate +
+    0.8 sample + canonical dedup) → pack kept docs into 512-token
+    sequences (distributed exclusive scan) → hash-ranked shard per
+    sequence. Integer-only output, every stage reproduced in SQL."""
+    import ray.data as rd
+
+    from chronon_ray.pipelines.curation import training_export
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_subset(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench_subset.__name__ = "bench_subset"
+    bench = docs.map_batches(bench_subset, batch_format="pyarrow")
+    out = training_export(docs, bench, seq_len=512, n_shards=4,
+                          sample_fraction=0.8, sample_seed=7, shard_seed=3,
+                          min_tokens=50, ngram_n=5,
+                          num_partitions=32).to_pandas()
+    for c in ("n_tok", "tok_offset", "seq_id", "seq_pos", "n_seqs",
+              "shard"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_tok", "tok_offset", "seq_id", "seq_pos",
+                "n_seqs", "shard"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction over documents with deterministic synthetic PII appended
     (the raw corpus has none) — scrubbed text + per-category counts, matched
@@ -1140,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": q_ivf_knn,
         "hnsw_knn": q_hnsw_knn,
         "curate": q_curate,
+        "training_export": q_training_export,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "multimodal_features": q_multimodal_features,
@@ -1913,7 +1945,74 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_oracle_sql(),
         "token_backfill": _token_backfill_oracle_sql(),
         "shuffle_export": _shuffle_export_oracle_sql(),
+        "training_export": _training_export_oracle_sql(),
     }
+
+
+def _training_export_oracle_sql() -> str:
+    from chronon_ray.functions.sampling import rank_hash_sql
+    h = rank_hash_sql("d.doc_id", seed=7)
+    hs = rank_hash_sql("seq_id", seed=3)
+    thr = int(0.8 * 4294967296)
+    return rf"""
+        with w as (
+            select doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as w,
+                   generate_subscripts(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) as ord
+            from documents
+        ), g as (
+            select a.doc_id,
+                   a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                       || ' ' || e.w as gram
+            from w a
+            join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+            join w c on a.doc_id = c.doc_id and c.ord = a.ord + 2
+            join w d on a.doc_id = d.doc_id and d.ord = a.ord + 3
+            join w e on a.doc_id = e.doc_id and e.ord = a.ord + 4
+        ), bg as (
+            select distinct gram from g where doc_id % 20 = 0
+        ), per as (
+            select g.doc_id,
+                   sum(case when bg.gram is not null then 1 else 0 end)
+                       as n_contaminated
+            from g left join bg on g.gram = bg.gram
+            group by g.doc_id
+        ), flags as (
+            select d.doc_id, d.text,
+                   (len(regexp_extract_all(coalesce(d.text, ''), '\S+'))
+                        between 50 and 1000000) as ok_len,
+                   (coalesce(per.n_contaminated, 0) = 0) as ok_dec,
+                   ({h} < {thr}) as ok_sam,
+                   (d.doc_id = min(d.doc_id) over (partition by d.text))
+                       as canon
+            from documents d left join per on d.doc_id = per.doc_id
+        ), kept as (
+            select doc_id, text from flags
+            where ok_len and ok_dec and ok_sam and canon
+        ), c as (
+            select doc_id,
+                   cast(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        as bigint) as n_tok
+            from kept
+        ), o as (
+            select doc_id, n_tok,
+                   cast(coalesce(sum(n_tok) over (order by doc_id
+                            rows between unbounded preceding
+                            and 1 preceding), 0) as bigint) as tok_offset
+            from c
+        ), p as (
+            select doc_id, n_tok, tok_offset,
+                   tok_offset // 512 as seq_id,
+                   tok_offset % 512 as seq_pos,
+                   ((tok_offset + greatest(n_tok, 1) - 1) // 512)
+                       - (tok_offset // 512) + 1 as n_seqs
+            from o
+        )
+        select doc_id, n_tok, tok_offset, seq_id, seq_pos, n_seqs,
+               cast(({hs}) % 4 as bigint) as shard
+        from p
+    """
 
 
 def _shuffle_export_oracle_sql() -> str:

@@ -45,10 +45,14 @@ def curate_documents(
     sample_fraction: float = 1.0,
     seed: int = 0,
     num_partitions: Optional[int] = None,
+    keep_text: bool = False,
 ) -> ray.data.Dataset:
     """Audit table: (id, n_tokens, contaminated_frac, pass_length,
     pass_decontaminate, pass_sample, is_canonical, keep). ``keep`` is the
-    AND of the four stage flags. ``bench=None`` skips decontamination."""
+    AND of the four stage flags. ``bench=None`` skips decontamination.
+    ``keep_text=True`` carries the text column through (already co-located
+    — the canonical election partitions by text) so downstream stages like
+    packing can consume kept docs without re-joining the corpus."""
     if num_partitions is None:
         num_partitions = auto_partitions(docs)
     gram_ref = None if bench is None else benchmark_gram_set(
@@ -95,7 +99,7 @@ def curate_documents(
         ok_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
         ok_dec = pdf["contaminated_frac"].to_numpy() <= max_contaminated_frac
         ok_sam = pdf["pass_sample"].to_numpy()
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: pdf[id_col].to_numpy(),
             "n_tokens": n_tok,
             "contaminated_frac": pdf["contaminated_frac"].to_numpy(),
@@ -105,9 +109,61 @@ def curate_documents(
             "is_canonical": canon.to_numpy(),
             "keep": ok_len & ok_dec & ok_sam & canon.to_numpy(),
         })
+        if keep_text:
+            out[text_col] = pdf[text_col].to_numpy()
+        return out
 
     finish.__name__ = "curate_finish"
     staged = docs.map_batches(RowStages, batch_format="pandas",
                               concurrency=(1, 8))
     return _partition_by_hash(staged, [text_col], num_partitions) \
         .groupby("_part").map_groups(finish, batch_format="pandas")
+
+
+def training_export(
+    docs: ray.data.Dataset,
+    bench: Optional[ray.data.Dataset],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    n_shards: int = 4,
+    sample_fraction: float = 1.0,
+    sample_seed: int = 0,
+    shard_seed: int = 0,
+    min_tokens: int = 5,
+    ngram_n: int = 5,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """The full pre-training export chain: curate (length gate +
+    decontamination + deterministic sample + canonical dedup) → kept docs →
+    concat-and-chunk sequence packing → hash-ranked shard assignment.
+
+    Output: one row per KEPT doc — (id, n_tok, tok_offset, seq_id,
+    seq_pos, n_seqs, shard). Shuffle budget: curate's content-hash exchange
+    + packing's ordered range buckets; shard assignment is a zero-shuffle
+    map over seq_id. Every column is integer and reproducible in SQL (see
+    the `training_export` oracle)."""
+    from ..functions.packing import pack_sequences
+
+    audit = curate_documents(
+        docs, bench, text_col=text_col, id_col=id_col,
+        min_tokens=min_tokens, ngram_n=ngram_n,
+        sample_fraction=sample_fraction, seed=sample_seed,
+        num_partitions=num_partitions, keep_text=True)
+
+    def kept_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["keep"], True)) \
+            .select([id_col, text_col])
+
+    kept_only.__name__ = "kept_docs"
+    kept = audit.map_batches(kept_only, batch_format="pyarrow")
+    packed = pack_sequences(kept, text_col, id_col, seq_len=seq_len)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sid = t["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = rank_hash(sid, shard_seed) % np.uint32(max(n_shards, 1))
+        return t.append_column("shard", pa.array(sh.astype(np.int64)))
+
+    add_shard.__name__ = "add_shard"
+    return packed.map_batches(add_shard, batch_format="pyarrow")
