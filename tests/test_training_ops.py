@@ -256,6 +256,14 @@ def test_decontaminate_hashed_mode(ray_session, docs_ds):
         .sort_values("doc_id").reset_index(drop=True)
     assert (a["n_contaminated"] == b["n_contaminated"]).all()
     assert (a["keep"] == b["keep"]).all()
+    # bloom tier: one-sided — never misses a real hit, small FP rate
+    c = decontaminate(docs_ds, bench, "text", "doc_id", n=5,
+                      mode="bloom").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (c["n_contaminated"] >= a["n_contaminated"]).all()
+    tot = int(a["n_grams"].sum())
+    fp = int((c["n_contaminated"] - a["n_contaminated"]).sum())
+    assert fp / max(tot, 1) < 0.05, fp / tot
 
 
 
