@@ -846,6 +846,24 @@ def q_decontaminate(sf_dir: str):
     return out
 
 
+def q_pq_knn(sf_dir: str):
+    """Product-quantization ANN tier (ADC scan over m=16 uint8 codes per
+    vector) — rows-only check: kmeans codebooks are not SQL-expressible;
+    recall-vs-brute-force is pinned in pytest (test_pq_knn_recall)."""
+    import ray.data as rd
+
+    from chronon_ray.functions.knn import build_pq, pq_knn
+
+    _ctx()
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = corpus.limit(10).to_pandas()
+    qm = np.stack(pdf["embedding"].to_numpy())
+    qids = pdf["vec_id"].to_numpy()
+    books, coded = build_pq(corpus, m=16)
+    out = pq_knn(coded, books, qids, qm, k=5).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_hnsw_knn(sf_dir: str):
     """HNSW graph-ANN with ef_search >= shard size (exact degenerate mode):
     exercises the shard/build/merge machinery while returning the EXACT
@@ -1170,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "ivf_knn": q_ivf_knn,
         "hnsw_knn": q_hnsw_knn,
+        "pq_knn": q_pq_knn,
         "curate": q_curate,
         "training_export": q_training_export,
         "pii_scrub": q_pii_scrub,

@@ -396,3 +396,116 @@ def hnsw_knn(
     cands = corpus.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("_shard").map_groups(ShardSearch(), batch_format="pandas")
     return _per_query_topk(cands, k)
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def _pq_kmeans(sample: np.ndarray, n_codes: int, iters: int = 10,
+               seed: int = 13) -> np.ndarray:
+    """Euclidean k-means for a PQ sub-codebook (cosine kmeans above is for
+    unit vectors; subvectors are not unit)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = rng.choice(len(sample), size=min(n_codes, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return cent
+
+
+def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 8, n_codes: int = 256,
+             sample_limit: int = 20_000):
+    """Product-quantize the corpus: split the (normalized) embedding into m
+    subspaces, learn a `n_codes`-entry codebook per subspace from a bounded
+    sample, and encode every vector as m uint8 codes (~m bytes/vec vs
+    4·dim — a 32× compression at dim=64, m=8). Returns (codebooks
+    (m, n_codes, dsub), coded_ds with a `code` list<uint8> column).
+
+    Scale shape: codebooks are driver-learned on the sample and broadcast;
+    encoding is a zero-shuffle streaming map."""
+    sample = corpus.limit(sample_limit).to_pandas()
+    x = _normalize(np.stack(sample[emb_col].to_numpy()))
+    dim = x.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    books = np.stack([
+        _pq_kmeans(x[:, j * dsub:(j + 1) * dsub], n_codes, seed=13 + j)
+        for j in range(m)])
+    ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._b is None:
+                self._b = ray.get(ref)
+            emb = _normalize(np.stack(batch[emb_col].to_pandas().to_numpy()))
+            n = len(emb)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                sub = emb[:, j * dsub:(j + 1) * dsub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||² → argmin over codes
+                d = (-2 * sub @ self._b[j].T
+                     + (self._b[j] ** 2).sum(axis=1)[None, :])
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            flat = codes.reshape(-1)
+            offs = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            col = pa.ListArray.from_arrays(pa.array(offs),
+                                           pa.array(flat, type=pa.uint8()))
+            return pa.table({id_col: batch[id_col], "code": col})
+
+    coded = corpus.map_batches(Encode, batch_format="pyarrow",
+                               concurrency=(1, 4))
+    return books, coded
+
+
+def pq_knn(coded: ray.data.Dataset, codebooks: np.ndarray,
+           query_ids: np.ndarray, query_matrix: np.ndarray,
+           id_col: str = "vec_id", k: int = 5) -> ray.data.Dataset:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per batch, one LUT
+    of query·codeword inner products (nq, m, n_codes), then score =
+    Σ_j LUT[q, j, code_j] — a gather-sum, no float reconstruction. The
+    final exact top-k reduce is shared with the other ANN tiers."""
+    m, n_codes, dsub = codebooks.shape
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    lut = np.einsum("qjd,jcd->qjc",
+                    qm.reshape(len(qm), m, dsub), codebooks)
+    ref = ray.put((np.asarray(query_ids), lut))
+
+    class Scan:
+        def __init__(self):
+            self._q = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._q is None:
+                self._q = ray.get(ref)
+            qids, lut = self._q
+            codes = np.stack(batch["code"].to_pandas().to_numpy()) \
+                .astype(np.int64)                      # (B, m)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            nq = len(qids)
+            # gather: scores[q, b] = sum_j lut[q, j, codes[b, j]]
+            sim = np.zeros((nq, len(ids)))
+            for j in range(lut.shape[1]):
+                sim += lut[:, j, codes[:, j]]
+            kk = min(k, sim.shape[1])
+            top = np.argpartition(-sim, kth=kk - 1, axis=1)[:, :kk]
+            flat = top.reshape(-1)
+            return pa.table({
+                "query_id": pa.array(np.repeat(qids, kk)),
+                "neighbor_id": pa.array(ids[flat]),
+                "score": pa.array(np.take_along_axis(sim, top, axis=1)
+                                  .reshape(-1)),
+            })
+
+    cands = coded.map_batches(Scan, batch_format="pyarrow",
+                              concurrency=(1, 4))
+    return _per_query_topk(cands, k)

@@ -486,3 +486,23 @@ def test_jpeg_codec():
     buf[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg_baseline(bytes(buf))
+
+
+def test_pq_knn_recall(ray_session, sf_dir):
+    """PQ/ADC tier: recall vs exact brute force at m=16 subspaces; codes
+    are m uint8 per vector (16 B vs 256 B raw)."""
+    from chronon_ray.functions.knn import build_pq, pq_knn
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = corpus.to_pandas()
+    emb = np.stack(pdf["embedding"].to_numpy())
+    qm, qids = emb[:10], pdf["vec_id"].to_numpy()[:10]
+    books, coded = build_pq(corpus, m=16)
+    assert books.shape[0] == 16
+    out = pq_knn(coded, books, qids, qm, k=5).to_pandas()
+    bf = brute_force_knn(corpus, qids, qm, k=5).to_pandas()
+    rec = sum(
+        len(set(out[out["query_id"] == q]["neighbor_id"])
+            & set(bf[bf["query_id"] == q]["neighbor_id"])) / 5
+        for q in qids) / len(qids)
+    assert rec >= 0.7, rec
