@@ -301,3 +301,31 @@ def test_char_dup_ngram_stats_matches_duckdb(ray_session, docs_ds, duck):
     assert len(out) == len(exp)
     for c in ["n_grams", "n_dup_grams", "n_cross_doc_grams"]:
         assert out[c].tolist() == exp[c].tolist(), c
+
+
+def test_training_export_sharded_write(ray_session, docs_ds, tmp_path):
+    """The export chain streams into shard-partitioned parquet through the
+    atomic/manifest writer — the resume unit is a completed shard dir."""
+    import os
+
+    from chronon_ray.pipelines.curation import training_export
+    from chronon_ray.state.lineage import write_partitioned
+
+    out = training_export(docs_ds, None, seq_len=256, n_shards=4,
+                          min_tokens=5)
+    manifests = write_partitioned(out, str(tmp_path), config_hash="texp1",
+                                  partition_col="shard")
+    assert set(manifests) == {"0", "1", "2", "3"} or len(manifests) >= 1
+    total = 0
+    import pyarrow.parquet as pq
+    for sh, man in manifests.items():
+        pdir = os.path.join(str(tmp_path), f"shard={sh}")
+        assert os.path.exists(os.path.join(pdir, "_MANIFEST.json"))
+        n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows
+                for f in os.listdir(pdir) if f.endswith(".parquet"))
+        assert n == man["rows"]
+        total += n
+    # every kept doc appears exactly once across shards
+    kept = out.to_pandas()
+    assert total == len(kept)
+    assert kept["doc_id"].is_unique
