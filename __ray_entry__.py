@@ -498,6 +498,24 @@ def q_embedding_neardup(sf_dir: str):
     return out[["a", "b", "cosine"]]
 
 
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking (RAG / context prep): 512-char chunks every
+    384 chars, character offsets, zero shuffle. substr() reproduces chunks
+    exactly in the oracle."""
+    import ray.data as rd
+
+    from chronon_ray.functions.text import chunk_documents
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = chunk_documents(docs, chunk_chars=512, stride=384).to_pandas()
+    for c in ("chunk_idx", "start", "end"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "chunk_idx", "start", "end", "chunk"]] \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-doc TF-IDF top-5 terms: one streaming DF pass (vocab-sized
     partials through a small groupby), broadcast DF table, vectorized
@@ -1176,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "shuffle_export": q_shuffle_export,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "chunk_documents": q_chunk_documents,
         "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
         "text_signals": q_text_signals,
@@ -1701,6 +1720,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(wt)::bigint as score_int,
                    (sum(wt) > 0) as label
             from w group by doc_id
+        """,
+        "chunk_documents": """
+            with l as (
+                select doc_id, text, len(text) as n from documents
+            ), idx as (
+                select doc_id, text, n,
+                       unnest(range(0, case when n = 0 then 0 else
+                           (greatest(n - 512, 0) + 383) // 384 + 1 end)) as ci
+                from l
+            )
+            select doc_id, ci::bigint as chunk_idx,
+                   (ci * 384)::bigint as start,
+                   least(ci * 384 + 512, n)::bigint as "end",
+                   substr(text, (ci * 384 + 1)::int, 512) as chunk
+            from idx
         """,
         "tfidf_top_terms": """
             with toks as (

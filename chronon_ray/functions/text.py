@@ -460,3 +460,42 @@ def score_documents(docs, text_col: str = "text", id_col: str = "doc_id",
                                 concurrency=(1, concurrency))
     return docs.map_batches(HashedLinearScorerStage(**kw),
                             batch_format="pandas")
+
+
+# ------------------------------------------------------------- chunking
+
+
+def chunk_documents(docs, chunk_chars: int = 512, stride: int = 384,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Sliding-window document chunking (RAG / context-window prep): each
+    doc becomes ceil((max(n-C,0))/S)+1 chunks of up to `chunk_chars` chars
+    starting every `stride` chars (stride ≤ chunk ⇒ full coverage with
+    overlap). Zero-shuffle streaming map; offsets are CHARACTER-based so
+    the SQL oracle's substr() reproduces chunks exactly.
+
+    Output: (id, chunk_idx, start, end, chunk). Empty docs emit nothing."""
+    assert 0 < stride <= chunk_chars
+
+    def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf[text_col].fillna("")
+        n = texts.str.len().to_numpy(dtype=np.int64)
+        counts = np.where(
+            n == 0, 0,
+            (np.maximum(n - chunk_chars, 0) + stride - 1) // stride + 1)
+        doc_idx = np.repeat(np.arange(len(pdf)), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ci = np.arange(int(counts.sum()), dtype=np.int64) - cum[doc_idx]
+        start = ci * stride
+        end = np.minimum(start + chunk_chars, n[doc_idx])
+        vals = texts.to_numpy()
+        chunks = [vals[d][s:e] for d, s, e in zip(doc_idx, start, end)]
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy()[doc_idx],
+            "chunk_idx": ci,
+            "start": start.astype(np.int64),
+            "end": end.astype(np.int64),
+            "chunk": chunks,
+        })
+
+    chunk.__name__ = "chunk_documents"
+    return docs.map_batches(chunk, batch_format="pandas")
