@@ -439,6 +439,35 @@ def q_shuffle_export(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Day-over-day exact dedup with persisted hash state: day 1 = even
+    doc ids (committed to state), day 2 = odd ids deduped against history
+    by 8-byte hash rows only. Returns day 2's keep set."""
+    import tempfile
+
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import incremental_exact_dedup
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def day(parity):
+        def f(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        f.__name__ = f"day_{parity}"
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    state = tempfile.mkdtemp(prefix="incdedup_", dir="/tmp")
+    incremental_exact_dedup(day(0), state, "2026-01-01", ["text"],
+                            "doc_id").materialize()
+    kept2 = incremental_exact_dedup(day(1), state, "2026-01-02", ["text"],
+                                    "doc_id").to_pandas()
+    return kept2[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_spans(sf_dir: str):
     """Exact-substring span removal (Lee et al. 2022 rewrite step): chars
     covered by a 20-char window duplicated in another doc are cut, except
@@ -1192,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
         "dedup_spans": q_dedup_spans,
+        "incremental_dedup": q_incremental_dedup,
         "shuffle_export": q_shuffle_export,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
@@ -1662,6 +1692,14 @@ def oracle_sql() -> dict[str, str]:
                                                     y.embedding), 4) as cosine
                 from embeddings x join embeddings y on x.vec_id < y.vec_id)
             where cosine >= 0.95
+        """,
+        "incremental_dedup": """
+            with d1 as (select * from documents where doc_id % 2 = 0),
+                 d2 as (select * from documents where doc_id % 2 = 1)
+            select doc_id from (
+                select doc_id, min(doc_id) over (partition by text) as m
+                from d2 where text not in (select text from d1)
+            ) where doc_id = m order by doc_id
         """,
         "dedup_spans": """
             with g as (

@@ -1450,3 +1450,113 @@ def semdedup(
     dedup_cluster.__name__ = "semdedup_cluster"
     return assigned.groupby("_cluster").map_groups(
         dedup_cluster, batch_format="pandas")
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def incremental_exact_dedup(
+    new_docs: ray.data.Dataset,
+    state_dir: str,
+    ds_value: str,
+    on: Sequence[str],
+    id_col: str,
+    config_hash: str = "inc-dedup-v1",
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Day-over-day exact dedup against persisted state: the new
+    partition's docs are kept iff their content hash (a) never appeared in
+    any previously COMMITTED day and (b) is the minimum-id copy within the
+    new partition. Today's kept hashes are then committed to
+    `state_dir/ds=<ds_value>` through the atomic manifest writer, so the
+    next day dedups against all history by reading 8-byte hash rows —
+    never by rescanning historical text.
+
+    Scale shape: history crosses the decision exchange as hash-only rows;
+    new docs cross once with full columns (same budget as exact_dedup).
+    No driver materialization. Rerunning a committed day recomputes the
+    same output and skips the state write (manifest idempotence).
+
+    Note: inside the merged decision partition, integer doc columns pass
+    through a nullable-pandas frame — exact below 2^53 (content ids at any
+    realistic scale)."""
+    import os
+
+    from ..state.lineage import completed_partitions, write_partitioned
+
+    if num_partitions is None:
+        num_partitions = auto_partitions(new_docs)
+    sch = new_docs.schema()
+    doc_cols = sch.names
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    doc_types = {n: _arrow_type(t) for n, t in zip(sch.names, sch.types)}
+
+    def tag_new(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(pdf[list(on)],
+                                       index=False).to_numpy()
+        out = pdf.copy()
+        out["_h"] = h.astype(np.int64)
+        out["_kind"] = np.int8(0)
+        return out
+
+    tag_new.__name__ = "tag_new_docs"
+    tagged_new = new_docs.map_batches(tag_new, batch_format="pandas")
+
+    committed = completed_partitions(state_dir, config_hash) \
+        if os.path.isdir(state_dir) else []
+    committed = [d for d in committed if d != ds_value]
+    parts = [tagged_new]
+    if committed:
+        hist = ray.data.read_parquet(
+            [f"{state_dir}/ds={d}" for d in committed], columns=["_h"])
+
+        def tag_hist(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {c: pa.nulls(n, doc_types[c]) for c in doc_cols}
+            cols["_h"] = t["_h"]
+            cols["_kind"] = pa.array(np.ones(n, dtype=np.int8))
+            return pa.table(cols)
+
+        tag_hist.__name__ = "tag_history"
+        parts.append(hist.map_batches(tag_hist, batch_format="pyarrow"))
+    u = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    u = _partition_by_hash(u, ["_h"], num_partitions)
+
+    def decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf[pdf["_kind"] == 0]
+        seen = pdf.loc[pdf["_kind"] == 1, "_h"].unique()
+        keep = new[~new["_h"].isin(seen)]
+        keep = keep.sort_values(["_h", id_col], kind="mergesort") \
+            .drop_duplicates("_h", keep="first")
+        out = keep.drop(columns=["_part", "_kind"])
+        if len(out) and out[id_col].dtype != np.int64:
+            out[id_col] = out[id_col].astype(np.int64)
+        return out
+
+    decide.__name__ = "incremental_decide"
+    kept = u.groupby("_part").map_groups(decide, batch_format="pandas") \
+        .materialize()
+
+    if ds_value not in completed_partitions(state_dir, config_hash):
+        def hashes_only(t: pa.Table) -> pa.Table:
+            return pa.table({"_h": t["_h"],
+                             "ds": pa.array([ds_value] * len(t))})
+
+        hashes_only.__name__ = "state_hashes"
+        write_partitioned(kept.map_batches(hashes_only,
+                                           batch_format="pyarrow"),
+                          state_dir, config_hash=config_hash)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_h"])
+
+    strip.__name__ = "strip_hash"
+    return kept.map_batches(strip, batch_format="pyarrow")

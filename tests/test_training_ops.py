@@ -329,3 +329,26 @@ def test_training_export_sharded_write(ray_session, docs_ds, tmp_path):
     kept = out.to_pandas()
     assert total == len(kept)
     assert kept["doc_id"].is_unique
+
+
+def test_incremental_dedup_state(ray_session, tmp_path):
+    """Persisted-state dedup: day 2 drops texts committed on day 1 plus
+    within-day dups; rerunning a committed day is idempotent."""
+    import ray.data as rd
+
+    from chronon_ray.functions.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "state")
+    day1 = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "text": ["a", "b", "a", "c"]})
+    day2 = pd.DataFrame({"doc_id": [10, 11, 12, 13, 14],
+                         "text": ["b", "d", "d", "e", "a"]})
+    k1 = incremental_exact_dedup(rd.from_pandas(day1), state, "2026-01-01",
+                                 ["text"], "doc_id").to_pandas()
+    assert sorted(k1["doc_id"]) == [1, 2, 4]
+    k2 = incremental_exact_dedup(rd.from_pandas(day2), state, "2026-01-02",
+                                 ["text"], "doc_id").to_pandas()
+    assert sorted(k2["doc_id"]) == [11, 13]
+    k2b = incremental_exact_dedup(rd.from_pandas(day2), state, "2026-01-02",
+                                  ["text"], "doc_id").to_pandas()
+    assert sorted(k2b["doc_id"]) == [11, 13]
