@@ -219,6 +219,24 @@ def run_bench() -> dict:
                     np.stack(head["embedding"].to_numpy()), k=5).count()
     times["knn_top5"] = round(time.perf_counter() - t0, 3)
 
+    # real image decode throughput (bmp/ppm/png/jpeg mixed, actor pool) —
+    # fixture built outside the timed window
+    from chronon_ray.functions.multimodal import (
+        DecodeImageStage,
+        ImageFeatureStage,
+        synth_media_table,
+    )
+    media = rd.from_arrow(synth_media_table(1500)) \
+        .repartition(ncpu).materialize()
+    t0 = time.perf_counter()
+    media.map_batches(DecodeImageStage,
+                      fn_constructor_kwargs={"fake": False},
+                      batch_format="pyarrow", batch_size=64,
+                      concurrency=(1, 8)) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 8)).count()
+    times["image_decode"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "token_backfill_wall_sec (as-of join + windowed GroupBy over "
                   "pre-tokenized sequences)",
