@@ -157,6 +157,25 @@ def q_lag_lead(sf_dir: str):
     return out[["user_id", "ts", "event_id", "value", "value_lag1", "value_lead1"]]
 
 
+def q_running_agg(sf_dir: str):
+    """Per-key cumulative window family (sum/count/min/max/row_number over
+    `rows unbounded preceding`): one hash exchange, segmented vectorized
+    scan inside the partition."""
+    from chronon_ray.pipelines.extras import running_aggregate
+
+    _ctx()
+    out = running_aggregate(_events(sf_dir), keys=["user_id"],
+                            value_col="value", tie_break="event_id",
+                            num_partitions=32).to_pandas()
+    out["running_sum"] = out["running_sum"].round(4)
+    out["row_number"] = out["row_number"].astype(np.int64)
+    for c in ("running_min", "running_max"):
+        out[c] = out[c].where(~out[c].isna(), None)
+    return out[["user_id", "ts", "event_id", "running_sum",
+                "running_count", "running_min", "running_max",
+                "row_number"]]
+
+
 def q_sessionize(sf_dir: str):
     from chronon_ray.pipelines.extras import sessionize
 
@@ -1196,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_exact_windows": q_asof_exact_windows,
         "asof_first_last": q_asof_first_last,
         "lag_lead": q_lag_lead,
+        "running_agg": q_running_agg,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "topk_per_user": q_topk_per_user,
@@ -1315,6 +1335,17 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) over w as value_lead1
             from events
             window w as (partition by user_id order by epoch_ms(ts), event_id)
+        """,
+        "running_agg": """
+            select user_id, epoch_ms(ts) as ts, event_id,
+                   round(sum(value) over w, 4) as running_sum,
+                   count(value) over w as running_count,
+                   min(value) over w as running_min,
+                   max(value) over w as running_max,
+                   row_number() over w as row_number
+            from events
+            window w as (partition by user_id order by epoch_ms(ts), event_id
+                         rows between unbounded preceding and current row)
         """,
         "sessionize": f"""
             with t as (

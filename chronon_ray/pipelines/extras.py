@@ -189,3 +189,82 @@ def session_stats(
     tagged = ds.map_batches(_AddPart(keys, num_partitions), batch_format="pyarrow")
     return tagged.groupby("_part").map_groups(
         _SessionStats(keys, order_col, gap_ms, tie_break), batch_format="pyarrow")
+
+
+class _RunningAgg:
+    def __init__(self, keys, order_col, value_col, tie_break):
+        self.__name__ = type(self).__name__
+        self.keys, self.order_col = list(keys), order_col
+        self.value_col, self.tie_break = value_col, tie_break
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["_part"])
+        tbl, codes = _sorted_partition(tbl, self.keys, self.order_col,
+                                       self.tie_break)
+        n = len(tbl)
+        if n == 0:
+            return tbl
+        v = tbl[self.value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        valid = ~np.isnan(v)
+        key_change = np.ones(n, dtype=bool)
+        if n > 1:
+            key_change[1:] = codes[1:] != codes[:-1]
+        # segmented cumulative sums/counts: global cumsum minus the value
+        # at each segment start (vectorized running window, no python loop)
+        vz = np.where(valid, v, 0.0)
+        gsum = np.cumsum(vz)
+        gcnt = np.cumsum(valid.astype(np.int64))
+        starts = np.flatnonzero(key_change)
+        bounds = np.append(starts, n)
+        seg_lens = np.diff(bounds)
+        # per-segment base = global cumulative just before the segment
+        prev_sum = np.concatenate([[0.0], gsum[starts[1:] - 1]])
+        prev_cnt = np.concatenate([[0], gcnt[starts[1:] - 1]])
+        run_sum = gsum - np.repeat(prev_sum, seg_lens)
+        run_cnt = gcnt - np.repeat(prev_cnt, seg_lens)
+        # segmented cummin/cummax via per-segment resets
+        vmin = np.where(valid, v, np.inf)
+        vmax = np.where(valid, v, -np.inf)
+        run_min = np.empty(n)
+        run_max = np.empty(n)
+        for i in range(len(starts)):
+            a, b = bounds[i], bounds[i + 1]
+            run_min[a:b] = np.minimum.accumulate(vmin[a:b])
+            run_max[a:b] = np.maximum.accumulate(vmax[a:b])
+        row_num = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_lens)
+        out = tbl
+        out = out.append_column("running_sum", pa.array(run_sum))
+        out = out.append_column("running_count",
+                                pa.array(run_cnt.astype(np.int64)))
+        out = out.append_column(
+            "running_min", pa.array(np.where(np.isinf(run_min), np.nan,
+                                             run_min)))
+        out = out.append_column(
+            "running_max", pa.array(np.where(np.isinf(run_max), np.nan,
+                                             run_max)))
+        out = out.append_column("row_number",
+                                pa.array(row_num + 1))
+        return out
+
+
+def running_aggregate(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    order_col: str = "ts",
+    tie_break: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Per-key CUMULATIVE window aggregates in order-col order — the SQL
+    `sum(v) over (partition by k order by ts rows unbounded preceding)`
+    family: running_sum / running_count / running_min / running_max /
+    row_number. One hash exchange by key; inside each partition the scan
+    is a segmented cumulative (vectorized, per-segment resets only for
+    min/max). NULL values don't advance sum/count/min/max but still get a
+    row_number — matching SQL window semantics."""
+    tagged = ds.map_batches(_AddPart(keys, num_partitions),
+                            batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(
+        _RunningAgg(keys, order_col, value_col, tie_break),
+        batch_format="pyarrow")
