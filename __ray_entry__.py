@@ -546,6 +546,24 @@ def q_embedding_neardup(sf_dir: str):
     return out[["a", "b", "cosine"]]
 
 
+def q_perplexity(sf_dir: str):
+    """CCNet-style perplexity filtering signal: per-doc mean negative
+    log-likelihood under the corpus bigram LM (Laplace smoothing). Two
+    streaming passes — vocab-sized counts cross the shuffle, then a
+    broadcast scoring map."""
+    import ray.data as rd
+
+    from chronon_ray.functions.text import perplexity_score
+
+    _ctx()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = perplexity_score(docs).to_pandas()
+    out["avg_nll"] = out["avg_nll"].round(4)
+    return out[["doc_id", "n_bigrams", "avg_nll"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_chunk_documents(sf_dir: str):
     """Sliding-window chunking (RAG / context prep): 512-char chunks every
     384 chars, character offsets, zero shuffle. substr() reproduces chunks
@@ -1245,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export": q_shuffle_export,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
+        "perplexity": q_perplexity,
         "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
         "text_signals": q_text_signals,
@@ -1789,6 +1808,29 @@ def oracle_sql() -> dict[str, str]:
                    sum(wt)::bigint as score_int,
                    (sum(wt) > 0) as label
             from w group by doc_id
+        """,
+        "perplexity": """
+            with toks as (
+                select doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) as w,
+                       generate_subscripts(
+                           string_split_regex(trim(text), '\\s+'), 1) as ord
+                from documents where trim(coalesce(text, '')) <> ''
+            ), uni as (
+                select w, count(*)::double as c from toks group by w
+            ), v as (select count(*)::double as v from uni),
+            bi as (
+                select a.doc_id, a.w as w1, b.w as w2
+                from toks a
+                join toks b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+            ), bic as (
+                select w1, w2, count(*)::double as c from bi group by w1, w2
+            )
+            select bi.doc_id, count(*)::bigint as n_bigrams,
+                   round(avg(-ln((bic.c + 1)
+                       / (uni.c + (select v from v)))), 4) as avg_nll
+            from bi join bic using (w1, w2) join uni on bi.w1 = uni.w
+            group by bi.doc_id
         """,
         "chunk_documents": """
             with l as (

@@ -499,3 +499,112 @@ def chunk_documents(docs, chunk_chars: int = 512, stride: int = 384,
 
     chunk.__name__ = "chunk_documents"
     return docs.map_batches(chunk, batch_format="pandas")
+
+
+# ------------------------------------------------- LM perplexity scoring
+
+
+class _BigramCountPartial:
+    """Per-batch partial unigram/bigram counts (vocab-sized rows through
+    the shuffle, never the token stream). Rows: (w1, w2, cnt) for bigrams
+    and (w1, '', cnt) for unigrams; one sentinel ('', '', total_tokens)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf[self.text_col].fillna("")
+        toks = texts.str.split()
+        lengths = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        empty = pd.DataFrame({"w1": pd.Series(dtype=str),
+                              "w2": pd.Series(dtype=str),
+                              "cnt": pd.Series(dtype=np.int64)})
+        if lengths.sum() == 0:
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        doc_idx = np.repeat(np.arange(len(pdf)), lengths)
+        uni = (pd.DataFrame({"w1": flat})
+               .groupby("w1", sort=False).size().reset_index(name="cnt"))
+        uni["w2"] = ""
+        # bigrams within a doc: adjacent positions with same doc index
+        same = doc_idx[1:] == doc_idx[:-1]
+        bi = (pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+              .groupby(["w1", "w2"], sort=False).size()
+              .reset_index(name="cnt"))
+        out = pd.concat([uni[["w1", "w2", "cnt"]], bi], ignore_index=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+
+def bigram_lm_counts(docs, text_col: str = "text"):
+    """(unigram counts dict-frame, bigram counts frame, vocab size) from a
+    streaming pass — the corpus-LM side of CCNet-style perplexity
+    filtering. Vocab-sized output, driver-materialized by design."""
+    part = docs.map_batches(_BigramCountPartial(text_col),
+                            batch_format="pandas", batch_size=4096)
+    agg = part.groupby(["w1", "w2"]).sum("cnt").to_pandas()
+    col = "sum(cnt)" if "sum(cnt)" in agg.columns else "cnt"
+    agg = agg.rename(columns={col: "cnt"})
+    uni = agg[agg["w2"] == ""][["w1", "cnt"]]
+    bi = agg[agg["w2"] != ""]
+    vocab = int(len(uni))
+    return uni, bi, vocab
+
+
+class PerplexityStage:
+    """Per-doc mean negative log-likelihood under the corpus bigram LM with
+    Laplace smoothing: nll(w1 w2 ... wn) = -1/(n-1) Σ ln((c(wi,wi+1)+1) /
+    (c(wi)+V)). Counts broadcast once via ray.put; scoring is one explode +
+    two hashtable maps per batch."""
+
+    def __init__(self, ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.ref, self.text_col, self.id_col = ref, text_col, id_col
+        self._t = None
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if self._t is None:
+            import ray
+            uni, bi, vocab = ray.get(self.ref)
+            self._uni = uni.set_index("w1")["cnt"]
+            self._bi = bi.set_index(["w1", "w2"])["cnt"]
+            self._v = float(vocab)
+        texts = pdf[self.text_col].fillna("")
+        toks = texts.str.split()
+        lengths = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_bigrams": pd.Series(dtype=np.int64),
+            "avg_nll": pd.Series(dtype=np.float64)})
+        if lengths.sum() == 0:
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        d = np.repeat(pdf[self.id_col].to_numpy(), lengths)
+        same = d[1:] == d[:-1]
+        w1, w2, dd = flat[:-1][same], flat[1:][same], d[:-1][same]
+        if not len(w1):
+            return empty
+        c_bi = pd.MultiIndex.from_arrays([w1, w2]).map(self._bi) \
+            .to_numpy(dtype=np.float64, na_value=0.0)
+        c_un = pd.Series(w1).map(self._uni) \
+            .to_numpy(dtype=np.float64, na_value=0.0)
+        nll = -np.log((c_bi + 1.0) / (c_un + self._v))
+        out = (pd.DataFrame({"doc_id": dd, "nll": nll})
+               .groupby("doc_id", sort=False)
+               .agg(n_bigrams=("nll", "size"), avg_nll=("nll", "mean"))
+               .reset_index())
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+        return out
+
+
+def perplexity_score(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_bigrams, avg_nll) per doc under the corpus bigram LM —
+    two streaming passes (counts, then broadcast scoring); docs with < 2
+    tokens emit nothing."""
+    import ray
+
+    uni, bi, vocab = bigram_lm_counts(docs, text_col)
+    ref = ray.put((uni, bi, vocab))
+    return docs.map_batches(
+        PerplexityStage(ref, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=4096)
