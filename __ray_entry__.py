@@ -157,6 +157,21 @@ def q_lag_lead(sf_dir: str):
     return out[["user_id", "ts", "event_id", "value", "value_lag1", "value_lead1"]]
 
 
+def q_profile_table(sf_dir: str):
+    """Analyzer data-quality pass: per-column rows/nulls/min/max in ONE
+    streaming pass (tiny per-batch partials, driver combine)."""
+    from chronon_ray.analyzer import profile_table
+
+    _ctx()
+    import ray.data as rd
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    out = profile_table(ev)
+    out["min_val"] = out["min_val"].round(6)
+    out["max_val"] = out["max_val"].round(6)
+    return out[["column", "n_rows", "n_nulls", "min_val", "max_val"]]
+
+
 def q_running_agg(sf_dir: str):
     """Per-key cumulative window family (sum/count/min/max/row_number over
     `rows unbounded preceding`): one hash exchange, segmented vectorized
@@ -1234,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_first_last": q_asof_first_last,
         "lag_lead": q_lag_lead,
         "running_agg": q_running_agg,
+        "profile_table": q_profile_table,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "topk_per_user": q_topk_per_user,
@@ -1354,6 +1370,24 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) over w as value_lead1
             from events
             window w as (partition by user_id order by epoch_ms(ts), event_id)
+        """,
+        "profile_table": """
+            with cols("column", n_rows, n_nulls, min_val, max_val) as (
+                select 'event_id', count(*),
+                       count(*) - count(event_id),
+                       round(min(event_id)::double, 6),
+                       round(max(event_id)::double, 6) from events
+                union all
+                select 'user_id', count(*), count(*) - count(user_id),
+                       round(min(user_id)::double, 6),
+                       round(max(user_id)::double, 6) from events
+                union all
+                select 'value', count(*), count(*) - count(value),
+                       round(min(value)::double, 6),
+                       round(max(value)::double, 6) from events
+            )
+            select "column", n_rows::bigint as n_rows,
+                   n_nulls::bigint as n_nulls, min_val, max_val from cols
         """,
         "running_agg": """
             select user_id, epoch_ms(ts) as ts, event_id,

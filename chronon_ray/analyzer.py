@@ -211,3 +211,59 @@ def check_join(jc: JoinConf) -> None:
     issues = analyze_join(jc)
     if issues:
         raise AnalyzerError(issues)
+
+
+def profile_table(ds, columns: Optional[list[str]] = None):
+    """One-streaming-pass column profile (the Analyzer's data-quality
+    side): per column — row count, null count, and min/max for
+    numeric/temporal columns. Per-batch partials (one tiny row per column
+    per batch) combine on the driver; the table itself never leaves the
+    workers.
+
+    Returns a pandas frame (column, n_rows, n_nulls, min_val, max_val) —
+    min/max as float64, NaN for non-numeric columns."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    sch = ds.schema()
+    names = columns or sch.names
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in names:
+            col = t[c]
+            n = len(col)
+            nn = col.null_count
+            lo = hi = float("nan")
+            if _is_numericish(col.type) or pa.types.is_timestamp(col.type):
+                mm = pc.min_max(col)
+                lov, hiv = mm["min"].as_py(), mm["max"].as_py()
+                if lov is not None:
+                    if pa.types.is_timestamp(col.type):
+                        lov, hiv = lov.timestamp(), hiv.timestamp()
+                    lo, hi = float(lov), float(hiv)
+            rows.append((c, n, nn, lo, hi))
+        cols = list(zip(*rows))
+        return pa.table({
+            "column": pa.array(cols[0]),
+            "n_rows": pa.array(np.array(cols[1], dtype=np.int64)),
+            "n_nulls": pa.array(np.array(cols[2], dtype=np.int64)),
+            "min_val": pa.array(np.array(cols[3], dtype=np.float64)),
+            "max_val": pa.array(np.array(cols[4], dtype=np.float64)),
+        })
+
+    partial.__name__ = "profile_partial"
+    import pandas as pd
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("column", sort=False)
+    out = pd.DataFrame({
+        "n_rows": g["n_rows"].sum(),
+        "n_nulls": g["n_nulls"].sum(),
+        "min_val": g["min_val"].min(),
+        "max_val": g["max_val"].max(),
+    }).reset_index()
+    # preserve requested column order
+    order = {c: i for i, c in enumerate(names)}
+    return out.sort_values("column", key=lambda s: s.map(order)) \
+        .reset_index(drop=True)
