@@ -157,6 +157,22 @@ def q_lag_lead(sf_dir: str):
     return out[["user_id", "ts", "event_id", "value", "value_lag1", "value_lead1"]]
 
 
+def q_group_quantiles(sf_dir: str):
+    """EXACT per-key quantiles (linear interpolation — quantile_cont
+    parity), complementing the mergeable KLL sketch: one hash exchange,
+    vectorized per-partition pass."""
+    from chronon_ray.pipelines.extras import group_quantiles
+
+    _ctx()
+    out = group_quantiles(_events(sf_dir), keys=["user_id"],
+                          value_col="value", qs=(0.5, 0.9),
+                          num_partitions=32).to_pandas()
+    for c in ("q50", "q90"):
+        out[c] = out[c].round(4)
+    return out[["user_id", "n", "q50", "q90"]] \
+        .sort_values("user_id").reset_index(drop=True)
+
+
 def q_profile_table(sf_dir: str):
     """Analyzer data-quality pass: per-column rows/nulls/min/max in ONE
     streaming pass (tiny per-batch partials, driver combine)."""
@@ -1250,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead": q_lag_lead,
         "running_agg": q_running_agg,
         "profile_table": q_profile_table,
+        "group_quantiles": q_group_quantiles,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "topk_per_user": q_topk_per_user,
@@ -1370,6 +1387,13 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) over w as value_lead1
             from events
             window w as (partition by user_id order by epoch_ms(ts), event_id)
+        """,
+        "group_quantiles": """
+            select user_id, count(value)::bigint as n,
+                   round(quantile_cont(value, 0.5), 4) as q50,
+                   round(quantile_cont(value, 0.9), 4) as q90
+            from events where value is not null
+            group by user_id
         """,
         "profile_table": """
             with cols("column", n_rows, n_nulls, min_val, max_val) as (

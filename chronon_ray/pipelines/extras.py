@@ -268,3 +268,44 @@ def running_aggregate(
     return tagged.groupby("_part").map_groups(
         _RunningAgg(keys, order_col, value_col, tie_break),
         batch_format="pyarrow")
+
+
+class _GroupQuantiles:
+    def __init__(self, keys, value_col, qs):
+        self.__name__ = type(self).__name__
+        self.keys, self.value_col, self.qs = list(keys), value_col, list(qs)
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[self.value_col].notna()]
+        if not len(pdf):
+            cols = {k: pd.Series(dtype=object) for k in self.keys}
+            for q in self.qs:
+                cols[f"q{int(q * 100)}"] = pd.Series(dtype=np.float64)
+            cols["n"] = pd.Series(dtype=np.int64)
+            return pd.DataFrame(cols)
+        g = pdf.groupby(self.keys, sort=False)[self.value_col]
+        out = g.agg(n="size").reset_index()
+        for q in self.qs:
+            # linear interpolation == numpy default == DuckDB quantile_cont
+            out[f"q{int(q * 100)}"] = g.quantile(q, interpolation="linear") \
+                .to_numpy(dtype=np.float64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles (linear interpolation — DuckDB
+    quantile_cont / numpy 'linear' parity), complementing the mergeable
+    APPROX_PERCENTILE KLL sketch: one hash exchange co-locates each key's
+    values, one vectorized pass per partition. Use the sketch when values
+    per key exceed a task's memory; use this when exactness is required."""
+    tagged = ds.map_batches(_AddPart(keys, num_partitions),
+                            batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(
+        _GroupQuantiles(keys, value_col, qs), batch_format="pandas")
