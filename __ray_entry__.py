@@ -157,6 +157,43 @@ def q_lag_lead(sf_dir: str):
     return out[["user_id", "ts", "event_id", "value", "value_lag1", "value_lead1"]]
 
 
+def q_range_join(sf_dir: str):
+    """Interval/range join: events matched into per-(user, day) half-day
+    intervals derived from the same events — one row per (event, interval)
+    pair with start <= ts < end. One co-partitioned exchange, vectorized
+    searchsorted sweep per partition."""
+    import ray.data as rd
+
+    from chronon_ray.pipelines.extras import range_join
+
+    _ctx()
+    ev = _events(sf_dir)
+    DAY = 86_400_000
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (ts // DAY) * DAY
+        return pa.table({
+            "user_id": t["user_id"],
+            "start_ts": pa.array(day),
+            "end_ts": pa.array(day + DAY // 2),
+        })
+
+    mk_iv.__name__ = "mk_intervals"
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow")
+    from chronon_ray.pipelines.joins import distinct_rows
+    iv = distinct_rows(iv, ["user_id", "start_ts", "end_ts"],
+                       num_partitions=32)
+    out = range_join(ev, iv, keys=["user_id"], ts_col="ts",
+                     left_cols=["user_id", "ts", "event_id"],
+                     num_partitions=32).to_pandas()
+    for c in ("user_id", "ts", "event_id", "start_ts", "end_ts"):
+        out[c] = out[c].astype(np.int64)
+    return out[["user_id", "ts", "event_id", "start_ts", "end_ts"]] \
+        .sort_values(["event_id", "start_ts"]).reset_index(drop=True)
+
+
 def q_group_quantiles(sf_dir: str):
     """EXACT per-key quantiles (linear interpolation — quantile_cont
     parity), complementing the mergeable KLL sketch: one hash exchange,
@@ -1267,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_agg": q_running_agg,
         "profile_table": q_profile_table,
         "group_quantiles": q_group_quantiles,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "topk_per_user": q_topk_per_user,
@@ -1387,6 +1425,17 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) over w as value_lead1
             from events
             window w as (partition by user_id order by epoch_ms(ts), event_id)
+        """,
+        "range_join": """
+            with e as (select user_id, epoch_ms(ts) as ts, event_id
+                       from events),
+            iv as (select distinct user_id,
+                          (ts // 86400000) * 86400000 as start_ts,
+                          (ts // 86400000) * 86400000 + 43200000 as end_ts
+                   from e)
+            select e.user_id, e.ts, e.event_id, iv.start_ts, iv.end_ts
+            from e join iv on e.user_id = iv.user_id
+               and e.ts >= iv.start_ts and e.ts < iv.end_ts
         """,
         "group_quantiles": """
             select user_id, count(value)::bigint as n,

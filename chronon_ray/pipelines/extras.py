@@ -309,3 +309,138 @@ def group_quantiles(
                             batch_format="pyarrow")
     return tagged.groupby("_part").map_groups(
         _GroupQuantiles(keys, value_col, qs), batch_format="pandas")
+
+
+class _RangeJoinPartition:
+    """One co-partitioned hash partition of left rows (kind 0: key, ts,
+    left cols) and intervals (kind 1: key, start, end, interval cols).
+    Vectorized sweep: left sorted by (key, ts); every interval's match
+    range comes from two composite searchsorteds; pairs are emitted with a
+    ranges-gather (no per-interval python slicing)."""
+
+    def __init__(self, keys, ts_col, start_col, end_col,
+                 left_cols, right_cols):
+        self.__name__ = type(self).__name__
+        self.keys, self.ts_col = list(keys), ts_col
+        self.start_col, self.end_col = start_col, end_col
+        self.left_cols, self.right_cols = list(left_cols), list(right_cols)
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_kind"] == 0]
+        right = pdf[pdf["_kind"] == 1]
+        empty = pd.DataFrame({
+            **{c: pd.Series(dtype=left[c].dtype if c in left else object)
+               for c in self.left_cols},
+            **{c: pd.Series(dtype=object) for c in self.right_cols},
+        })
+        if not len(left) or not len(right):
+            return empty
+        # shared key codes across both sides
+        both = pd.concat([left[self.keys], right[self.keys]],
+                         ignore_index=True)
+        if len(self.keys) == 1:
+            codes, _ = pd.factorize(both[self.keys[0]],
+                                    use_na_sentinel=False)
+        else:
+            codes, _ = pd.MultiIndex.from_frame(both) \
+                .factorize(use_na_sentinel=False)
+        lcode = codes[:len(left)].astype(np.int64)
+        rcode = codes[len(left):].astype(np.int64)
+        lts = left[self.ts_col].to_numpy(dtype=np.int64)
+        perm = np.lexsort((lts, lcode))
+        lcode, lts = lcode[perm], lts[perm]
+        lsorted = left.iloc[perm]
+        rs = right[self.start_col].to_numpy(dtype=np.int64)
+        re_ = right[self.end_col].to_numpy(dtype=np.int64)
+        # monotone composite (code, ts) -> single searchsorted
+        t0 = min(int(lts.min()), int(rs.min()))
+        t1 = max(int(lts.max()), int(re_.max()))
+        K = (t1 - t0) + 2
+        comp = lcode * K + (lts - t0)
+        lo = np.searchsorted(comp, rcode * K + (rs - t0), side="left")
+        hi = np.searchsorted(comp, rcode * K + (re_ - t0), side="left")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        ividx = np.repeat(np.arange(len(right)), cnt)
+        base = np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        evidx = np.arange(total) - base + np.repeat(lo, cnt)
+        out = {c: lsorted[c].to_numpy()[evidx] for c in self.left_cols}
+        for c in self.right_cols:
+            out[c] = right[c].to_numpy()[ividx]
+        return pd.DataFrame(out)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    left_cols: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Interval/range join: every (left row, interval) pair with the same
+    key and start <= ts < end — one row PER MATCH (overlapping intervals
+    multiply). ONE hash exchange co-partitions both sides by key; the
+    per-partition sweep is two vectorized searchsorteds + a ranges-gather.
+    Skewed keys: all of a key's rows land in one task — salt hot keys
+    upstream if a single key's intervals × rows exceeds task memory."""
+    left_cols = list(left_cols or left.schema().names)
+    right_cols = list(right_cols or
+                      [c for c in intervals.schema().names
+                       if c not in (*keys, start_col, end_col)]
+                      ) + [start_col, end_col]
+    right_cols = list(dict.fromkeys(right_cols))
+
+    def _atype(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    lsch, rsch = left.schema(), intervals.schema()
+    ltypes = {n: _atype(t) for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: _atype(t) for n, t in zip(rsch.names, rsch.types)}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        t = t.select([c for c in t.column_names
+                      if c in set([*keys, ts_col, *left_cols])])
+        for c in right_cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, rtypes.get(c, pa.int64())))
+        return t.append_column("_kind", pa.array(np.zeros(n, np.int8)))
+
+    tag_left.__name__ = "tag_range_left"
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        for c in [*left_cols, ts_col]:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, ltypes.get(c, pa.int64())))
+        return t.append_column("_kind", pa.array(np.ones(n, np.int8)))
+
+    tag_right.__name__ = "tag_range_right"
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = intervals.map_batches(tag_right, batch_format="pyarrow")
+    # align column order for union
+    cols = sorted(set([*keys, ts_col, *left_cols, *right_cols, "_kind"]))
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
+    order_cols.__name__ = "order_cols"
+    u = lt.map_batches(order_cols, batch_format="pyarrow") \
+        .union(rt.map_batches(order_cols, batch_format="pyarrow"))
+    u = u.map_batches(_AddPart(keys, num_partitions),
+                      batch_format="pyarrow")
+    return u.groupby("_part").map_groups(
+        _RangeJoinPartition(keys, ts_col, start_col, end_col,
+                            left_cols, right_cols),
+        batch_format="pandas")

@@ -253,3 +253,26 @@ def test_label_lifecycle_versions_and_latest(ray_session, sf_dir):
     assert len(latest) == 2
     assert (latest["label_ds"] == "2024-01-02").all()
     assert latest.loc[0, "value_sum_2d"] == 11.0
+
+
+def test_range_join_overlapping_intervals(ray_session):
+    """A row inside two overlapping intervals matches BOTH; rows outside
+    all intervals and keys with no intervals emit nothing."""
+    import pandas as pd
+    import ray.data
+
+    from chronon_ray.pipelines.extras import range_join
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 3], "ts": [5, 15, 40, 10, 10],
+                         "row": [100, 101, 102, 103, 104]})
+    iv = pd.DataFrame({"k": [1, 1, 2], "start_ts": [0, 10, 0],
+                       "end_ts": [20, 30, 5], "iv_id": [7, 8, 9]})
+    out = range_join(ray.data.from_pandas(left),
+                     ray.data.from_pandas(iv),
+                     keys=["k"], ts_col="ts",
+                     left_cols=["k", "ts", "row"],
+                     num_partitions=4).to_pandas()
+    got = sorted(zip(out["row"], out["iv_id"]))
+    # ts=5 in [0,20) only; ts=15 in [0,20) AND [10,30); ts=40 in none;
+    # k=2 ts=10 outside [0,5); k=3 has no intervals
+    assert got == [(100, 7), (101, 7), (101, 8)]
