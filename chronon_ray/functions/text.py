@@ -536,10 +536,14 @@ class _BigramCountPartial:
         return out
 
 
-def bigram_lm_counts(docs, text_col: str = "text"):
-    """(unigram counts dict-frame, bigram counts frame, vocab size) from a
+def bigram_lm_counts(docs, text_col: str = "text", min_count: int = 1):
+    """(unigram counts frame, bigram counts frame, vocab size) from a
     streaming pass — the corpus-LM side of CCNet-style perplexity
-    filtering. Vocab-sized output, driver-materialized by design."""
+    filtering. The distinct-bigram table is driver-materialized; at corpus
+    scale it grows superlinearly, so pass ``min_count`` > 1 to prune rare
+    bigrams BEFORE broadcast (standard LM pruning — pruned bigrams score
+    as unseen, exactly like KenLM prune). Unigrams/vocab are never
+    pruned, so smoothing denominators are exact."""
     part = docs.map_batches(_BigramCountPartial(text_col),
                             batch_format="pandas", batch_size=4096)
     agg = part.groupby(["w1", "w2"]).sum("cnt").to_pandas()
@@ -547,6 +551,8 @@ def bigram_lm_counts(docs, text_col: str = "text"):
     agg = agg.rename(columns={col: "cnt"})
     uni = agg[agg["w2"] == ""][["w1", "cnt"]]
     bi = agg[agg["w2"] != ""]
+    if min_count > 1:
+        bi = bi[bi["cnt"] >= min_count]
     vocab = int(len(uni))
     return uni, bi, vocab
 
@@ -597,13 +603,15 @@ class PerplexityStage:
         return out
 
 
-def perplexity_score(docs, text_col: str = "text", id_col: str = "doc_id"):
+def perplexity_score(docs, text_col: str = "text", id_col: str = "doc_id",
+                     min_count: int = 1):
     """(doc_id, n_bigrams, avg_nll) per doc under the corpus bigram LM —
     two streaming passes (counts, then broadcast scoring); docs with < 2
-    tokens emit nothing."""
+    tokens emit nothing. ``min_count`` prunes the broadcast bigram table
+    at corpus scale (see bigram_lm_counts)."""
     import ray
 
-    uni, bi, vocab = bigram_lm_counts(docs, text_col)
+    uni, bi, vocab = bigram_lm_counts(docs, text_col, min_count=min_count)
     ref = ray.put((uni, bi, vocab))
     return docs.map_batches(
         PerplexityStage(ref, text_col=text_col, id_col=id_col),
