@@ -237,7 +237,7 @@ def q_running_agg(sf_dir: str):
                             num_partitions=32).to_pandas()
     out["running_sum"] = out["running_sum"].round(4)
     out["row_number"] = out["row_number"].astype(np.int64)
-    for c in ("running_min", "running_max"):
+    for c in ("running_sum", "running_min", "running_max"):
         out[c] = out[c].where(~out[c].isna(), None)
     return out[["user_id", "ts", "event_id", "running_sum",
                 "running_count", "running_min", "running_max",

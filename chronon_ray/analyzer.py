@@ -236,13 +236,26 @@ def profile_table(ds, columns: Optional[list[str]] = None):
             n = len(col)
             nn = col.null_count
             lo = hi = float("nan")
-            if _is_numericish(col.type) or pa.types.is_timestamp(col.type):
-                mm = pc.min_max(col)
-                lov, hiv = mm["min"].as_py(), mm["max"].as_py()
-                if lov is not None:
-                    if pa.types.is_timestamp(col.type):
-                        lov, hiv = lov.timestamp(), hiv.timestamp()
-                    lo, hi = float(lov), float(hiv)
+            # flat numeric/temporal only — _is_numericish recurses into
+            # list value types, but min_max has no list kernel
+            flat_numeric = (pa.types.is_integer(col.type)
+                            or pa.types.is_floating(col.type)
+                            or pa.types.is_decimal(col.type))
+            if flat_numeric or pa.types.is_timestamp(col.type):
+                if pa.types.is_timestamp(col.type):
+                    # epoch seconds, TZ-independent (naive datetime
+                    # .timestamp() would use the worker's local zone)
+                    col = pc.cast(pc.cast(col, pa.timestamp("us")),
+                                  pa.int64())
+                    mm = pc.min_max(col)
+                    lov, hiv = mm["min"].as_py(), mm["max"].as_py()
+                    if lov is not None:
+                        lo, hi = lov / 1e6, hiv / 1e6
+                else:
+                    mm = pc.min_max(col)
+                    lov, hiv = mm["min"].as_py(), mm["max"].as_py()
+                    if lov is not None:
+                        lo, hi = float(lov), float(hiv)
             rows.append((c, n, nn, lo, hi))
         cols = list(zip(*rows))
         return pa.table({

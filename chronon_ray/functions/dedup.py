@@ -252,13 +252,14 @@ class _BandBucketCandidates:
     id pairs (a < b), no signatures. Pair emission per bucket is a single
     triu_indices gather — no python pair loop."""
 
-    def __init__(self, id_col: str):
+    def __init__(self, id_col: str, id_dtype=np.int64):
         self.__name__ = type(self).__name__
         self.id_col = id_col
+        self.id_dtype = id_dtype
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                              "b": pd.Series(dtype=np.int64)})
+        empty = pd.DataFrame({"a": pd.Series(dtype=self.id_dtype),
+                              "b": pd.Series(dtype=self.id_dtype)})
         if len(pdf) < 2:
             return empty
         order, bounds = _bucket_bounds([
@@ -285,11 +286,15 @@ def _attach_sigs_and_estimate(
     id_col: str,
     threshold: float,
     num_partitions: int,
+    id_type: pa.DataType = None,
 ) -> ray.data.Dataset:
     """Distributed signature verification: pairs explode into two keyed
     halves, co-partitioned with the (one-copy) signature table; a second
     tiny exchange on (a, b) reunites the halves and computes the estimate.
     Signatures cross ONE exchange once each; no driver collection."""
+
+    idt = id_type or pa.int64()
+    int_ids = pa.types.is_integer(idt)
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
@@ -310,8 +315,8 @@ def _attach_sigs_and_estimate(
         return pa.table({
             "key": t[id_col],
             "slot": pa.array(np.full(n, -1, dtype=np.int8)),
-            "a": pa.nulls(n, pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
+            "a": pa.nulls(n, idt),
+            "b": pa.nulls(n, idt),
             "sig": t["sig"],
         })
 
@@ -321,25 +326,31 @@ def _attach_sigs_and_estimate(
         .union(sig_rows.map_batches(tag_sigs, batch_format="pyarrow"))
     u = _partition_by_hash(u, ["key"], num_partitions)
 
+    pd_id = np.int64 if int_ids else object
+
     def attach(pdf: pd.DataFrame) -> pd.DataFrame:
         halves = pdf[pdf["slot"] >= 0]
         sigs = pdf[pdf["slot"] < 0][["key", "sig"]]
         if not len(halves):
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
+            return pd.DataFrame({"a": pd.Series(dtype=pd_id),
+                                 "b": pd.Series(dtype=pd_id),
                                  "slot": pd.Series(dtype=np.int8),
                                  "sig": pd.Series(dtype=object)})
         out = halves[["key", "slot", "a", "b"]].merge(sigs, on="key")
-        return out[["a", "b", "slot", "sig"]].astype(
-            {"a": np.int64, "b": np.int64})
+        out = out[["a", "b", "slot", "sig"]]
+        if int_ids:
+            # null id cells from sig rows degrade the column to float64
+            # in pandas — restore exact int64 (ids < 2^53)
+            out = out.astype({"a": np.int64, "b": np.int64})
+        return out
 
     attach.__name__ = "attach_sigs"
     attached = u.groupby("_part").map_groups(attach, batch_format="pandas")
     attached = _partition_by_hash(attached, ["a", "b"], num_partitions)
 
     def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                              "b": pd.Series(dtype=np.int64),
+        empty = pd.DataFrame({"a": pd.Series(dtype=pd_id),
+                              "b": pd.Series(dtype=pd_id),
                               "jaccard": pd.Series(dtype=np.float64)})
         if not len(pdf):
             return empty
@@ -435,6 +446,10 @@ def minhash_lsh_pairs(
         tagged = ds.map_batches(_MinHashTagged(**kw), batch_format="pyarrow")
     tagged = tagged.materialize()
     nparts = auto_partitions(ds)
+    from ..util import arrow_type_of
+    dsch = ds.schema()
+    idt = arrow_type_of(dict(zip(dsch.names, dsch.types))[id_col])
+    pd_id = np.int64 if pa.types.is_integer(idt) else object
 
     def bands_only(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -452,14 +467,15 @@ def minhash_lsh_pairs(
         tagged.map_batches(bands_only, batch_format="pyarrow"),
         ["band", "band_hash"], nparts)
     cand = band_rows.groupby("_part").map_groups(
-        _BandBucketCandidates(id_col), batch_format="pandas")
+        _BandBucketCandidates(id_col, id_dtype=pd_id),
+        batch_format="pandas")
     pairs = _dedup_pairs_ds(cand).materialize()  # tiny: unique (a, b)
     sig_rows = tagged.map_batches(sigs_only, batch_format="pyarrow")
 
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_pandas(pd.DataFrame({
-            "a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+            "a": pd.Series(dtype=pd_id), "b": pd.Series(dtype=pd_id),
             "jaccard": pd.Series(dtype=np.float64)}))
     if 2 * n_pairs <= small_mode_cutoff:
         # small mode (reference small_mode_cutoff analog): the candidate id
@@ -472,7 +488,7 @@ def minhash_lsh_pairs(
             import pyarrow.compute as pc
             wanted = ray.get(idset)
             mask = pc.is_in(t[id_col],
-                            value_set=pa.array(list(wanted), pa.int64()))
+                            value_set=pa.array(list(wanted), idt))
             return t.filter(mask)
 
         flt.__name__ = "filter_pair_sigs"
@@ -487,7 +503,7 @@ def minhash_lsh_pairs(
             "a": pp["a"].to_numpy()[keep], "b": pp["b"].to_numpy()[keep],
             "jaccard": est[keep]}))
     return _attach_sigs_and_estimate(pairs, sig_rows, id_col, threshold,
-                                     nparts)
+                                     nparts, id_type=idt)
 
 
 def _label_checksum(labels: ray.data.Dataset) -> int:
@@ -1486,18 +1502,11 @@ def incremental_exact_dedup(
 
     if num_partitions is None:
         num_partitions = auto_partitions(new_docs)
+    from ..util import arrow_type_of
+
     sch = new_docs.schema()
     doc_cols = sch.names
-
-    def _arrow_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
-
-    doc_types = {n: _arrow_type(t) for n, t in zip(sch.names, sch.types)}
+    doc_types = {n: arrow_type_of(t) for n, t in zip(sch.names, sch.types)}
 
     def tag_new(pdf: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(pdf[list(on)],

@@ -410,7 +410,9 @@ def _pq_kmeans(sample: np.ndarray, n_codes: int, iters: int = 10,
                      replace=False)
     cent = sample[idx].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 argmin == (-2 x.c + ||c||^2) argmin — avoids the
+        # (n, k, dsub) difference tensor
+        d = -2 * sample @ cent.T + (cent ** 2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(len(cent)):
             m = sample[assign == c]

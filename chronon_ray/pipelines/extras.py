@@ -234,7 +234,9 @@ class _RunningAgg:
             run_max[a:b] = np.maximum.accumulate(vmax[a:b])
         row_num = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_lens)
         out = tbl
-        out = out.append_column("running_sum", pa.array(run_sum))
+        out = out.append_column(
+            "running_sum",
+            pa.array(np.where(run_cnt > 0, run_sum, np.nan)))
         out = out.append_column("running_count",
                                 pa.array(run_cnt.astype(np.int64)))
         out = out.append_column(
@@ -270,6 +272,12 @@ def running_aggregate(
         batch_format="pyarrow")
 
 
+def _q_label(q: float) -> str:
+    """q=0.5 -> 'q50'; sub-percent quantiles keep their precision:
+    q=0.999 -> 'q99_9' (int(q*100) would collide 0.99 and 0.999)."""
+    return "q" + f"{q * 100:g}".replace(".", "_")
+
+
 class _GroupQuantiles:
     def __init__(self, keys, value_col, qs):
         self.__name__ = type(self).__name__
@@ -280,14 +288,14 @@ class _GroupQuantiles:
         if not len(pdf):
             cols = {k: pd.Series(dtype=object) for k in self.keys}
             for q in self.qs:
-                cols[f"q{int(q * 100)}"] = pd.Series(dtype=np.float64)
+                cols[_q_label(q)] = pd.Series(dtype=np.float64)
             cols["n"] = pd.Series(dtype=np.int64)
             return pd.DataFrame(cols)
         g = pdf.groupby(self.keys, sort=False)[self.value_col]
         out = g.agg(n="size").reset_index()
         for q in self.qs:
             # linear interpolation == numpy default == DuckDB quantile_cont
-            out[f"q{int(q * 100)}"] = g.quantile(q, interpolation="linear") \
+            out[_q_label(q)] = g.quantile(q, interpolation="linear") \
                 .to_numpy(dtype=np.float64)
         out["n"] = out["n"].astype(np.int64)
         return out
@@ -353,13 +361,18 @@ class _RangeJoinPartition:
         rs = right[self.start_col].to_numpy(dtype=np.int64)
         re_ = right[self.end_col].to_numpy(dtype=np.int64)
         # monotone composite (code, ts) -> single searchsorted
-        t0 = min(int(lts.min()), int(rs.min()))
-        t1 = max(int(lts.max()), int(re_.max()))
+        t0 = min(int(lts.min()), int(rs.min()), int(re_.min()))
+        t1 = max(int(lts.max()), int(rs.max()), int(re_.max()))
         K = (t1 - t0) + 2
         comp = lcode * K + (lts - t0)
-        lo = np.searchsorted(comp, rcode * K + (rs - t0), side="left")
-        hi = np.searchsorted(comp, rcode * K + (re_ - t0), side="left")
-        cnt = hi - lo
+        # clamp interval bounds into the key's K-wide band so out-of-range
+        # intervals can't bleed into a neighboring key's range
+        rs_c = np.clip(rs - t0, 0, K - 1)
+        re_c = np.clip(re_ - t0, 0, K - 1)
+        lo = np.searchsorted(comp, rcode * K + rs_c, side="left")
+        hi = np.searchsorted(comp, rcode * K + re_c, side="left")
+        # malformed end < start intervals match nothing (SQL semantics)
+        cnt = np.maximum(hi - lo, 0)
         total = int(cnt.sum())
         if total == 0:
             return empty
@@ -396,17 +409,11 @@ def range_join(
                       ) + [start_col, end_col]
     right_cols = list(dict.fromkeys(right_cols))
 
-    def _atype(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
+    from ..util import arrow_type_of
 
     lsch, rsch = left.schema(), intervals.schema()
-    ltypes = {n: _atype(t) for n, t in zip(lsch.names, lsch.types)}
-    rtypes = {n: _atype(t) for n, t in zip(rsch.names, rsch.types)}
+    ltypes = {n: arrow_type_of(t) for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: arrow_type_of(t) for n, t in zip(rsch.names, rsch.types)}
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = len(t)

@@ -45,3 +45,15 @@ def auto_partitions(ds: ray.data.Dataset, expansion: float = 1.0,
     cpus = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
     return max(floor_per_cpu * cpus, math.ceil(total / target_bytes))
+
+
+def arrow_type_of(t) -> pa.DataType:
+    """Coerce a ray Schema type entry (arrow DataType for arrow-backed
+    datasets, numpy dtype / python type for pandas-backed ones) to an
+    arrow DataType; object-ish types fall back to string."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()

@@ -69,3 +69,22 @@ def test_rows_only_queries(ray_session, sf_dir):
 def test_entry(ray_session):
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
+
+
+def test_running_agg_null_prefix(ray_session):
+    """Rows whose cumulative window holds only NULL values report NULL
+    running_sum/min/max (SQL window semantics), not 0.0."""
+    import pandas as pd
+    import ray.data
+
+    from chronon_ray.pipelines.extras import running_aggregate
+
+    df = pd.DataFrame({"k": [1, 1, 1], "ts": [1, 2, 3],
+                       "value": [None, None, 5.0]})
+    out = running_aggregate(ray.data.from_pandas(df), keys=["k"],
+                            value_col="value", num_partitions=2) \
+        .to_pandas().sort_values("ts")
+    assert np.isnan(out["running_sum"].iloc[0])
+    assert np.isnan(out["running_sum"].iloc[1])
+    assert out["running_sum"].iloc[2] == 5.0
+    assert list(out["running_count"]) == [0, 0, 1]

@@ -506,3 +506,39 @@ def test_pq_knn_recall(ray_session, sf_dir):
             & set(bf[bf["query_id"] == q]["neighbor_id"])) / 5
         for q in qids) / len(qids)
     assert rec >= 0.7, rec
+
+
+def test_minhash_string_ids(ray_session):
+    """The lean LSH path preserves non-integer id types end to end (both
+    small-mode and the distributed halves exchange)."""
+    from chronon_ray.functions.dedup import minhash_lsh_pairs
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    words = ["w" + format(x, "06x") for x in rng.integers(0, 1 << 24, 500)]
+    base = " ".join(rng.choice(words, size=60))
+    near = base.replace(base.split()[5], "CHANGED", 1)
+    tbl = pa.table({
+        "doc_id": pa.array(["docA", "docB", "docC"]),
+        "text": pa.array([base, near, " ".join(rng.choice(words, 60))]),
+    })
+    for cutoff in (100_000, 0):  # small mode, then distributed mode
+        pairs = minhash_lsh_pairs(ray.data.from_arrow(tbl), "text",
+                                  "doc_id", threshold=0.5,
+                                  small_mode_cutoff=cutoff).to_pandas()
+        assert {(a, b) for a, b in zip(pairs["a"], pairs["b"])} == \
+            {("docA", "docB")}, cutoff
+
+
+def test_profile_table_list_and_timestamp(ray_session, sf_dir):
+    """profile_table tolerates list columns (NaN min/max) and reports
+    TZ-independent epoch seconds for timestamp columns."""
+    from chronon_ray.analyzer import profile_table
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = profile_table(emb).set_index("column")
+    assert np.isnan(out.loc["embedding", "min_val"])
+    assert out.loc["vec_id", "n_nulls"] == 0
+    ts = pd.DataFrame({"t": pd.to_datetime(["2026-01-01", "2026-01-03"])})
+    p = profile_table(ray.data.from_pandas(ts)).iloc[0]
+    assert p["min_val"] == pd.Timestamp("2026-01-01").timestamp() or \
+        p["min_val"] == 1767225600.0  # epoch of 2026-01-01T00:00Z

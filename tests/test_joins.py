@@ -276,3 +276,20 @@ def test_range_join_overlapping_intervals(ray_session):
     # ts=5 in [0,20) only; ts=15 in [0,20) AND [10,30); ts=40 in none;
     # k=2 ts=10 outside [0,5); k=3 has no intervals
     assert got == [(100, 7), (101, 7), (101, 8)]
+
+
+def test_range_join_malformed_interval(ray_session):
+    """end < start intervals match nothing (SQL semantics) instead of
+    crashing; out-of-range intervals stay inside their own key's band."""
+    import pandas as pd
+    import ray.data
+
+    from chronon_ray.pipelines.extras import range_join
+
+    left = pd.DataFrame({"k": [1, 2], "ts": [5, 5], "row": [1, 2]})
+    iv = pd.DataFrame({"k": [1, 1, 2], "start_ts": [10, 0, 100],
+                       "end_ts": [0, 10, 200], "iv_id": [1, 2, 3]})
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(iv),
+                     keys=["k"], ts_col="ts", left_cols=["k", "ts", "row"],
+                     num_partitions=2).to_pandas()
+    assert sorted(zip(out["row"], out["iv_id"])) == [(1, 2)]
