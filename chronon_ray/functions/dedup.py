@@ -554,6 +554,10 @@ def connected_components(
     (no driver-side union-find, no broadcast of the label table — scales to
     edge/node sets that don't fit one node). Rounds ≈ component diameter;
     near-dup components are shallow."""
+    # materialize BEFORE sizing: auto_partitions calls size_bytes(), which
+    # executes a lazy pairs pipeline once just to measure it — the edge
+    # build below would then run the whole LSH pipeline a second time
+    pairs = pairs.materialize()
     if num_partitions is None:
         num_partitions = auto_partitions(pairs)
     labels = ids.map_batches(
@@ -797,6 +801,10 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str, id_col: str,
         # the two join sides don't recompute the full shingle scan twice
         sh = sh.map_batches(SemiFilter, batch_format="pyarrow",
                             concurrency=2).materialize()
+    else:
+        # distributed path: both join sides consume `sh` — without a
+        # materialize the full corpus shingle scan would execute twice
+        sh = sh.materialize()
 
     # side A: pairs keyed on a ⋈ shingles keyed on _sid (one shuffle)
     c1 = cands.map_batches(

@@ -86,8 +86,14 @@ def stratified_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
 
     def f(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()))
-        lut = np.array([thr.get(u, dthr) for u in uniq], dtype=np.uint64)
+        # use_na_sentinel=False: null groups get their own code (the
+        # default -1 sentinel would index the LAST group's threshold)
+        codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()),
+                                   use_na_sentinel=False)
+        lut = np.array([dthr if u is None or (isinstance(u, float)
+                                              and np.isnan(u))
+                        else thr.get(u, dthr) for u in uniq],
+                       dtype=np.uint64)
         keep = rank_hash(ids, seed).astype(np.uint64) < lut[codes]
         return t.filter(pa.array(keep))
 
@@ -157,8 +163,11 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
             if self.plan is None:
                 self.plan = ray.get(self.ref)
             rb = t["_rb"].to_numpy(zero_copy_only=False)
-            codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()))
-            per = [self.plan.get(u, (-1, -1, 0, 0)) for u in uniq]
+            codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()),
+                                       use_na_sentinel=False)
+            per = [(-1, -1, 0, 0) if u is None or (isinstance(u, float)
+                                                   and np.isnan(u))
+                   else self.plan.get(u, (-1, -1, 0, 0)) for u in uniq]
             below = np.array([p[0] for p in per], dtype=np.int64)[codes]
             bnd = np.array([p[1] for p in per], dtype=np.int64)[codes]
             mask = (rb == bnd) if self.boundary else (rb < below)

@@ -446,7 +446,12 @@ def temporal_entities_join(
                     col = col.combine_chunks()
                 valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
                 v = col.to_numpy(zero_copy_only=False)
-                rel = valid & (ts_row < end_row) & (ts_row > end_row - W)
+                # hop-rounded retention, matching the sawtooth window
+                # contract ts >= round(q - W, hop): a row at exactly
+                # end - W (or inside the rounded tail band) is still in
+                # the earliest query's window
+                rel = valid & (ts_row < end_row) & \
+                    (round_ts(ts_row, hop) >= round_ts(end_row - W, hop))
                 coll = rel & (ts_row >= end_row - W + TAIL_BUFFER_MS)
                 tail = rel & ~coll
                 # overwrite this part's collapsed IR with the masked version

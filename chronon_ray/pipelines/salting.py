@@ -62,7 +62,11 @@ def detect_hot_keys(
     if total == 0:
         return []
     n_sample = min(max_sample, max(10_000, int(total * sample_frac)))
-    pdf = right_ds.select_columns([key]).limit(n_sample).to_pandas()
+    # randomize BLOCK order before the limit: a plain limit() reads only
+    # the first blocks, so inputs sorted/clustered by key would misreport
+    # the prefix keys as hot and miss truly hot keys elsewhere
+    pdf = right_ds.select_columns([key]).randomize_block_order(seed=17) \
+        .limit(n_sample).to_pandas()
     if len(pdf) == 0:
         return []
     counts = pdf[key].value_counts()

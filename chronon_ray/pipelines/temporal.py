@@ -475,8 +475,12 @@ class TemporalPartition:
             else:
                 # raw values + factorized bucket labels — the grouped
                 # partial runs at (key, hop, bucket) granularity and the
-                # dicts are reassembled per (key, hop)
-                vals, valid = col_values(replace(p, bucket=None))
+                # dicts are reassembled per (key, hop). force_raw: the
+                # tail/head updates feed RAW values for bucketed parts, so
+                # hop IRs must hold the same representation (codes here
+                # would double-count values seen in both regions)
+                vals, valid = col_values(replace(p, bucket=None),
+                                         force_raw=True)
                 bcol = e_tbl[p.bucket]
                 if isinstance(bcol, pa.ChunkedArray):
                     bcol = bcol.combine_chunks()
@@ -542,11 +546,12 @@ class TemporalPartition:
         # prepare per-part value accessors (nulls filtered per key slice later)
         col_cache: dict[str, Any] = {}
 
-        def col_values(p: AggregationPart):
+        def col_values(p: AggregationPart, force_raw: bool = False):
             # exact UNIQUE_COUNT only needs distinctness, not the values —
             # dictionary codes stand in for strings (partition-local codes,
             # so only in finalized mode: partial IRs merge across shards)
-            use_codes = (p.operation == Operation.UNIQUE_COUNT
+            use_codes = (not force_raw
+                         and p.operation == Operation.UNIQUE_COUNT
                          and p.bucket is None and not self.emit_partials)
             key = (p.input_column, p.bucket, use_codes)
             if key in col_cache:
@@ -764,7 +769,10 @@ def temporal_join(
         # per-block bitmaps are OR-reduced — the left KEY SET is never
         # collected anywhere, only a fixed-size bit array. False positives
         # just let some extra events through the shuffle; they match no
-        # query and are harmless to the left-outer result.
+        # query and are harmless to the left-outer result. Materialize the
+        # left once: count() (bit sizing), the bitmap build, and the join
+        # itself would otherwise each re-execute a lazy left pipeline.
+        left_ds = left_ds.materialize()
         right_ds = _bloom_filter_events(left_ds, right_ds, keys)
     elif broadcast_left_keys:
         # small-left mode: the left key set is broadcast and events of other

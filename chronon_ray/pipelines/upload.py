@@ -481,7 +481,15 @@ def roll_checkpoint(
 
     schema = dataset_schema(ir_table)
     if "_full_hops" in schema.names:
-        pass  # validated per-row below is overkill; layout documented
+        # rolling a collapsed checkpoint would merge windowed IRs that can
+        # never slide out — fail loudly instead of compounding wrong
+        # features day over day
+        flag = ir_table.select_columns(["_full_hops"]).limit(1).take(1)
+        if flag and not bool(flag[0]["_full_hops"]):
+            raise ValueError(
+                "roll_checkpoint requires a checkpoint built with "
+                "groupby_upload(..., full_hops=True); this one is "
+                "collapsed-only")
     agg = RowAggregator(parts, dataset_schema(day_events))
 
     def strip(t: pa.Table) -> pa.Table:

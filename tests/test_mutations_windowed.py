@@ -100,7 +100,8 @@ def _naive_windowed(snapshots, mutations, queries, w_millis):
         total, cnt = 0.0, 0
         for _, r in base.iterrows():
             ts = int(r["ts"])
-            if not (eod - w_millis < ts < eod):
+            if not (ts < eod and round_ts(ts, HOP)
+                    >= round_ts(eod - w_millis, HOP)):
                 continue
             if ts >= eod - w_millis + TAIL_BUFFER_MS:
                 total += r["amount"]; cnt += 1       # collapsed: always in
@@ -222,3 +223,46 @@ def test_windowed_mutation_exits_between_same_day_queries(ray_session):
     # the windowed scalar (per-query replay) path agrees
     assert out["amount_variance_1h"].iloc[0] == 0.0
     assert pd.isna(out["amount_variance_1h"].iloc[1])
+
+
+def test_windowed_boundary_row_included(ray_session):
+    """A snapshot row at EXACTLY end_of_day - W must be included for a
+    query whose hop-rounded window tail reaches it (the old strict
+    `ts > eod - W` pre-filter silently dropped it)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.mutations import temporal_entities_join
+
+    MS_DAY = 86_400_000
+    day = 20_000  # arbitrary day ordinal
+    eod = day * MS_DAY
+    W = MS_DAY  # 1d window, hop = 1h
+    prev_ds = pd.Timestamp(eod - MS_DAY, unit="ms").strftime("%Y-%m-%d")
+    snaps = pa.table({
+        "entity_id": pa.array([1, 1], type=pa.int64()),
+        "amount": pa.array([10.0, 5.0]),
+        "ts": pa.array([eod - W, eod - 1], type=pa.int64()),  # boundary + head
+        "ds": pa.array([prev_ds, prev_ds]),
+    })
+    muts = pa.table({
+        "entity_id": pa.array([], type=pa.int64()),
+        "amount": pa.array([], type=pa.float64()),
+        "ts": pa.array([], type=pa.int64()),
+        "mutation_ts": pa.array([], type=pa.int64()),
+        "is_delete": pa.array([], type=pa.bool_()),
+        "ds": pa.array([], type=pa.string()),
+    })
+    queries = pa.table({
+        "entity_id": pa.array([1], type=pa.int64()),
+        "ts": pa.array([eod + 1], type=pa.int64()),  # round(q-W,1h) <= eod-W
+    })
+    conf = GroupByConf(
+        name="bnd", sources=(), key_columns=("entity_id",),
+        aggregations=(agg("amount", "sum", [window(1, "d")]),))
+    out = temporal_entities_join(
+        ray.data.from_arrow(queries), ray.data.from_arrow(snaps),
+        ray.data.from_arrow(muts), conf, num_partitions=2).to_pandas()
+    assert float(out["amount_sum_1d"].iloc[0]) == 15.0

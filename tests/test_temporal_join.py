@@ -261,3 +261,37 @@ def test_temporal_vs_duckdb(ray_session, sf_dir, duck):
         np.testing.assert_allclose(g[~nan], w[~nan], rtol=1e-9, err_msg=col)
     got_cnt = out["value_count_7d"].fillna(0).astype(int).to_numpy()
     np.testing.assert_array_equal(got_cnt, exp["value_count_7d"].astype(int))
+
+
+def test_temporal_bucketed_unique_count_strings(ray_session, token_data):
+    """Bucketed UNIQUE_COUNT over a STRING column: hop-prebuilt IRs and
+    head/tail updates must share one value representation — mixing
+    dictionary codes with raw strings double-counts values present in
+    both regions."""
+    ev, q = token_data
+    conf = GroupByConf(
+        name="bucuc", sources=(), key_columns=("doc_id",),
+        aggregations=(
+            agg("ds", "unique_count", [window(7, "d")], buckets=["source"]),
+        ),
+    )
+    parts = conf.parts()
+    out = temporal_join(ray.data.from_arrow(q), ray.data.from_arrow(ev),
+                        conf, num_partitions=4).to_pandas()
+    out = out.sort_values(["doc_id", "ts"], kind="stable") \
+        .reset_index(drop=True)
+    naive = naive_features(ev, q, parts)
+    qpd = q.to_pandas()
+    ndf = pd.DataFrame({"doc_id": qpd["doc_id"], "ts": qpd["ts"], **naive})
+    ndf = ndf.sort_values(["doc_id", "ts"], kind="stable") \
+        .reset_index(drop=True)
+    col = parts[0].output_name
+
+    def _none(x):
+        return x is None or (isinstance(x, float) and np.isnan(x))
+
+    for i, (a, b) in enumerate(zip(out[col], ndf[col])):
+        if _none(a) and _none(b):
+            continue
+        assert [tuple(x) for x in a] == [tuple(x) for x in b], \
+            f"row {i}: {a} vs {b}"

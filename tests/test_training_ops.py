@@ -352,3 +352,24 @@ def test_incremental_dedup_state(ray_session, tmp_path):
     k2b = incremental_exact_dedup(rd.from_pandas(day2), state, "2026-01-02",
                                   ["text"], "doc_id").to_pandas()
     assert sorted(k2b["doc_id"]) == [11, 13]
+
+
+def test_stratified_sample_null_group(ray_session):
+    """Rows with a NULL group take default_fraction, not the last group's
+    threshold (the factorize -1 sentinel trap)."""
+    import pyarrow as pa
+    import ray.data
+
+    from chronon_ray.functions.sampling import stratified_sample
+
+    n = 2000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lang": pa.array(["en" if i % 2 == 0 else None
+                          for i in range(n)]),
+    })
+    out = stratified_sample(ray.data.from_arrow(tbl), "doc_id", "lang",
+                            fractions={"en": 1.0}, default_fraction=0.0,
+                            seed=3).to_pandas()
+    assert len(out) == n // 2
+    assert out["lang"].notna().all()
