@@ -500,9 +500,12 @@ class _FirstLastBase(AggOp):
     def py_update(self, ir, v, ts, part):
         if ir is None:
             return (ts, v)
-        if (ts > ir[0]) == self.keep_last and ts != ir[0]:
-            return (ts, v)
-        return ir
+        if self.keep_last:
+            # >= : the LAST-seen among equal timestamps wins, matching the
+            # vectorized slice path (which takes the final position in
+            # (ts, tie_break)-ascending order)
+            return (ts, v) if ts >= ir[0] else ir
+        return (ts, v) if ts < ir[0] else ir
 
     def py_merge(self, a, b, part):
         if a is None:

@@ -131,8 +131,12 @@ class MergeFinalize:
             for k, v in zip(self.out_keys, gk):
                 out_rows[k].append(v)
             for f in self.agg.output_fields():
+                # null bucket values can't be map keys — drop them, matching
+                # the temporal path's valid &= is_valid(bucket) semantics
                 entries = [
-                    (b, v) for b, v in zip(gdf[self.pivot_bucket], gdf[f.name]) if v is not None
+                    (b, v) for b, v in zip(gdf[self.pivot_bucket], gdf[f.name])
+                    if v is not None and b is not None
+                    and not (isinstance(b, float) and np.isnan(b))
                 ]
                 entries.sort(key=lambda t: str(t[0]))
                 maps[f.name].append(entries if entries else None)
@@ -165,6 +169,7 @@ def aggregate_snapshot(
 
     schema = input_schema or dataset_schema(ds)
     keys = list(conf.key_columns)
+    tie_break = getattr(conf, "tie_break_column", None)
     parts = conf.parts()
     plain = [p for p in parts if p.bucket is None]
     bucket_cols = sorted({p.bucket for p in parts if p.bucket is not None})
@@ -172,11 +177,17 @@ def aggregate_snapshot(
     outputs = []
     if plain:
         stage1 = ds.map_batches(
-            PartialAgg(keys, plain, schema, num_partitions),
+            PartialAgg(keys, plain, schema, num_partitions,
+                       tie_break=tie_break),
             batch_format="pyarrow",
         )
+        # NOTE: tie_break makes FIRST/LAST deterministic WITHIN each input
+        # block; equal-ts rows split across blocks still merge by ts alone
+        # (the tb slot doesn't cross the IR shuffle yet) — the temporal
+        # path honors tie_break fully.
         out = stage1.groupby("_part").map_groups(
-            MergeFinalize(keys, plain, schema), batch_format="pandas"
+            MergeFinalize(keys, plain, schema, tie_break=tie_break),
+            batch_format="pandas"
         )
         outputs.append(out)
     for bcol in bucket_cols:
@@ -186,8 +197,19 @@ def aggregate_snapshot(
         # bucket-stripped parts; the pivot writes map columns under the
         # stripped names, renamed after.
         gran_keys = keys + [bcol]
-        stage1 = ds.map_batches(
-            PartialAgg(gran_keys, cparts, schema, num_partitions, part_keys=keys),
+
+        def _drop_null_bucket(t: pa.Table, _b=bcol) -> pa.Table:
+            # null bucket values can't become map keys (and would form a
+            # NaN group at keys+bucket granularity) — drop them, matching
+            # the temporal path's valid &= is_valid(bucket)
+            import pyarrow.compute as _pc
+            return t.filter(_pc.is_valid(t[_b]))
+
+        _drop_null_bucket.__name__ = f"drop_null_{bcol}"
+        stage1 = ds.map_batches(_drop_null_bucket, batch_format="pyarrow") \
+            .map_batches(
+            PartialAgg(gran_keys, cparts, schema, num_partitions,
+                       part_keys=keys, tie_break=tie_break),
             batch_format="pyarrow",
         )
         out = stage1.groupby("_part").map_groups(

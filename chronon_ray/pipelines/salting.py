@@ -53,12 +53,15 @@ def detect_hot_keys(
 
     The default factor is deliberately high: salting pays a replication +
     double-scan + partial-merge tax, measured ~4x the plain path when skew is
-    mild — it only wins when one key genuinely dominates a partition."""
-    # limit() touches only as many blocks as needed — random_sample would
-    # scan the whole dataset just to throw 95% of it away. Hot keys are by
-    # definition massively over-represented, so a block-prefix sample finds
-    # them; total row count (for the absolute floor) comes from metadata.
-    total = right_ds.count()  # parquet metadata — no data read
+    mild — it only wins when one key genuinely dominates a partition.
+
+    NOTE: ``right_ds.count()`` below executes the (pruned) event pipeline
+    once when the input carries transforms — an extra scan the 'auto' mode
+    pays for skew safety; pass explicit hot_keys to skip it."""
+    # block-randomized limit(): touches only as many blocks as the sample
+    # needs (random_sample would scan everything to throw 95% away), while
+    # randomize_block_order defeats key-clustered layouts
+    total = right_ds.count()
     if total == 0:
         return []
     n_sample = min(max_sample, max(10_000, int(total * sample_frac)))
@@ -119,11 +122,13 @@ class SaltedMerge:
     scalar merges only for slice-K and sawtooth parts of hot queries."""
 
     def __init__(self, parts: list[AggregationPart], left_cols: list[str],
-                 out_fields: list[pa.Field]):
+                 out_fields: list[pa.Field],
+                 left_types: Optional[dict] = None):
         self.__name__ = type(self).__name__
         self.parts = parts
         self.left_cols = left_cols
         self.out_fields = out_fields
+        self.left_types = left_types or {}
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
@@ -134,15 +139,18 @@ class SaltedMerge:
         _, first_occ, codes = np.unique(pairs, axis=0, return_index=True,
                                         return_inverse=True)
         ng = len(first_occ)
-        first_idx = np.zeros(ng, dtype=np.int64)
-        seen = np.zeros(ng, dtype=bool)
-        for i, c in enumerate(codes):
-            if not seen[c]:
-                seen[c] = True
-                first_idx[c] = i
+        first_idx = first_occ.astype(np.int64)  # documented first occurrence
         out_cols: dict[str, Any] = {}
         for c in self.left_cols:
-            out_cols[c] = pdf[c].to_numpy()[first_idx]
+            t = self.left_types.get(c)
+            if t is not None:
+                # cast back to the declared type: the pandas round-trip
+                # degrades nullable ints to float64/NaN, which would make
+                # the union with cold-path rows schema-mismatch
+                out_cols[c] = pa.array(pdf[c].iloc[first_idx], type=t,
+                                       from_pandas=True)
+            else:
+                out_cols[c] = pdf[c].to_numpy()[first_idx]
         g = pd.Series(codes)
         for p, f in zip(self.parts, self.out_fields):
             name = p.output_name

@@ -559,6 +559,13 @@ class TemporalPartition:
             col = e_tbl[p.input_column]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                raise NotImplementedError(
+                    f"temporal sawtooth aggregation over list column "
+                    f"{p.input_column!r} ({p.operation.name}): list "
+                    "auto-explode is only implemented in the snapshot "
+                    "path (RowAggregator) — pre-explode the column or "
+                    "aggregate at snapshot granularity")
             valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
             if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
                 vals = col.to_numpy(zero_copy_only=False)
@@ -653,7 +660,23 @@ class _TagAlign:
                 cols[f.name] = c if c.type == f.type else pc.cast(c, f.type)
             else:
                 cols[f.name] = pa.nulls(n, type=f.type)
-        kdf = batch.select([k for k in self.keys if k in batch.column_names]).to_pandas()
+        # hash the UNION-CAST key columns: hashing each side's raw dtype
+        # would send e.g. a float64-typed left key and the int64 event key
+        # to different partitions (silent all-null features)
+        kcols = {}
+        for k in self.keys:
+            c = cols[k]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            # int columns with nulls degrade to float64 in pandas, which
+            # hashes differently than int64 — park null left keys (kept
+            # for the left-outer result; they match nothing) on a sentinel
+            # so the column stays int64 on every batch
+            if pa.types.is_integer(c.type) and c.null_count:
+                sent = np.iinfo(c.type.to_pandas_dtype()).min + 1
+                c = pc.fill_null(c, pa.scalar(sent, type=c.type))
+            kcols[k] = c
+        kdf = pa.table(kcols).to_pandas()
         part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
         cols["_part"] = pa.array(part)
         cols["_is_q"] = pa.array(np.full(n, 1 if self.is_q else 0, dtype=np.int8))
@@ -816,6 +839,15 @@ def temporal_join(
             hot_keys = None
         else:
             hot_keys = detect_hot_keys(right_ds, keys[0], num_partitions)
+    if hot_keys and getattr(conf, "tie_break_column", None) and any(
+            p.operation in _SLICE_OPS or
+            (p.bucket is not None and OPS[p.operation].needs_ts)
+            for p in parts):
+        # the salted partial IRs carry only __ts — equal-ts ties across
+        # salt shards would resolve by shard iteration order, breaking the
+        # tie_break determinism contract. Correctness over skew handling:
+        # run the plain co-partitioned path for these configs.
+        hot_keys = None
     if hot_keys:
         if len(keys) != 1:
             raise NotImplementedError("salting requires a single key column")
@@ -1088,7 +1120,10 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
 
     merged = results.map_batches(qid_part, batch_format="pyarrow") \
         .groupby("_part2").map_groups(
-            SaltedMerge(parts, left_cols, final_fields),
+            SaltedMerge(parts, left_cols, final_fields,
+                        left_types={c: left_schema.field(c).type
+                                    for c in left_cols
+                                    if left_schema.get_field_index(c) >= 0}),
             batch_format="pandas")
 
     return cold_rows.union(

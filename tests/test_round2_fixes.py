@@ -217,3 +217,29 @@ def test_sql_expr_selects_wheres_derivations(ray_session, sf_dir, duck):
     assert len(g) == len(x) > 0
     np.testing.assert_allclose(g["v4"], x["v4"], rtol=1e-12)
     assert (g["tag"] == x["tag"]).all()
+
+
+def test_temporal_cross_dtype_keys(ray_session):
+    """Left keys as float64 (nullable-int degradation) still co-partition
+    with int64 event keys: partition hashing runs on the UNION-cast key
+    columns, not each side's raw dtype."""
+    import pandas as pd
+    import ray.data
+
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    left = pd.DataFrame({"user_id": pd.array([5, None, 7], dtype="float64"),
+                         "ts": np.array([1000] * 3, dtype=np.int64)})
+    right = pd.DataFrame({"user_id": np.array([5, 7], dtype=np.int64),
+                          "ts": np.array([10, 10], dtype=np.int64),
+                          "value": [2.0, 3.0]})
+    conf = GroupByConf(name="x", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum"),))
+    out = temporal_join(ray.data.from_pandas(left),
+                        ray.data.from_pandas(right), conf,
+                        num_partitions=4).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["value_sum"].iloc[0] == 2.0
+    assert out["value_sum"].iloc[1] == 3.0
+    assert np.isnan(out["value_sum"].iloc[2])  # null key: left-outer null
