@@ -513,7 +513,9 @@ class _FirstLastBase(AggOp):
         if b is None:
             return a
         if self.keep_last:
-            return a if a[0] >= b[0] else b
+            # ties prefer b: callers pass the NEWER IR second (two-stack
+            # push/merge convention), matching py_update's last-seen-wins
+            return b if b[0] >= a[0] else a
         return a if a[0] <= b[0] else b
 
     def py_finalize(self, ir, part):

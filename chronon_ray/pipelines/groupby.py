@@ -182,11 +182,11 @@ def aggregate_snapshot(
             batch_format="pyarrow",
         )
         # NOTE: tie_break makes FIRST/LAST deterministic WITHIN each input
-        # block; equal-ts rows split across blocks still merge by ts alone
-        # (the tb slot doesn't cross the IR shuffle yet) — the temporal
-        # path honors tie_break fully.
+        # block (PartialAgg feeds it to RowAggregator); equal-ts rows split
+        # across blocks still merge by ts alone — the tb slot doesn't cross
+        # the IR shuffle yet. The temporal path honors tie_break fully.
         out = stage1.groupby("_part").map_groups(
-            MergeFinalize(keys, plain, schema, tie_break=tie_break),
+            MergeFinalize(keys, plain, schema),
             batch_format="pandas"
         )
         outputs.append(out)

@@ -151,7 +151,6 @@ class SaltedMerge:
                                        from_pandas=True)
             else:
                 out_cols[c] = pdf[c].to_numpy()[first_idx]
-        g = pd.Series(codes)
         for p, f in zip(self.parts, self.out_fields):
             name = p.output_name
             fam = _family(p)

@@ -629,6 +629,27 @@ class TemporalPartition:
         return out
 
 
+def _canon_key_table(t: pa.Table, keys, types_by_name) -> pa.Table:
+    """Key columns cast to the UNION field types, with int nulls parked on
+    a sentinel so the pandas conversion keeps a stable int64 dtype — both
+    sides of a co-partition MUST hash identical representations (a raw
+    float64 left key vs int64 event key would land in different
+    partitions and silently produce all-null features)."""
+    cols = {}
+    for k in keys:
+        c = t[k]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        ft = types_by_name[k]
+        if c.type != ft:
+            c = pc.cast(c, ft)
+        if pa.types.is_integer(c.type) and c.null_count:
+            sent = np.iinfo(c.type.to_pandas_dtype()).min + 1
+            c = pc.fill_null(c, pa.scalar(sent, type=c.type))
+        cols[k] = c
+    return pa.table(cols)
+
+
 class _TagAlign:
     """Pad queries/events to the union schema + tag + partition id."""
 
@@ -660,23 +681,8 @@ class _TagAlign:
                 cols[f.name] = c if c.type == f.type else pc.cast(c, f.type)
             else:
                 cols[f.name] = pa.nulls(n, type=f.type)
-        # hash the UNION-CAST key columns: hashing each side's raw dtype
-        # would send e.g. a float64-typed left key and the int64 event key
-        # to different partitions (silent all-null features)
-        kcols = {}
-        for k in self.keys:
-            c = cols[k]
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            # int columns with nulls degrade to float64 in pandas, which
-            # hashes differently than int64 — park null left keys (kept
-            # for the left-outer result; they match nothing) on a sentinel
-            # so the column stays int64 on every batch
-            if pa.types.is_integer(c.type) and c.null_count:
-                sent = np.iinfo(c.type.to_pandas_dtype()).min + 1
-                c = pc.fill_null(c, pa.scalar(sent, type=c.type))
-            kcols[k] = c
-        kdf = pa.table(kcols).to_pandas()
+        ftypes = {f.name: f.type for f in self.union_fields}
+        kdf = _canon_key_table(pa.table(cols), self.keys, ftypes).to_pandas()
         part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
         cols["_part"] = pa.array(part)
         cols["_is_q"] = pa.array(np.full(n, 1 if self.is_q else 0, dtype=np.int8))
@@ -840,8 +846,8 @@ def temporal_join(
         else:
             hot_keys = detect_hot_keys(right_ds, keys[0], num_partitions)
     if hot_keys and getattr(conf, "tie_break_column", None) and any(
-            p.operation in _SLICE_OPS or
-            (p.bucket is not None and OPS[p.operation].needs_ts)
+            p.operation in _SLICE_OPS
+            or p.operation in (Operation.TOP_K, Operation.BOTTOM_K)
             for p in parts):
         # the salted partial IRs carry only __ts — equal-ts ties across
         # salt shards would resolve by shard iteration order, breaking the
@@ -955,17 +961,20 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
     from .salting import SaltedMerge, partial_fields
 
     key = keys[0]
-    key_type = right_schema.field(key).type
-    hot_arr = pa.array(hot_keys).cast(key_type)
     S = salt_shards
 
     fields = _union_fields(left_schema, right_schema)
+    _ftypes = {f.name: f.type for f in fields}
+    # the hot-key probe and all partition hashing run on the UNION key
+    # type so cross-dtype left/right keys classify and partition alike
+    hot_arr = pa.array(hot_keys).cast(_ftypes[key])
     fields = fields + [pa.field("_qid_hi", pa.int64()),
                        pa.field("_qid_lo", pa.int64()),
                        pa.field("_salt", pa.int8())]
 
     def _hot_idx(t: pa.Table) -> np.ndarray:
-        return pc.index_in(t[key], value_set=hot_arr) \
+        c = _canon_key_table(t, [key], _ftypes)[key]
+        return pc.index_in(c, value_set=hot_arr) \
             .to_numpy(zero_copy_only=False)
 
     def _pad(t: pa.Table, extra: dict, is_q: int) -> pa.Table:
@@ -990,7 +999,7 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
         hot_t = t.filter(pa.array(hot_mask))
         outs = []
         if len(cold_t):
-            kdf = cold_t.select(keys).to_pandas()
+            kdf = _canon_key_table(cold_t, keys, _ftypes).to_pandas()
             part = (stable_key_hash(kdf, keys)
                     % num_partitions).astype(np.int64)
             outs.append(_pad(cold_t, {
@@ -1034,7 +1043,7 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
         hot_t = t.filter(pa.array(hot_mask))
         outs = []
         if len(cold_t):
-            kdf = cold_t.select(keys).to_pandas()
+            kdf = _canon_key_table(cold_t, keys, _ftypes).to_pandas()
             part = (stable_key_hash(kdf, keys)
                     % num_partitions).astype(np.int64)
             outs.append(_pad(cold_t, {
