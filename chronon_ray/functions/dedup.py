@@ -1547,16 +1547,24 @@ def incremental_exact_dedup(
     u = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
     u = _partition_by_hash(u, ["_h"], num_partitions)
 
-    def decide(pdf: pd.DataFrame) -> pd.DataFrame:
+    def decide(pdf: pd.DataFrame) -> pa.Table:
         new = pdf[pdf["_kind"] == 0]
         seen = pdf.loc[pdf["_kind"] == 1, "_h"].unique()
         keep = new[~new["_h"].isin(seen)]
         keep = keep.sort_values(["_h", id_col], kind="mergesort") \
             .drop_duplicates("_h", keep="first")
         out = keep.drop(columns=["_part", "_kind"])
-        if len(out) and out[id_col].dtype != np.int64:
-            out[id_col] = out[id_col].astype(np.int64)
-        return out
+        # the history-null union degrades every integer doc column to
+        # float64 in the pandas frame — emit Arrow cast back to the INPUT
+        # schema so the output schema matches the input exactly
+        arrays = {}
+        for c in out.columns:
+            arr = pa.Array.from_pandas(out[c])
+            want = doc_types.get(c, pa.int64() if c == "_h" else None)
+            if want is not None and arr.type != want:
+                arr = pc.cast(arr, want)
+            arrays[c] = arr
+        return pa.table(arrays)
 
     decide.__name__ = "incremental_decide"
     kept = u.groupby("_part").map_groups(decide, batch_format="pandas") \

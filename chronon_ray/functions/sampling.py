@@ -31,6 +31,9 @@ import ray
 import ray.data
 
 _TWO32 = 4294967296
+# sentinel plan key for the null stratum in budget_sample (a null group
+# is a real partition under SQL `partition by g` semantics)
+_NULL_GROUP = ("__null_group__",)
 
 
 def rank_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
@@ -130,7 +133,12 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
     tot = ranked.groupby([group_col, "_rb"]).sum(weight_col).to_pandas()
     wcol = f"sum({weight_col})"
     plan: dict = {}
-    for g, sub in tot.groupby(group_col, sort=False):
+    # dropna=False: a null group is its own stratum and draws the default
+    # budget (matching the documented SQL `partition by g` semantics, where
+    # nulls form one partition) instead of being silently dropped
+    for g, sub in tot.groupby(group_col, sort=False, dropna=False):
+        if g is None or (isinstance(g, float) and np.isnan(g)):
+            g = _NULL_GROUP
         budget = int(budgets.get(g, default_budget))
         sub = sub.sort_values("_rb")
         w = sub[wcol].to_numpy(dtype=np.int64)
@@ -165,8 +173,8 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
             rb = t["_rb"].to_numpy(zero_copy_only=False)
             codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()),
                                        use_na_sentinel=False)
-            per = [(-1, -1, 0, 0) if u is None or (isinstance(u, float)
-                                                   and np.isnan(u))
+            per = [self.plan.get(_NULL_GROUP, (-1, -1, 0, 0))
+                   if u is None or (isinstance(u, float) and np.isnan(u))
                    else self.plan.get(u, (-1, -1, 0, 0)) for u in uniq]
             below = np.array([p[0] for p in per], dtype=np.int64)[codes]
             bnd = np.array([p[1] for p in per], dtype=np.int64)[codes]
@@ -187,6 +195,8 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
             if self.plan is None:
                 self.plan = ray.get(self.ref)
             g = pdf[group_col].iloc[0]
+            if g is None or (isinstance(g, float) and np.isnan(g)):
+                g = _NULL_GROUP
             _, _, base, budget = self.plan[g]
             pdf = pdf.sort_values(["_h", id_col], kind="stable") \
                 .reset_index(drop=True)

@@ -39,6 +39,36 @@ def stable_key_hash(df: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
     return h
 
 
+def canon_key_table(t: pa.Table, keys, types_by_name) -> pa.Table:
+    """Key columns cast to the UNION field types, with int nulls parked on
+    a sentinel so the pandas conversion keeps a stable int64 dtype — both
+    sides of a co-partition MUST hash identical representations (a raw
+    float64 left key vs int64 event key would land in different
+    partitions and silently produce all-null features)."""
+    import pyarrow.compute as pc
+
+    cols = {}
+    for k in keys:
+        c = t[k]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        ft = types_by_name[k]
+        if c.type != ft:
+            c = pc.cast(c, ft)
+        if pa.types.is_integer(c.type) and c.null_count:
+            sent = np.iinfo(c.type.to_pandas_dtype()).min + 1
+            c = pc.fill_null(c, pa.scalar(sent, type=c.type))
+        cols[k] = c
+    return pa.table(cols)
+
+
+def canon_key_hash(t: pa.Table, keys, types_by_name,
+                   num_partitions: int) -> np.ndarray:
+    """Partition ids from canonicalized key columns (see canon_key_table)."""
+    kdf = canon_key_table(t, keys, types_by_name).to_pandas()
+    return (stable_key_hash(kdf, keys) % num_partitions).astype(np.int64)
+
+
 def _factorize_keys(pdf: pd.DataFrame, keys: Sequence[str]):
     if len(keys) == 1:
         codes, uniques = pd.factorize(pdf[keys[0]], use_na_sentinel=False)

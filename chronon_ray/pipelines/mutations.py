@@ -50,7 +50,7 @@ from ..aggregators.ops import OPS
 from ..aggregators.row import RowAggregator
 from ..state.partitions import shift_ds
 from ..windowing.resolution import round_ts, tail_hop_millis
-from .groupby import _factorize_keys, stable_key_hash
+from .groupby import _factorize_keys, canon_key_hash
 
 MILLIS_DAY = 86_400_000
 TAIL_BUFFER_MS = 2 * MILLIS_DAY  # reference tailBufferMillis default
@@ -120,12 +120,16 @@ class _EntityPartition:
     kind 1 = mutations, kind 2 = queries."""
 
     def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
-                 snap_schema: pa.Schema, left_cols: list[str]):
+                 snap_schema: pa.Schema, left_cols: list[str],
+                 left_fields: Optional[list[pa.Field]] = None):
         self.__name__ = type(self).__name__
         self.keys = list(keys)
         self.parts = parts
         self.agg = RowAggregator(parts, snap_schema)
         self.left_cols = left_cols
+        # declared left schema: the pandas union frame promotes int64→
+        # float64 on null-padded columns; outputs must cast back
+        self.left_fields = left_fields or []
         self.out_fields = [
             pa.field(p.output_name,
                      OPS[p.operation].output_arrow_type(
@@ -161,7 +165,8 @@ class _EntityPartition:
         out_cols: dict[str, list] = {c: [] for c in self.left_cols}
         feats: dict[str, list] = {f.name: [] for f in self.out_fields}
         if len(queries) == 0:
-            arrays = {c: pa.array([]) for c in self.left_cols}
+            arrays = {c: pa.array([], type=self._left_type(c))
+                      for c in self.left_cols}
             arrays.update({f.name: pa.array([], type=f.type) for f in self.out_fields})
             return pa.table(arrays)
 
@@ -381,10 +386,26 @@ class _EntityPartition:
                 for pi, p in enumerate(self.parts):
                     feats[p.output_name].append(vals[pi])
 
-        arrays = {c: pa.array(out_cols[c]) for c in self.left_cols}
+        arrays = {c: self._left_array(c, out_cols[c])
+                  for c in self.left_cols}
         for f in self.out_fields:
             arrays[f.name] = pa.array(feats[f.name], type=f.type)
         return pa.table(arrays)
+
+    def _left_type(self, name: str):
+        for f in self.left_fields:
+            if f.name == name:
+                return f.type
+        return None
+
+    def _left_array(self, name: str, vals: list) -> pa.Array:
+        """Left column values → Arrow, cast back to the declared query
+        schema (NaN→null via from_pandas; integral float64 casts safely)."""
+        arr = pa.array(vals, from_pandas=True)
+        ft = self._left_type(name)
+        if ft is not None and arr.type != ft:
+            arr = pc.cast(arr, ft)
+        return arr
 
 
 def temporal_entities_join(
@@ -418,6 +439,9 @@ def temporal_entities_join(
     left_cols = list(q_schema.names)
     agg = RowAggregator(parts, s_schema)
     input_cols = sorted({p.input_column for p in parts})
+    # all three tagged branches MUST hash the same key representation —
+    # canonicalize to the query schema's key types before partitioning
+    key_types = {k: q_schema.field(k).type for k in keys}
 
     def snap_partials(batch: pa.Table) -> pa.Table:
         """Snapshot rows → per-(keys, ds) IR partials (only IRs shuffle).
@@ -486,11 +510,12 @@ def temporal_entities_join(
         key_arrays = {}
         for k in keys:
             key_arrays[k] = pa.array(uniq[k].to_numpy(dtype=object)[sel],
-                                     type=batch.schema.field(k).type)
+                                     type=key_types[k])
         key_arrays["_snap_ds"] = pa.array(
             uniq["ds"].to_numpy(dtype=object)[sel], type=pa.string())
-        part = (stable_key_hash(uniq.iloc[sel], keys) % num_partitions)
-        key_arrays["_part"] = pa.array(part.astype(np.int64))
+        part = canon_key_hash(pa.table({k: key_arrays[k] for k in keys}),
+                              keys, key_types, num_partitions)
+        key_arrays["_part"] = pa.array(part)
         out = agg.ir_frame_to_arrow(irf, key_arrays)
         for p in windowed:
             col = f"{p.output_name}__tailhops"
@@ -549,9 +574,9 @@ def temporal_entities_join(
             for c in keep or []:
                 if c not in cols and c in t.column_names:
                     cols[c] = t[c]
-            kdf = t.select(keys).to_pandas()
-            part = stable_key_hash(kdf, keys) % num_partitions
-            cols["_part"] = pa.array(part.astype(np.int64))
+            part = canon_key_hash(t.select(keys), keys, key_types,
+                                  num_partitions)
+            cols["_part"] = pa.array(part)
             cols["_kind"] = pa.array(np.full(len(t), kind, dtype=np.int8))
             return _pad(pa.table(cols))
         f.__name__ = f"tag{kind}"
@@ -574,5 +599,7 @@ def temporal_entities_join(
         batch_format="pyarrow")
 
     unioned = snap_ds.union(mut_ds).union(q_ds)
-    proc = _EntityPartition(keys, parts, s_schema, left_cols)
+    proc = _EntityPartition(keys, parts, s_schema, left_cols,
+                            left_fields=[q_schema.field(c)
+                                         for c in left_cols])
     return unioned.groupby("_part").map_groups(proc, batch_format="pandas")

@@ -47,6 +47,7 @@ from ..api import AggregationPart, GroupByConf, Operation, Window
 from ..aggregators.ops import OPS, AggOp
 from ..windowing.resolution import tail_hop_millis, window_tail
 from ..windowing.sawtooth import sawtooth_one_key
+from .groupby import canon_key_table as _canon_key_table
 from .groupby import stable_key_hash
 
 DEFAULT_NUM_PARTITIONS = 200
@@ -629,25 +630,6 @@ class TemporalPartition:
         return out
 
 
-def _canon_key_table(t: pa.Table, keys, types_by_name) -> pa.Table:
-    """Key columns cast to the UNION field types, with int nulls parked on
-    a sentinel so the pandas conversion keeps a stable int64 dtype — both
-    sides of a co-partition MUST hash identical representations (a raw
-    float64 left key vs int64 event key would land in different
-    partitions and silently produce all-null features)."""
-    cols = {}
-    for k in keys:
-        c = t[k]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
-        ft = types_by_name[k]
-        if c.type != ft:
-            c = pc.cast(c, ft)
-        if pa.types.is_integer(c.type) and c.null_count:
-            sent = np.iinfo(c.type.to_pandas_dtype()).min + 1
-            c = pc.fill_null(c, pa.scalar(sent, type=c.type))
-        cols[k] = c
-    return pa.table(cols)
 
 
 class _TagAlign:

@@ -41,7 +41,7 @@ from ..aggregators.ops import OPS
 from ..aggregators.row import RowAggregator
 from ..api import AggregationPart, GroupByConf, Operation
 from ..windowing.resolution import round_ts, tail_hop_millis
-from .groupby import _factorize_keys, stable_key_hash
+from .groupby import _factorize_keys, canon_key_hash
 from .mutations import TAIL_BUFFER_MS
 from .temporal import ir_rec_to_py
 
@@ -151,8 +151,13 @@ def groupby_upload(
                         type=tbl.schema.field(k).type)
             for k in keys
         }
-        part = stable_key_hash(uniq.iloc[sel], keys) % num_partitions
-        key_arrays["_part"] = pa.array(part.astype(np.int64))
+        # hash the canonical Arrow representation — a batch whose key col
+        # picked up nulls converts to float64 in pandas and would hash
+        # the SAME key differently from an all-valid batch
+        part = canon_key_hash(
+            pa.table({k: key_arrays[k] for k in keys}), keys,
+            {k: schema.field(k).type for k in keys}, num_partitions)
+        key_arrays["_part"] = pa.array(part)
         out = agg.ir_frame_to_arrow(irf, key_arrays)
         for p in windowed:
             col = f"{p.output_name}__tailhops"
@@ -223,10 +228,14 @@ class _ServePartition:
     1 = head events (ts ≥ batch_end), 2 = queries."""
 
     def __init__(self, keys, parts, schema: pa.Schema, left_cols,
-                 batch_end_ts: int, full_hops: bool = False):
+                 batch_end_ts: int, full_hops: bool = False,
+                 left_fields: Optional[list[pa.Field]] = None):
         self.__name__ = type(self).__name__
         self.keys, self.parts = list(keys), parts
         self.left_cols = left_cols
+        # declared left schema: the pandas union frame promotes int64→
+        # float64 on null-padded columns; outputs must cast back
+        self.left_fields = left_fields or []
         self.batch_end = batch_end_ts
         self.full_hops = full_hops
         self.agg = RowAggregator(parts, schema)
@@ -245,7 +254,8 @@ class _ServePartition:
         out_cols: dict[str, list] = {c: [] for c in self.left_cols}
         feats: dict[str, list] = {f.name: [] for f in self.out_fields}
         if len(queries) == 0:
-            arrays = {c: pa.array([]) for c in self.left_cols}
+            arrays = {c: pa.array([], type=self._left_type(c))
+                      for c in self.left_cols}
             arrays.update({f.name: pa.array([], type=f.type)
                            for f in self.out_fields})
             return pa.table(arrays)
@@ -282,11 +292,14 @@ class _ServePartition:
 
         head_by_key: dict[tuple, pd.DataFrame] = {}
         if len(heads):
-            for kv, grp in heads.groupby(self.keys, sort=False):
+            for kv, grp in heads.groupby(self.keys, sort=False,
+                                         dropna=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 head_by_key[kv] = grp.sort_values("ts", kind="stable")
 
-        for kv, grp in queries.groupby(self.keys, sort=False):
+        # dropna=False: null-key query rows must still be emitted (left-
+        # outer row preservation — they match nothing, features stay null)
+        for kv, grp in queries.groupby(self.keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             base = base_by_key.get(kv, {p.output_name: None
                                         for p in self.parts})
@@ -336,10 +349,26 @@ class _ServePartition:
                 for pi, p in enumerate(self.parts):
                     feats[p.output_name].append(vals[pi])
 
-        arrays = {c: pa.array(out_cols[c]) for c in self.left_cols}
+        arrays = {c: self._left_array(c, out_cols[c])
+                  for c in self.left_cols}
         for f in self.out_fields:
             arrays[f.name] = pa.array(feats[f.name], type=f.type)
         return pa.table(arrays)
+
+    def _left_type(self, name: str):
+        for f in self.left_fields:
+            if f.name == name:
+                return f.type
+        return None
+
+    def _left_array(self, name: str, vals: list) -> pa.Array:
+        """Left column values → Arrow, cast back to the declared query
+        schema (NaN→null via from_pandas; integral float64 casts safely)."""
+        arr = pa.array(vals, from_pandas=True)
+        ft = self._left_type(name)
+        if ft is not None and arr.type != ft:
+            arr = pc.cast(arr, ft)
+        return arr
 
 
 def serve_with_events(
@@ -405,6 +434,11 @@ def serve_with_events(
                 cols[f.name] = pa.nulls(len(t), type=f.type)
         return pa.table(cols)
 
+    # all three tagged branches MUST hash the same key representation —
+    # an int32 IR-table key vs an int64 query key would otherwise land in
+    # different partitions and silently produce all-null features
+    key_types = {k: q_schema.field(k).type for k in keys}
+
     def tag(kind: int, ts_col: Optional[str], keep: list):
         def f(t: pa.Table) -> pa.Table:
             cols = {k: t[k] for k in keys}
@@ -413,9 +447,9 @@ def serve_with_events(
             for c in keep:
                 if c not in cols and c in t.column_names:
                     cols[c] = t[c]
-            kdf = t.select(keys).to_pandas()
-            part = stable_key_hash(kdf, keys) % num_partitions
-            cols["_part"] = pa.array(part.astype(np.int64))
+            part = canon_key_hash(t.select(keys), keys, key_types,
+                                  num_partitions)
+            cols["_part"] = pa.array(part)
             cols["_kind"] = pa.array(np.full(len(t), kind, dtype=np.int8))
             return _pad(pa.table(cols))
         f.__name__ = f"tag{kind}"
@@ -433,7 +467,9 @@ def serve_with_events(
         batch_format="pyarrow")
 
     proc = _ServePartition(keys, parts, ev_schema, left_cols, batch_end_ts,
-                           full_hops=full_hops)
+                           full_hops=full_hops,
+                           left_fields=[q_schema.field(c)
+                                        for c in left_cols])
     return tagged_ir.union(tagged_ev).union(tagged_q) \
         .groupby("_part").map_groups(proc, batch_format="pandas")
 
@@ -492,13 +528,17 @@ def roll_checkpoint(
                 "collapsed-only")
     agg = RowAggregator(parts, dataset_schema(day_events))
 
+    ir_key_types = {k: dataset_schema(ir_table).field(k).type for k in keys}
+
     def strip(t: pa.Table) -> pa.Table:
         drop = [c for c in ("_batch_end_ts", "_full_hops", "_part")
                 if c in t.column_names]
         t = t.drop(drop)
-        kdf = t.select(keys).to_pandas()
-        part = stable_key_hash(kdf, keys) % num_partitions
-        return t.append_column("_part", pa.array(part.astype(np.int64)))
+        # canonicalize so the old-checkpoint and day-IR branches hash
+        # identical key representations even if their dtypes differ
+        part = canon_key_hash(t.select(keys), keys, ir_key_types,
+                              num_partitions)
+        return t.append_column("_part", pa.array(part))
 
     strip.__name__ = "strip_ir"
     unioned = ir_table.map_batches(strip, batch_format="pyarrow") \

@@ -44,8 +44,19 @@ ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_vs_oracle(ray_session, duck, sf_dir, name):
     q = entrymod.queries()[name]
-    got = _canon(_to_pandas(q(sf_dir)))
-    exp = _canon(duck.sql(entrymod.oracle_sql()[name]).df())
+    got_raw = _to_pandas(q(sf_dir))
+    exp_raw = duck.sql(entrymod.oracle_sql()[name]).df()
+    # the driver's value hash is dtype-sensitive (int64 5 vs float64 5.0
+    # hash differently) — enforce matching dtype KIND before the lossy
+    # float canonicalization below
+    for c in sorted(set(got_raw.columns) & set(exp_raw.columns)):
+        gk = got_raw[c].dtype.kind
+        ek = exp_raw[c].dtype.kind
+        norm = {"u": "i", "b": "i"}
+        assert norm.get(gk, gk) == norm.get(ek, ek), \
+            f"{name}.{c}: dtype kind {got_raw[c].dtype} vs {exp_raw[c].dtype}"
+    got = _canon(got_raw)
+    exp = _canon(exp_raw)
     assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     for c in got.columns:
