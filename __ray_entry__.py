@@ -94,6 +94,63 @@ def q_groupby_user_stats(sf_dir: str):
     return _round(out, ["value_sum", "value_average", "value_variance"])
 
 
+def q_map_aggregate(sf_dir: str):
+    """Map-input aggregation (MapColumnAggregator analog): each event row
+    carries a map<string,double> {event_type: value}; aggregating the map
+    per user yields per-map-key sums/counts/averages/min/max/distincts.
+    The output maps are exploded to (user_id, ekey) rows so a plain SQL
+    GROUP BY oracle can verify them."""
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    _ctx()
+
+    def to_map(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys = t["event_type"].combine_chunks() \
+            if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        vals = t["value"].combine_chunks() \
+            if isinstance(t["value"], pa.ChunkedArray) else t["value"]
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32))
+        m = pa.MapArray.from_arrays(offsets, keys, vals)
+        return pa.table({"user_id": t["user_id"], "m": m})
+
+    to_map.__name__ = "to_map"
+    ds = _events(sf_dir).map_batches(to_map, batch_format="pyarrow")
+    conf = GroupByConf(
+        name="mapagg", sources=(), key_columns=("user_id",),
+        aggregations=(agg("m", "sum"), agg("m", "count"),
+                      agg("m", "average"), agg("m", "min"),
+                      agg("m", "max"), agg("m", "unique_count")),
+    )
+    out = aggregate_snapshot(ds, conf, num_partitions=32).to_pandas()
+    recs: dict[str, list] = {c: [] for c in
+                             ("user_id", "ekey", "m_sum", "m_count",
+                              "m_average", "m_min", "m_max", "m_uniq")}
+    for r in out.itertuples(index=False):
+        maps = {c: dict(getattr(r, c)) for c in
+                ("m_sum", "m_count", "m_average", "m_min", "m_max",
+                 "m_unique_count")}
+        for k in sorted(maps["m_sum"]):
+            recs["user_id"].append(r.user_id)
+            recs["ekey"].append(k)
+            recs["m_sum"].append(maps["m_sum"][k])
+            recs["m_count"].append(maps["m_count"][k])
+            recs["m_average"].append(maps["m_average"][k])
+            recs["m_min"].append(maps["m_min"][k])
+            recs["m_max"].append(maps["m_max"][k])
+            recs["m_uniq"].append(maps["m_unique_count"][k])
+    df = pd.DataFrame(recs)
+    df["m_count"] = df["m_count"].astype(np.int64)
+    df["m_uniq"] = df["m_uniq"].astype(np.int64)
+    # averages of 2-decimal data land on exact .0005 halves where numpy
+    # (half-even) and DuckDB (half-up) disagree — bias both sides by 1e-7
+    # (far below the data's rational quantum) before rounding
+    df["m_sum"] = np.round(df["m_sum"].astype(float) + 1e-7, 3)
+    df["m_average"] = np.round(df["m_average"].astype(float) + 1e-7, 3)
+    return _round(df, ["m_min", "m_max"])
+
+
 def q_asof_window_sums(sf_dir: str):
     from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
     from chronon_ray.pipelines.temporal import temporal_join
@@ -1297,6 +1354,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_user_stats": q_groupby_user_stats,
+        "map_aggregate": q_map_aggregate,
         "asof_window_sums": q_asof_window_sums,
         "asof_exact_windows": q_asof_exact_windows,
         "asof_first_last": q_asof_first_last,
@@ -1368,6 +1426,16 @@ def oracle_sql() -> dict[str, str]:
                    round(var_pop(value), 4) as value_variance,
                    count(distinct event_type) as event_type_unique_count
             from events group by user_id
+        """,
+        "map_aggregate": """
+            select user_id, event_type as ekey,
+                   round(sum(value) + 1e-7, 3) as m_sum,
+                   count(value) as m_count,
+                   round(avg(value) + 1e-7, 3) as m_average,
+                   round(min(value), 4) as m_min,
+                   round(max(value), 4) as m_max,
+                   count(distinct value) as m_uniq
+            from events group by user_id, event_type
         """,
         "asof_exact_windows": f"""
             with q as (select distinct user_id, epoch_ms(ts) as ts from events
@@ -1821,6 +1889,53 @@ def oracle_sql() -> dict[str, str]:
             from (select distinct entity_id, ts from q0) q left join st
               on st.entity_id = q.entity_id and st.ts = q.ts
             group by q.entity_id, q.ts
+        """,
+        "simhash_pairs": """
+            -- bit-exact reproduction of SimHashStage (functions/dedup.py):
+            -- 5-char shingle poly hash (base 31 over ASCII bytes), golden-
+            -- ratio modular multiply + xor-shift 29, per-bit majority vote,
+            -- hamming = bit_count(xor) <= 3 (banding over 4x16-bit chunks
+            -- recalls all such pairs by pigeonhole)
+            with pos as (
+              select doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 0))) as i
+              from documents
+            ),
+            sh as (
+              select doc_id,
+                     (ord(substr(text, i, 1))
+                    + ord(substr(text, i+1, 1)) * 31
+                    + ord(substr(text, i+2, 1)) * 961
+                    + ord(substr(text, i+3, 1)) * 29791
+                    + ord(substr(text, i+4, 1)) * 923521)::HUGEINT as base
+              from pos
+            ),
+            hm as (
+              select doc_id,
+                     ((base * 11400714819323198485::HUGEINT)
+                      % 18446744073709551616::HUGEINT)::UBIGINT as hmul
+              from sh
+            ),
+            hs as (select distinct doc_id, xor(hmul, hmul >> 29) as h from hm),
+            bits as (
+              select doc_id, b.b as b,
+                     case when sum(case when (h >> b.b) & 1::UBIGINT = 1::UBIGINT
+                                   then 1 else -1 end) > 0 then 1 else 0 end as sim
+              from hs, (select generate_series as b from generate_series(0, 63)) b
+              group by doc_id, b.b
+            ),
+            sig0 as (
+              select doc_id, sum((sim::UBIGINT << b))::HUGEINT as simhash
+              from bits group by doc_id
+            ),
+            sig as (
+              select d.doc_id, coalesce(s.simhash, 0)::UBIGINT as simhash
+              from documents d left join sig0 s on d.doc_id = s.doc_id
+            )
+            select x.doc_id as a, y.doc_id as b,
+                   bit_count(xor(x.simhash, y.simhash)) as hamming
+            from sig x join sig y on x.doc_id < y.doc_id
+            where bit_count(xor(x.simhash, y.simhash)) <= 3
         """,
         "minhash_pairs": """
             with sh as (

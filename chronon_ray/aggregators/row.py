@@ -28,6 +28,16 @@ from .ops import OPS, AggOp, _upcast_numeric
 
 _K_LIST_OPS = {Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K, Operation.BOTTOM_K}
 
+#: ops supported over map<string, scalar> inputs (per-map-key dispatch —
+#: reference aggregator/row/MapColumnAggregator.scala:1-75; the reference
+#: wires maps through every SimpleAggregator, this engine starts with the
+#: scalar-IR family + exact distinct)
+_MAP_OPS = {
+    Operation.SUM, Operation.COUNT, Operation.AVERAGE,
+    Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS,
+    Operation.MIN, Operation.MAX, Operation.UNIQUE_COUNT,
+}
+
 
 @dataclass
 class BoundPart:
@@ -36,10 +46,24 @@ class BoundPart:
     name: str  # output column name
     in_type: pa.DataType  # element type after auto-explode
     explode: bool  # list input to a scalar op → per-element updates
+    is_map: bool = False  # map input → per-map-key aggregation, map output
 
     @property
     def ir_names(self) -> list[str]:
         return [f"{self.name}__{c}" for c in self.op.ir_columns()]
+
+
+def reject_map_inputs(parts, input_schema: pa.Schema, where: str):
+    """Pipelines whose per-event py-IR replay can't dispatch per map key
+    call this to fail loudly (map aggregation is snapshot-path only)."""
+    for p in parts:
+        if p.input_column in input_schema.names and pa.types.is_map(
+                input_schema.field(p.input_column).type):
+            raise NotImplementedError(
+                f"{where} does not support map-typed input column "
+                f"{p.input_column!r} — map aggregation is implemented in "
+                "the snapshot path (aggregate_snapshot); pre-explode the "
+                "map or aggregate at snapshot granularity")
 
 
 class RowAggregator:
@@ -62,9 +86,28 @@ class RowAggregator:
             field = input_schema.field(p.input_column)
             in_type = field.type
             explode = False
+            is_map = False
+            # map input → per-map-key dispatch producing a map output
+            # (reference MapColumnAggregator.scala:29-75, dispatch at
+            # ColumnAggregator.scala:178-190; bucketing over maps is
+            # unsupported there too — :188)
+            if pa.types.is_map(in_type):
+                if p.operation not in _MAP_OPS:
+                    raise NotImplementedError(
+                        f"{p.operation.name} over a map input column is not "
+                        "supported (map-key dispatch covers "
+                        "SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS/MIN/MAX/"
+                        "UNIQUE_COUNT)")
+                if not (pa.types.is_string(in_type.key_type)
+                        or pa.types.is_large_string(in_type.key_type)):
+                    raise NotImplementedError(
+                        "map aggregation requires string map keys "
+                        f"(got {in_type.key_type})")
+                in_type = in_type.item_type
+                is_map = True
             # auto-explode: list input to a scalar-only op → element-wise updates
             # (reference ColumnAggregator.scala:80-117 VectorDispatcher)
-            if (pa.types.is_list(in_type) or pa.types.is_large_list(in_type)) and p.operation in (
+            elif (pa.types.is_list(in_type) or pa.types.is_large_list(in_type)) and p.operation in (
                 Operation.SUM,
                 Operation.COUNT,
                 Operation.AVERAGE,
@@ -82,13 +125,24 @@ class RowAggregator:
             ):
                 in_type = in_type.value_type
                 explode = True
-            self.bound.append(BoundPart(p, OPS[p.operation], p.output_name, in_type, explode))
+            self.bound.append(BoundPart(p, OPS[p.operation], p.output_name,
+                                        in_type, explode, is_map))
 
     # ------------------------------------------------------------ schemas
 
     def ir_fields(self) -> list[pa.Field]:
         fields: list[pa.Field] = []
         for bp in self.bound:
+            if bp.is_map:
+                # per-map-key IRs serialize as parallel list columns:
+                # one mkeys list + one list per IR slot, aligned by position
+                fields.append(pa.field(f"{bp.name}__mkeys",
+                                       pa.list_(pa.string())))
+                for irc in bp.op.ir_columns():
+                    full = f"{bp.name}__{irc}"
+                    elem = self._ir_arrow_fields(bp, irc, full)[0]
+                    fields.append(pa.field(full, pa.list_(elem.type)))
+                continue
             for irc in bp.op.ir_columns():
                 full = f"{bp.name}__{irc}"
                 fields.extend(self._ir_arrow_fields(bp, irc, full))
@@ -122,9 +176,13 @@ class RowAggregator:
         raise KeyError(irc)
 
     def output_fields(self) -> list[pa.Field]:
-        return [
-            pa.field(bp.name, bp.op.output_arrow_type(bp.in_type, bp.part)) for bp in self.bound
-        ]
+        out = []
+        for bp in self.bound:
+            t = bp.op.output_arrow_type(bp.in_type, bp.part)
+            if bp.is_map:
+                t = pa.map_(pa.string(), t)
+            out.append(pa.field(bp.name, t))
+        return out
 
     # ------------------------------------------------------------ partial
 
@@ -177,6 +235,11 @@ class RowAggregator:
         present = np.unique(codes)
         out = pd.DataFrame(index=pd.Index(present, name="g"))
         for bp in self.bound:
+            if bp.is_map:
+                series = self._partial_map(tbl, codes, bp)
+                for c in self._map_cols(bp):
+                    out[c] = series[c] if series is not None else None
+                continue
             df = self._extract(tbl, codes, bp)
             if len(df) == 0:
                 for irc in bp.op.ir_columns():
@@ -187,12 +250,142 @@ class RowAggregator:
                 out[f"{bp.name}__{irc}"] = res[irc]
         return out.reset_index()
 
+    # ------------------------------------------------- map-input dispatch
+
+    def _map_cols(self, bp: BoundPart) -> list[str]:
+        return [f"{bp.name}__mkeys"] + bp.ir_names
+
+    @staticmethod
+    def _subgroup(g: np.ndarray, mk: np.ndarray):
+        """Composite (group, map-key) codes. Returns (pcodes, parents, mks)
+        where subgroup i has parent group parents[i] and map key mks[i],
+        ordered by (parent, key code)."""
+        kcodes, kuniq = pd.factorize(pd.Series(mk))
+        pairs = np.stack([g, kcodes], axis=1)
+        puniq, pcodes = np.unique(pairs, axis=0, return_inverse=True)
+        return (pcodes.astype(np.int64), puniq[:, 0],
+                kuniq.to_numpy(dtype=object)[puniq[:, 1]])
+
+    @staticmethod
+    def _regroup_lists(parents: np.ndarray, arrays: dict[str, np.ndarray]):
+        """Split subgroup-aligned arrays into per-parent lists. parents is
+        non-decreasing. Returns dict of pd.Series indexed by parent code."""
+        bounds = np.flatnonzero(np.diff(parents)) + 1
+        pvals = parents[np.concatenate([[0], bounds])]
+        out = {}
+        for name, vals in arrays.items():
+            out[name] = pd.Series([list(x) for x in np.split(vals, bounds)],
+                                  index=pvals, dtype=object)
+        return out
+
+    def _partial_map(self, tbl: pa.Table, codes: np.ndarray,
+                     bp: BoundPart) -> Optional[dict[str, pd.Series]]:
+        """Map column → per-(group, map-key) partial IRs, reassembled as
+        per-group parallel lists (mkeys + one list per IR slot). This is the
+        vectorized analog of the reference's per-entry guardedApply
+        (MapColumnAggregator.scala:47-71)."""
+        col = tbl[bp.part.input_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # zero-copy view as list<struct<key,value>> — map arrays lack
+        # list_* kernels in pyarrow 16
+        col = col.cast(pa.list_(pa.struct([
+            pa.field("key", col.type.key_type, nullable=False),
+            pa.field("value", col.type.item_type)])))
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        entries = pc.list_flatten(col)  # struct<key,value>; null rows skipped
+        mk = entries.field(0).to_numpy(zero_copy_only=False)
+        mv_arr = entries.field(1)
+        g_sub = np.repeat(codes, lengths)
+        # null map VALUES are skipped (reference mapIterator filters
+        # _.getValue != null)
+        item_valid = pc.is_valid(mv_arr).to_numpy(zero_copy_only=False)
+        mv = mv_arr.to_numpy(zero_copy_only=False)
+        if not item_valid.all():
+            g_sub, mk, mv = g_sub[item_valid], mk[item_valid], mv[item_valid]
+        if len(g_sub) == 0:
+            return None
+        pcodes, parents, mks = self._subgroup(g_sub, mk)
+        res = bp.op.partial(pd.DataFrame({"g": pcodes, "v": mv}),
+                            len(parents), bp.part)
+        res = res.sort_values("g", ignore_index=True)
+        sel = res["g"].to_numpy()
+        arrays = {f"{bp.name}__mkeys": mks[sel]}
+        for irc in bp.op.ir_columns():
+            arrays[f"{bp.name}__{irc}"] = res[irc].to_numpy(dtype=object)
+        return self._regroup_lists(parents[sel], arrays)
+
+    def _explode_map_rows(self, df: pd.DataFrame, bp: BoundPart):
+        """Rows holding per-group parallel lists → flat (g, mk, {irc: flat}).
+        Returns None when no row has map state."""
+        mcol = f"{bp.name}__mkeys"
+        present = df[mcol].map(
+            lambda v: v is not None
+            and not (isinstance(v, float) and np.isnan(v)))
+        sub = df[present.to_numpy(dtype=bool)]
+        if len(sub) == 0:
+            return None
+        lens = sub[mcol].map(len).to_numpy(dtype=np.int64)
+        g_rep = np.repeat(sub["g"].to_numpy(), lens)
+        mk_flat = np.concatenate(
+            [np.asarray(_aslist(v), dtype=object) for v in sub[mcol]])
+        flats = {}
+        for irc in bp.op.ir_columns():
+            s = pd.Series(
+                [x for lst in sub[f"{bp.name}__{irc}"]
+                 for x in _aslist(lst)], dtype=object)
+            # numeric IR slots must be numeric for the vectorized merges
+            # (bincount etc.); list-valued slots (uniq) stay object
+            flats[irc] = s.infer_objects()
+        return g_rep, mk_flat, flats
+
+    def _merge_map(self, df: pd.DataFrame, bp: BoundPart):
+        """Multiple IR rows per g → one merged row of per-group lists."""
+        ex = self._explode_map_rows(df, bp)
+        if ex is None:
+            return {c: pd.Series(dtype=object) for c in self._map_cols(bp)}
+        g_rep, mk_flat, flats = ex
+        pcodes, parents, mks = self._subgroup(g_rep, mk_flat)
+        merged = bp.op.merge(pd.DataFrame({"g": pcodes, **flats}), bp.part) \
+            .sort_values("g", ignore_index=True)
+        sel = merged["g"].to_numpy()
+        arrays = {f"{bp.name}__mkeys": mks[sel]}
+        for irc in bp.op.ir_columns():
+            arrays[f"{bp.name}__{irc}"] = merged[irc].to_numpy(dtype=object)
+        return self._regroup_lists(parents[sel], arrays)
+
+    def _finalize_map(self, df: pd.DataFrame, bp: BoundPart) -> pd.Series:
+        """One IR row per g → map output values (sorted entry tuples)."""
+        vals = pd.Series([None] * len(df), index=df.index, dtype=object)
+        ex = self._explode_map_rows(df.assign(g=np.arange(len(df))), bp)
+        if ex is None:
+            return vals
+        row_rep, mk_flat, flats = ex
+        fin = bp.op.finalize(
+            pd.DataFrame(flats).reset_index(drop=True), bp.part)
+        fin = pd.Series(fin).to_numpy(dtype=object)
+        bounds = np.flatnonzero(np.diff(row_rep)) + 1
+        rows = row_rep[np.concatenate([[0], bounds])]
+        mk_seg = np.split(mk_flat, bounds)
+        fin_seg = np.split(fin, bounds)
+        for r, mkv, fv in zip(rows, mk_seg, fin_seg):
+            vals.iloc[int(r)] = sorted(zip(mkv.tolist(), fv.tolist()),
+                                       key=lambda t: t[0])
+        return vals
+
     # ------------------------------------------------------------- merge
 
     def merge_frame(self, df: pd.DataFrame) -> pd.DataFrame:
         """df: 'g' + prefixed IR columns, multiple rows per g → one per g."""
         pieces = []
         for bp in self.bound:
+            if bp.is_map:
+                series = self._merge_map(df, bp)
+                piece = pd.DataFrame(series)
+                piece.index.name = "g"
+                pieces.append(piece)
+                continue
             cols = {f"{bp.name}__{irc}": irc for irc in bp.op.ir_columns()}
             sub = df[["g", *cols]].rename(columns=cols)
             first_ir = bp.op.ir_columns()[0]
@@ -213,6 +406,10 @@ class RowAggregator:
         """df: one row per g with prefixed IR columns → output columns."""
         out = pd.DataFrame({"g": df["g"].to_numpy()})
         for bp in self.bound:
+            if bp.is_map:
+                out[bp.name] = self._finalize_map(
+                    df.reset_index(drop=True), bp).to_numpy(dtype=object)
+                continue
             cols = {f"{bp.name}__{irc}": irc for irc in bp.op.ir_columns()}
             sub = df[list(cols)].rename(columns=cols)
             first_ir = bp.op.ir_columns()[0]
@@ -230,6 +427,25 @@ class RowAggregator:
         """Serialize an IR frame (+ key columns) to Arrow for the shuffle."""
         arrays: dict[str, pa.Array] = dict(key_arrays)
         for bp in self.bound:
+            if bp.is_map:
+                def _isnull(v):
+                    return v is None or (isinstance(v, float)
+                                         and np.isnan(v))
+
+                mcol = f"{bp.name}__mkeys"
+                arrays[mcol] = pa.array(
+                    [None if _isnull(v) else [str(x) for x in _aslist(v)]
+                     for v in df[mcol]], type=pa.list_(pa.string()))
+                for irc in bp.op.ir_columns():
+                    full = f"{bp.name}__{irc}"
+                    elem = self._ir_arrow_fields(bp, irc, full)[0]
+                    nested = irc == "uniq"
+                    arrays[full] = pa.array(
+                        [None if _isnull(v)
+                         else ([_aslist(x) for x in _aslist(v)] if nested
+                               else [_np_to_py(x) for x in _aslist(v)])
+                         for v in df[full]], type=pa.list_(elem.type))
+                continue
             for irc in bp.op.ir_columns():
                 full = f"{bp.name}__{irc}"
                 fields = self._ir_arrow_fields(bp, irc, full)

@@ -430,6 +430,8 @@ def temporal_entities_join(
                 "SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS/HISTOGRAM")
     q_schema = dataset_schema(queries)
     s_schema = dataset_schema(snapshots)
+    from ..aggregators.row import reject_map_inputs
+    reject_map_inputs(parts, s_schema, "temporal_entities_join")
     windowed = [p for p in parts if not p.window.unbounded]
     if windowed and "ts" not in s_schema.names:
         raise ValueError(

@@ -757,6 +757,8 @@ def temporal_join(
         num_partitions = auto_num_partitions(left_ds, right_ds)
     left_schema = left_schema or dataset_schema(left_ds)
     right_schema = right_schema or dataset_schema(right_ds)
+    from ..aggregators.row import reject_map_inputs
+    reject_map_inputs(parts, right_schema, "temporal_join")
     left_cols = list(left_schema.names)
     # prune the right side to what the aggregation actually reads — only these
     # columns pay the shuffle (a 'tokens' payload not referenced by any part

@@ -89,6 +89,8 @@ def groupby_upload(
     parts = conf.parts()
     _check_parts(parts)
     schema = dataset_schema(events)
+    from ..aggregators.row import reject_map_inputs
+    reject_map_inputs(parts, schema, "groupby_upload")
     agg = RowAggregator(parts, schema)
     windowed = [p for p in parts if not p.window.unbounded]
     if num_partitions is None:
@@ -395,6 +397,8 @@ def serve_with_events(
     _check_parts(parts)
     ev_schema = dataset_schema(head_events)
     q_schema = dataset_schema(queries)
+    from ..aggregators.row import reject_map_inputs
+    reject_map_inputs(parts, ev_schema, "serve_with_events")
     left_cols = list(q_schema.names)
     input_cols = sorted({p.input_column for p in parts})
     if num_partitions is None:

@@ -1,0 +1,115 @@
+"""Map-input aggregation (MapColumnAggregator analog — reference
+aggregator/row/MapColumnAggregator.scala:29-75, dispatch at
+ColumnAggregator.scala:178-190): per-map-key dispatch of scalar ops over a
+map<string, scalar> column, producing a map output per group."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from chronon_ray.api import GroupByConf, agg
+from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+
+def _map_table(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(range(len(rows)), type=pa.int64()),
+        "m": pa.array([r[1] for r in rows],
+                      type=pa.map_(pa.string(), pa.float64())),
+    })
+
+
+def _asdict(v):
+    return None if v is None else dict(v)
+
+
+def test_map_sum_count_average(ray_session):
+    t = _map_table([
+        (1, [("a", 1.0), ("b", 2.0)]),
+        (1, [("a", 3.0), ("c", 4.0)]),
+        (2, [("a", 10.0)]),
+    ])
+    conf = GroupByConf(
+        name="m", sources=(), key_columns=("user_id",),
+        aggregations=(agg("m", "sum"), agg("m", "count"),
+                      agg("m", "average")),
+    )
+    out = aggregate_snapshot(rd.from_arrow(t), conf, num_partitions=2) \
+        .to_pandas().set_index("user_id").sort_index()
+    assert _asdict(out.loc[1, "m_sum"]) == {"a": 4.0, "b": 2.0, "c": 4.0}
+    assert _asdict(out.loc[1, "m_count"]) == {"a": 2, "b": 1, "c": 1}
+    assert _asdict(out.loc[1, "m_average"]) == {"a": 2.0, "b": 2.0, "c": 4.0}
+    assert _asdict(out.loc[2, "m_sum"]) == {"a": 10.0}
+
+
+def test_map_null_entries_and_rows(ray_session):
+    """Null maps and null map VALUES are skipped (reference mapIterator
+    filters _.getValue != null); a key seen only with null values is
+    absent from the output map."""
+    t = _map_table([
+        (1, None),
+        (1, [("a", 1.0), ("b", None)]),
+        (1, [("b", None)]),
+    ])
+    conf = GroupByConf(name="m", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("m", "sum"),))
+    out = aggregate_snapshot(rd.from_arrow(t), conf, num_partitions=2) \
+        .to_pandas()
+    assert len(out) == 1
+    assert _asdict(out.iloc[0]["m_sum"]) == {"a": 1.0}
+
+
+def test_map_cross_block_merge(ray_session):
+    """Partial IRs from different blocks must merge per map key through
+    the shuffle — split the same key's rows across many input blocks."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    users = rng.integers(0, 5, size=n)
+    keys = rng.choice(["x", "y", "z"], size=n)
+    vals = rng.integers(1, 100, size=n).astype(np.float64)
+    rows = [(int(u), [(str(k), float(v))]) for u, k, v in zip(users, keys, vals)]
+    # many small blocks → cross-block merges guaranteed
+    ds = rd.from_arrow(_map_table(rows)).repartition(16)
+    conf = GroupByConf(
+        name="m", sources=(), key_columns=("user_id",),
+        aggregations=(agg("m", "sum"), agg("m", "min"), agg("m", "max"),
+                      agg("m", "unique_count"), agg("m", "variance")),
+    )
+    out = aggregate_snapshot(ds, conf, num_partitions=4).to_pandas() \
+        .set_index("user_id").sort_index()
+    df = pd.DataFrame({"u": users, "k": keys, "v": vals})
+    for u, grp in df.groupby("u"):
+        for k, sub in grp.groupby("k"):
+            assert _asdict(out.loc[u, "m_sum"])[k] == sub["v"].sum()
+            assert _asdict(out.loc[u, "m_min"])[k] == sub["v"].min()
+            assert _asdict(out.loc[u, "m_max"])[k] == sub["v"].max()
+            assert _asdict(out.loc[u, "m_unique_count"])[k] == sub["v"].nunique()
+            np.testing.assert_allclose(
+                _asdict(out.loc[u, "m_variance"])[k],
+                sub["v"].var(ddof=0), rtol=1e-9)
+
+
+def test_map_unsupported_op_raises(ray_session):
+    from chronon_ray.aggregators.row import RowAggregator
+
+    t = _map_table([(1, [("a", 1.0)])])
+    conf = GroupByConf(name="m", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("m", "last"),))
+    with pytest.raises(NotImplementedError, match="map"):
+        RowAggregator(conf.parts(), t.schema)
+
+
+def test_map_temporal_guard(ray_session):
+    from chronon_ray.api import UNBOUNDED, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    t = _map_table([(1, [("a", 1.0)])])
+    q = pd.DataFrame({"user_id": [1], "ts": [10]})
+    conf = GroupByConf(name="m", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("m", "sum", [UNBOUNDED]),))
+    with pytest.raises(NotImplementedError, match="map"):
+        temporal_join(rd.from_pandas(q), rd.from_arrow(t), conf,
+                      num_partitions=2)
