@@ -355,6 +355,28 @@ def q_histogram_user_event(sf_dir: str):
         .astype({"cnt": np.int64})
 
 
+def q_approx_histogram_topk(sf_dir: str):
+    """APPROX_HISTOGRAM_K with k=3 over 5 distinct event types: the IR
+    flips to the bounded Misra-Gries tier (>k distinct), but cap=8 ≥ 5
+    means no compaction ever fires — estimates stay exact and the trimmed
+    top-3 output is SQL-verifiable (rank by count desc, value asc)."""
+    from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    conf = GroupByConf(
+        name="ahist", sources=(), key_columns=("user_id",),
+        aggregations=(agg("event_type", "approx_histogram_k", k=3),),
+    )
+    _ctx()
+    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    rows = []
+    for _, r in out.iterrows():
+        for k, v in r["event_type_approx_histogram_k"]:
+            rows.append((r["user_id"], k, v))
+    return pd.DataFrame(rows, columns=["user_id", "event_type", "cnt"]) \
+        .astype({"cnt": np.int64})
+
+
 def q_bucketed_sums(sf_dir: str):
     from chronon_ray.api import GroupByConf, agg
     from chronon_ray.pipelines.groupby import aggregate_snapshot
@@ -472,6 +494,36 @@ def q_knn_top5(sf_dir: str):
 
 
 # ---- rows-only checks (non-SQL-expressible: sketches, LSH, heuristics) ----
+
+
+def q_token_unique(sf_dir: str):
+    """Windowed as-of UNIQUE_COUNT/MIN/MAX over the `tokens` list column
+    (sawtooth-family list auto-explode — reference VectorDispatcher,
+    ColumnAggregator.scala:80-117): per query instant, the distinct / min /
+    max token over the 7d hop-rounded window."""
+    import ray.data as rd
+
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.functions.dedup import exact_dedup
+    from chronon_ray.pipelines.temporal import temporal_join
+    from chronon_ray.testing.tokengen import ensure_fixture
+
+    _ctx()
+    paths = ensure_fixture(_token_scale(sf_dir))
+    ev = rd.read_parquet(paths["events_file"])
+    left = rd.read_parquet(paths["queries_file"], columns=["doc_id", "ts"])
+    left = exact_dedup(left, on=["doc_id", "ts"], id_col="doc_id",
+                       num_partitions=16)
+    conf = GroupByConf(
+        name="token_unique", sources=(), key_columns=("doc_id",),
+        aggregations=(
+            agg("tokens", "unique_count", [window(7, "d")]),
+            agg("tokens", "min", [window(7, "d")]),
+            agg("tokens", "max", [window(7, "d")]),
+        ),
+    )
+    out = temporal_join(left, ev, conf, num_partitions=16).to_pandas()
+    return out
 
 
 def q_token_backfill(sf_dir: str):
@@ -1367,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": q_session_stats,
         "topk_per_user": q_topk_per_user,
         "histogram_user_event": q_histogram_user_event,
+        "approx_histogram_topk": q_approx_histogram_topk,
         "bucketed_sums": q_bucketed_sums,
         "bucketed_asof": q_bucketed_asof,
         "snapshot_join": q_snapshot_join,
@@ -1382,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_entities": q_temporal_entities,
         "backfill_join": q_backfill_join,
         "token_backfill": q_token_backfill,
+        "token_unique": q_token_unique,
         "approx_unique": q_approx_unique,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1586,6 +1640,16 @@ def oracle_sql() -> dict[str, str]:
         "histogram_user_event": """
             select user_id, event_type, count(*) as cnt
             from events group by user_id, event_type
+        """,
+        "approx_histogram_topk": """
+            with c as (
+              select user_id, event_type, count(*) as cnt,
+                     row_number() over (partition by user_id
+                                        order by count(*) desc, event_type)
+                       as rk
+              from events group by user_id, event_type
+            )
+            select user_id, event_type, cnt from c where rk <= 3
         """,
         "bucketed_sums": """
             select user_id, event_type, round(sum(value), 4) as value_sum
@@ -2330,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle_sql(),
         "mixture_sample": _mixture_sample_oracle_sql(),
         "token_backfill": _token_backfill_oracle_sql(),
+        "token_unique": _token_unique_oracle_sql(),
         "shuffle_export": _shuffle_export_oracle_sql(),
         "training_export": _training_export_oracle_sql(),
     }
@@ -2443,6 +2508,37 @@ def _mixture_sample_oracle_sql() -> str:
                    from r)
         select doc_id, source, cast(n_chars as bigint) as n_chars
         from o where cum < 4000
+    """
+
+
+def _token_unique_oracle_sql() -> str:
+    """DuckDB oracle for windowed list-exploded aggregation: unnest the
+    token arrays and aggregate per query over the hop-rounded 7d window."""
+    import os
+
+    from chronon_ray.testing.tokengen import ensure_fixture
+
+    sf_dir = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    paths = ensure_fixture(_token_scale(sf_dir))
+    ev, q = paths["events_file"], paths["queries_file"]
+    return f"""
+        with q as (select distinct doc_id, ts from read_parquet('{q}')),
+        e as (
+            select doc_id, ts, unnest(tokens) as tok
+            from read_parquet('{ev}')
+        )
+        select q.doc_id, q.ts,
+               nullif(count(distinct case when e.ts < q.ts
+                   and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                   then e.tok end), 0) as tokens_unique_count_7d,
+               min(case when e.ts < q.ts
+                   and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                   then e.tok end) as tokens_min_7d,
+               max(case when e.ts < q.ts
+                   and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                   then e.tok end) as tokens_max_7d
+        from q left join e on q.doc_id = e.doc_id
+        group by q.doc_id, q.ts
     """
 
 

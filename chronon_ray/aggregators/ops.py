@@ -846,9 +846,8 @@ class ApproxPercentileOp(AggOp):
 
 class _HistogramBase(AggOp):
     """Exact counts per string value; IR = dict. Finalize drops nothing but
-    trims to top-k entries when k>0 (reference SimpleAggregators.scala:249-321;
-    APPROX_HISTOGRAM_K hybrid :458-600 — our exact dict stands in for the
-    ItemsSketch beyond k, same top-k trimmed output)."""
+    trims to top-k entries when k>0 (reference SimpleAggregators.scala:
+    249-321)."""
 
     deletable = True
 
@@ -874,7 +873,8 @@ class _HistogramBase(AggOp):
         k = part.get_int("k", 0)
 
         def fin(d):
-            items = sorted(d.items())
+            # string keys: reference outputs Map[String, Long]
+            items = sorted((str(kk), vv) for kk, vv in d.items())
             if k and len(items) > k:
                 items = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
                 items.sort()
@@ -914,7 +914,7 @@ class _HistogramBase(AggOp):
 
     def py_finalize(self, ir, part):
         k = part.get_int("k", 0)
-        items = sorted(ir.items())
+        items = sorted((str(kk), vv) for kk, vv in ir.items())
         if k and len(items) > k:
             items = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
             items.sort()
@@ -927,5 +927,75 @@ class HistogramOp(_HistogramBase):
 
 
 @_register
-class ApproxHistogramKOp(_HistogramBase):
+class ApproxHistogramKOp(AggOp):
+    """Bounded heavy-hitter histogram: exact map until > k distinct values,
+    then a mergeable Misra-Gries summary capped at 2*next_pow2(k) entries
+    (reference ApproxHistogram hybrid, SimpleAggregators.scala:458-600 +
+    FrequentItems :375-456). Exact in the sparse regime; per-key IR size is
+    bounded regardless of input cardinality. Not deletable (sketch tier
+    cannot reverse updates — matches the reference monoid)."""
+
     op = Operation.APPROX_HISTOGRAM_K
+    deletable = False
+
+    def _k(self, part):
+        return part.get_int("k", 128)
+
+    def partial(self, df, n, part):
+        from .sketches import MG
+
+        k = self._k(part)
+        cnt = df.groupby(["g", "v"], sort=True).size()
+        s = cnt.groupby(level=0, sort=True).agg(
+            lambda x: MG.serialize(MG.from_exact(
+                dict(zip(x.index.get_level_values(1), x.astype(int))), k))
+        )
+        return pd.DataFrame({"g": s.index.to_numpy(), "sketch": s.to_numpy()})
+
+    def merge(self, ir, part):
+        from .sketches import MG
+
+        k = self._k(part)
+
+        def m(bufs):
+            out = None
+            for b in bufs:
+                st = MG.deserialize(b)
+                out = st if out is None else MG.merge(out, st, k)
+            return MG.serialize(out)
+
+        s = ir.groupby("g", sort=True)["sketch"].agg(m)
+        return pd.DataFrame({"g": s.index.to_numpy(), "sketch": s.to_numpy()})
+
+    def finalize(self, ir, part):
+        from .sketches import MG
+
+        k = self._k(part)
+        return ir["sketch"].map(lambda b: MG.finalize(MG.deserialize(b), k))
+
+    def ir_columns(self):
+        return ["sketch"]
+
+    def output_arrow_type(self, in_type, part):
+        return pa.map_(pa.string(), pa.int64())
+
+    def py_update(self, ir, v, ts, part):
+        from .sketches import MG
+
+        if ir is None:
+            ir = MG.empty()
+        return MG.update(ir, v, self._k(part))
+
+    def py_merge(self, a, b, part):
+        from .sketches import MG
+
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return MG.merge(a, b, self._k(part))
+
+    def py_finalize(self, ir, part):
+        from .sketches import MG
+
+        return MG.finalize(ir, self._k(part))

@@ -76,6 +76,13 @@ class RowAggregator:
     ):
         self.time_column = time_column
         self.tie_break_column = tie_break_column
+        # FIRST/LAST IRs carry (ts, tb) ACROSS the IR shuffle when a
+        # tie-break column is configured — a ts-only cross-block merge
+        # would resolve equal-ts collisions by block order, not by tb
+        self._tb_extend = bool(
+            tie_break_column and tie_break_column in input_schema.names)
+        self._tb_type = (input_schema.field(tie_break_column).type
+                         if self._tb_extend else pa.float64())
         self.bound: list[BoundPart] = []
         for p in parts:
             if p.bucket is not None:
@@ -130,6 +137,16 @@ class RowAggregator:
 
     # ------------------------------------------------------------ schemas
 
+    def _ircs(self, bp: BoundPart) -> list[str]:
+        """IR slots for one part — FIRST/LAST gain a 'tb' slot when a
+        tie-break column is configured so equal-ts winners are stable
+        across the IR shuffle."""
+        cols = bp.op.ir_columns()
+        if self._tb_extend and bp.part.operation in (Operation.FIRST,
+                                                     Operation.LAST):
+            cols = [*cols, "tb"]
+        return cols
+
     def ir_fields(self) -> list[pa.Field]:
         fields: list[pa.Field] = []
         for bp in self.bound:
@@ -143,7 +160,7 @@ class RowAggregator:
                     elem = self._ir_arrow_fields(bp, irc, full)[0]
                     fields.append(pa.field(full, pa.list_(elem.type)))
                 continue
-            for irc in bp.op.ir_columns():
+            for irc in self._ircs(bp):
                 full = f"{bp.name}__{irc}"
                 fields.extend(self._ir_arrow_fields(bp, irc, full))
         return fields
@@ -161,7 +178,7 @@ class RowAggregator:
         if irc == "ts":
             return [pa.field(full, pa.float64())]
         if irc == "tb":
-            return [pa.field(full, pa.float64())]
+            return [pa.field(full, self._tb_type)]
         if irc == "payload":
             return [pa.field(full, t)]
         if irc == "items":
@@ -242,11 +259,11 @@ class RowAggregator:
                 continue
             df = self._extract(tbl, codes, bp)
             if len(df) == 0:
-                for irc in bp.op.ir_columns():
+                for irc in self._ircs(bp):
                     out[f"{bp.name}__{irc}"] = None
                 continue
             res = bp.op.partial(df, n_groups, bp.part).set_index("g")
-            for irc in bp.op.ir_columns():
+            for irc in self._ircs(bp):
                 out[f"{bp.name}__{irc}"] = res[irc]
         return out.reset_index()
 
@@ -386,7 +403,7 @@ class RowAggregator:
                 piece.index.name = "g"
                 pieces.append(piece)
                 continue
-            cols = {f"{bp.name}__{irc}": irc for irc in bp.op.ir_columns()}
+            cols = {f"{bp.name}__{irc}": irc for irc in self._ircs(bp)}
             sub = df[["g", *cols]].rename(columns=cols)
             first_ir = bp.op.ir_columns()[0]
             sub = sub[sub[first_ir].notna()]
@@ -410,7 +427,7 @@ class RowAggregator:
                 out[bp.name] = self._finalize_map(
                     df.reset_index(drop=True), bp).to_numpy(dtype=object)
                 continue
-            cols = {f"{bp.name}__{irc}": irc for irc in bp.op.ir_columns()}
+            cols = {f"{bp.name}__{irc}": irc for irc in self._ircs(bp)}
             sub = df[list(cols)].rename(columns=cols)
             first_ir = bp.op.ir_columns()[0]
             mask = sub[first_ir].notna()
@@ -446,7 +463,7 @@ class RowAggregator:
                                else [_np_to_py(x) for x in _aslist(v)])
                          for v in df[full]], type=pa.list_(elem.type))
                 continue
-            for irc in bp.op.ir_columns():
+            for irc in self._ircs(bp):
                 full = f"{bp.name}__{irc}"
                 fields = self._ir_arrow_fields(bp, irc, full)
                 if irc == "items":
@@ -461,8 +478,12 @@ class RowAggregator:
                     arrays[fields[0].name] = pa.array(o_vals.tolist(), type=fields[0].type)
                     arrays[fields[1].name] = pa.array(p_vals.tolist(), type=fields[1].type)
                 elif irc == "hist":
+                    # str keys: the IR map is map<string,int64>; int-valued
+                    # histogram inputs count under their string form
+                    # (reference outputs Map[String, Long])
                     col = df[full].map(
-                        lambda d: sorted(d.items()) if isinstance(d, dict) else d
+                        lambda d: sorted((str(k), v) for k, v in d.items())
+                        if isinstance(d, dict) else d
                     )
                     arrays[full] = pa.array(col.tolist(), type=fields[0].type)
                 elif irc == "uniq":
@@ -488,7 +509,7 @@ class RowAggregator:
         rebuild tuple-lists from parallel __o/__p columns; map→dict."""
         out = pdf.copy()
         for bp in self.bound:
-            for irc in bp.op.ir_columns():
+            for irc in self._ircs(bp):
                 full = f"{bp.name}__{irc}"
                 if irc == "items":
                     o, p = out[f"{full}__o"], out[f"{full}__p"]

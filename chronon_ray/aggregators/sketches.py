@@ -253,3 +253,127 @@ class KLL:
     @staticmethod
     def deserialize(buf: bytes) -> dict:
         return pickle.loads(buf)
+
+
+# ------------------------------------------------- Misra-Gries heavy hitters
+
+
+class MG:
+    """Hybrid exact-map / Misra-Gries heavy-hitter summary for
+    APPROX_HISTOGRAM_K — the analog of the reference's ApproxHistogram
+    (exact HashMap until > k distinct, then a bounded ItemsSketch;
+    reference SimpleAggregators.scala:458-600 + FrequentItems :375-456).
+
+    State: ``("E", {v: cnt})`` exact, or ``("A", {v: (cnt, err)}, off)``
+    after the flip. The approx tier is the MERGEABLE Misra-Gries summary
+    (Agarwal et al., "Mergeable Summaries", PODS 2012): when the map
+    exceeds ``cap = 2 * next_pow2(k)`` entries, subtract the (cap+1)-th
+    largest count from every counter, drop non-positive ones, and fold the
+    subtracted amount into each survivor's error bound AND the global
+    offset ``off``; a value (re)inserted later starts with err = off
+    (space-saving style), so estimate = cnt + err is always an upper bound
+    with error ≤ off ≤ n/cap (like ItemsSketch.getEstimate /
+    getMaximumError). Per-key IR size is bounded by cap regardless of
+    input cardinality.
+    """
+
+    @staticmethod
+    def cap_for(k: int) -> int:
+        k = max(int(k), 1)
+        return max(8, 2 * (1 << (k - 1).bit_length()))
+
+    @staticmethod
+    def empty() -> tuple:
+        return ("E", {})
+
+    @staticmethod
+    def _compact(d: dict, cap: int, off: int) -> tuple:
+        """({v: (cnt, err)}, off) trimmed to ≤ cap entries."""
+        if len(d) <= cap:
+            return d, off
+        counts = sorted((c for c, _ in d.values()), reverse=True)
+        m = counts[cap]
+        out = {}
+        for v, (c, e) in d.items():
+            nc = c - m
+            if nc > 0:
+                out[v] = (nc, e + m)
+        return out, off + m
+
+    @staticmethod
+    def from_exact(counts: dict, k: int) -> tuple:
+        """Exact {v: cnt} map → hybrid state (flip when > k distinct,
+        mirroring the reference's toIr)."""
+        if len(counts) <= max(int(k), 1):
+            return ("E", dict(counts))
+        d = {v: (int(c), 0) for v, c in counts.items()}
+        d, off = MG._compact(d, MG.cap_for(k), 0)
+        return ("A", d, off)
+
+    @staticmethod
+    def update(state: tuple, v, k: int, times: int = 1) -> tuple:
+        if state[0] == "E":
+            d = state[1]
+            d[v] = d.get(v, 0) + times
+            if len(d) <= max(int(k), 1):
+                return state
+            d = {vv: (c, 0) for vv, c in d.items()}
+            d, off = MG._compact(d, MG.cap_for(k), 0)
+            return ("A", d, off)
+        _, d, off = state
+        c, e = d.get(v, (0, off))  # new entries inherit the global offset
+        d[v] = (c + times, e)
+        if len(d) > MG.cap_for(k):
+            d, off = MG._compact(d, MG.cap_for(k), off)
+            return ("A", d, off)
+        return ("A", d, off)
+
+    @staticmethod
+    def _as_approx(state: tuple) -> tuple:
+        if state[0] == "A":
+            return state[1], state[2]
+        return {v: (int(c), 0) for v, c in state[1].items()}, 0
+
+    @staticmethod
+    def merge(a: tuple, b: tuple, k: int) -> tuple:
+        """Pure (never mutates inputs) — hop IRs are shared across windows."""
+        if a[0] == "E" and b[0] == "E":
+            out = dict(a[1])
+            for v, c in b[1].items():
+                out[v] = out.get(v, 0) + c
+            return MG.from_exact(out, k)
+        # at least one approx side → approx result (reference combine).
+        # A value absent from one side could have been dropped there with
+        # error up to that side's offset — fold it into the entry's err.
+        da, offa = MG._as_approx(a)
+        db, offb = MG._as_approx(b)
+        out = {}
+        for v in set(da) | set(db):
+            ca, ea = da.get(v, (0, offa))
+            cb, eb = db.get(v, (0, offb))
+            out[v] = (ca + cb, ea + eb)
+        out, off = MG._compact(out, MG.cap_for(k), offa + offb)
+        return ("A", out, off)
+
+    @staticmethod
+    def finalize(state: tuple, k: int) -> list:
+        """Top-k entries by estimate, emitted sorted by key (deterministic
+        arrow map). Exact tier: estimates are true counts."""
+        if state[0] == "E":
+            items = [(str(v), int(c)) for v, c in state[1].items()]
+        else:
+            items = [(str(v), int(c) + int(e))
+                     for v, (c, e) in state[1].items()]
+        kk = max(int(k), 1) if k else 0
+        if kk and len(items) > kk:
+            items = sorted(items, key=lambda t: (-t[1], t[0]))[:kk]
+        items.sort()
+        return items
+
+    @staticmethod
+    def serialize(state: tuple) -> bytes:
+        return pickle.dumps(state)
+
+    @staticmethod
+    def deserialize(buf: bytes) -> tuple:
+        return pickle.loads(buf)

@@ -258,24 +258,35 @@ def profile_table(ds, columns: Optional[list[str]] = None):
                         lo, hi = float(lov), float(hiv)
             rows.append((c, n, nn, lo, hi))
         cols = list(zip(*rows))
+        # min/max as NULL (not NaN) so the distributed Min/Max skip them
         return pa.table({
             "column": pa.array(cols[0]),
             "n_rows": pa.array(np.array(cols[1], dtype=np.int64)),
             "n_nulls": pa.array(np.array(cols[2], dtype=np.int64)),
-            "min_val": pa.array(np.array(cols[3], dtype=np.float64)),
-            "max_val": pa.array(np.array(cols[4], dtype=np.float64)),
+            "min_val": pa.array([None if np.isnan(v) else float(v)
+                                 for v in cols[3]], type=pa.float64()),
+            "max_val": pa.array([None if np.isnan(v) else float(v)
+                                 for v in cols[4]], type=pa.float64()),
         })
 
     partial.__name__ = "profile_partial"
     import pandas as pd
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    g = parts.groupby("column", sort=False)
-    out = pd.DataFrame({
-        "n_rows": g["n_rows"].sum(),
-        "n_nulls": g["n_nulls"].sum(),
-        "min_val": g["min_val"].min(),
-        "max_val": g["max_val"].max(),
-    }).reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    # distributed reduce: per-block partials collapse to one row per COLUMN
+    # inside the cluster (never n_blocks × n_cols raw rows on the driver —
+    # at 10⁶ blocks that would be tens of millions of driver rows)
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("column") \
+        .aggregate(Sum("n_rows"), Sum("n_nulls"),
+                   Min("min_val"), Max("max_val")) \
+        .to_pandas()
+    out = parts.rename(columns={
+        "sum(n_rows)": "n_rows", "sum(n_nulls)": "n_nulls",
+        "min(min_val)": "min_val", "max(max_val)": "max_val"})
+    for c in ("min_val", "max_val"):
+        out[c] = out[c].astype(np.float64)
     # preserve requested column order
     order = {c: i for i, c in enumerate(names)}
     return out.sort_values("column", key=lambda s: s.map(order)) \

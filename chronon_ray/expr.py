@@ -37,22 +37,44 @@ def _con():
 
         con = duckdb.connect()
         _LOCAL.con = con
+        _LOCAL.setups_done = set()
     return con
 
 
-class SqlExpr:
-    """Callable(table) -> Array for one scalar SQL expression."""
+def ensure_setups(setups) -> None:
+    """Run setup DDL statements (UDF/macro definitions — the analog of the
+    reference's Query.setups, api.thrift:46-48) once per worker process on
+    the cached DuckDB connection, before any SqlExpr evaluates. Idempotent:
+    each distinct statement executes at most once per connection."""
+    if not setups:
+        return
+    con = _con()
+    done = _LOCAL.setups_done
+    for stmt in setups:
+        if stmt not in done:
+            con.execute(stmt)
+            done.add(stmt)
 
-    def __init__(self, expression: str):
+
+class SqlExpr:
+    """Callable(table) -> Array for one scalar SQL expression.
+
+    ``setups``: DDL statements (e.g. ``CREATE MACRO``) executed on the
+    worker's DuckDB connection before the expression — the reference's
+    Query.setups surface."""
+
+    def __init__(self, expression: str, setups=()):
         self.expression = expression
+        self.setups = tuple(setups)
         self.__name__ = f"sql({expression})"
 
     def __call__(self, t: pa.Table) -> pa.Array:
-        if _IDENT.match(self.expression) \
+        if not self.setups and _IDENT.match(self.expression) \
                 and self.expression in t.column_names:
             col = t[self.expression]
             return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
                 else col
+        ensure_setups(self.setups)
         con = _con()
         con.register("__batch", t)
         out = con.sql(
@@ -66,16 +88,17 @@ class SqlExpr:
 
     def __eq__(self, other):
         return isinstance(other, SqlExpr) \
-            and other.expression == self.expression
+            and other.expression == self.expression \
+            and other.setups == self.setups
 
     def __hash__(self):
-        return hash(("SqlExpr", self.expression))
+        return hash(("SqlExpr", self.expression, self.setups))
 
 
-def sql_expr(expression: str) -> SqlExpr:
-    return SqlExpr(expression)
+def sql_expr(expression: str, setups=()) -> SqlExpr:
+    return SqlExpr(expression, setups=setups)
 
 
-def sql_where(predicate: str):
+def sql_where(predicate: str, setups=()):
     """Predicate string -> callable(table) -> BooleanArray for TQuery.wheres."""
-    return SqlExpr(f"coalesce(({predicate}), false)")
+    return SqlExpr(f"coalesce(({predicate}), false)", setups=setups)

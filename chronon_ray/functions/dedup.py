@@ -250,12 +250,23 @@ class _MinHashTagged:
 class _BandBucketCandidates:
     """One hash partition of lean (band, band_hash) buckets → raw candidate
     id pairs (a < b), no signatures. Pair emission per bucket is a single
-    triu_indices gather — no python pair loop."""
+    triu_indices gather — no python pair loop.
 
-    def __init__(self, id_col: str, id_dtype=np.int64):
+    Buckets larger than ``star_cutoff`` ids emit STAR edges to the bucket's
+    min-id canonical instead of all O(m²) pairs: a web-scale duplicate
+    cluster of 10⁶ docs yields 10⁶−1 edges per band instead of ~5·10¹¹.
+    Star edges keep every bucket member connected to its canonical, which
+    is exactly what the downstream dedup (connected components / canonical
+    election) consumes; at the default cutoff the full pair set is emitted
+    for every realistic non-pathological bucket, so verified-pair outputs
+    are unchanged on normal corpora."""
+
+    def __init__(self, id_col: str, id_dtype=np.int64,
+                 star_cutoff: int = 1024):
         self.__name__ = type(self).__name__
         self.id_col = id_col
         self.id_dtype = id_dtype
+        self.star_cutoff = star_cutoff
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series(dtype=self.id_dtype),
@@ -270,6 +281,11 @@ class _BandBucketCandidates:
         for s, e in bounds[(bounds[:, 1] - bounds[:, 0]) >= 2]:
             ids = np.unique(ids_all[order[s:e]])
             if len(ids) < 2:
+                continue
+            if len(ids) > self.star_cutoff:
+                out_a.append(np.full(len(ids) - 1, ids[0],
+                                     dtype=ids.dtype))
+                out_b.append(ids[1:])
                 continue
             i, j = np.triu_indices(len(ids), k=1)
             out_a.append(ids[i])

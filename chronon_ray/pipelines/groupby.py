@@ -211,12 +211,11 @@ def aggregate_snapshot(
                        tie_break=tie_break),
             batch_format="pyarrow",
         )
-        # NOTE: tie_break makes FIRST/LAST deterministic WITHIN each input
-        # block (PartialAgg feeds it to RowAggregator); equal-ts rows split
-        # across blocks still merge by ts alone — the tb slot doesn't cross
-        # the IR shuffle yet. The temporal path honors tie_break fully.
+        # tie_break crosses the IR shuffle: FIRST/LAST IRs carry a tb slot
+        # (RowAggregator._ircs) so equal-ts rows split across blocks merge
+        # by (ts, tb), matching the temporal path
         out = stage1.groupby("_part").map_groups(
-            MergeFinalize(keys, plain, schema),
+            MergeFinalize(keys, plain, schema, tie_break=tie_break),
             batch_format="pandas"
         )
         outputs.append(out)
@@ -243,7 +242,8 @@ def aggregate_snapshot(
             batch_format="pyarrow",
         )
         out = stage1.groupby("_part").map_groups(
-            MergeFinalize(gran_keys, cparts, schema, pivot_bucket=bcol, out_keys=keys),
+            MergeFinalize(gran_keys, cparts, schema, tie_break=tie_break,
+                          pivot_bucket=bcol, out_keys=keys),
             batch_format="pandas",
         )
         rename = {p_c.output_name: p_b.output_name for p_c, p_b in zip(cparts, bparts)}

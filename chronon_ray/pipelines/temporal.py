@@ -55,6 +55,14 @@ DEFAULT_NUM_PARTITIONS = 200
 _PREFIX_OPS = {Operation.SUM, Operation.COUNT, Operation.AVERAGE, Operation.VARIANCE,
                Operation.SKEW, Operation.KURTOSIS}
 _SLICE_OPS = {Operation.FIRST, Operation.LAST, Operation.FIRST_K, Operation.LAST_K}
+#: sawtooth-family ops that auto-explode list inputs to per-element updates
+#: (reference VectorDispatcher, ColumnAggregator.scala:80-117); the prefix
+#: family explodes separately via its vectorized moments path
+_SAW_EXPLODE_OPS = {Operation.MIN, Operation.MAX, Operation.UNIQUE_COUNT,
+                    Operation.APPROX_UNIQUE_COUNT,
+                    Operation.APPROX_PERCENTILE, Operation.HISTOGRAM,
+                    Operation.APPROX_HISTOGRAM_K,
+                    Operation.TOP_K, Operation.BOTTOM_K}
 _MOMENTS_NEEDED = {Operation.COUNT: 0, Operation.SUM: 1, Operation.AVERAGE: 1,
                    Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}
 
@@ -87,6 +95,31 @@ class BucketedPyOp(AggOp):
 
     def py_finalize(self, ir, part):
         return sorted((k, self.inner.py_finalize(v, part)) for k, v in ir.items())
+
+
+class VectorPyOp(AggOp):
+    """Scalar-path adapter for LIST inputs: one inner update per element,
+    null elements skipped (reference VectorDispatcher / guardedApplyVector,
+    ColumnAggregator.scala:80-117)."""
+
+    def __init__(self, inner: AggOp):
+        self.inner = inner
+        self.needs_ts = inner.needs_ts
+
+    def py_update(self, ir, v, ts, part):
+        if v is None:
+            return ir
+        for e in v:
+            if e is None or (isinstance(e, float) and np.isnan(e)):
+                continue
+            ir = self.inner.py_update(ir, e, ts, part)
+        return ir
+
+    def py_merge(self, a, b, part):
+        return self.inner.py_merge(a, b, part)
+
+    def py_finalize(self, ir, part):
+        return self.inner.py_finalize(ir, part)
 
 
 def _family(part: AggregationPart) -> str:
@@ -122,7 +155,8 @@ class TemporalPartition:
         for p in parts:
             in_type = right_schema.field(p.input_column).type
             explode = (pa.types.is_list(in_type) or pa.types.is_large_list(in_type)) \
-                and p.operation in _PREFIX_OPS
+                and (p.operation in _PREFIX_OPS
+                     or (p.bucket is None and p.operation in _SAW_EXPLODE_OPS))
             el_type = in_type.value_type if explode else in_type
             base = OPS[p.operation].output_arrow_type(el_type, replace(p, bucket=None))
             t = pa.map_(pa.string(), base) if p.bucket is not None else base
@@ -471,8 +505,9 @@ class TemporalPartition:
 
             hop = _thm(p.window, self.daily)
             bcodes = buniq = None
+            exploded = False
             if p.bucket is None:
-                vals, valid = col_values(p)
+                vals, valid, exploded = col_values(p)
             else:
                 # raw values + factorized bucket labels — the grouped
                 # partial runs at (key, hop, bucket) granularity and the
@@ -480,8 +515,9 @@ class TemporalPartition:
                 # tail/head updates feed RAW values for bucketed parts, so
                 # hop IRs must hold the same representation (codes here
                 # would double-count values seen in both regions)
-                vals, valid = col_values(replace(p, bucket=None),
-                                         force_raw=True)
+                vals, valid, _ = col_values(replace(p, bucket=None),
+                                            force_raw=True,
+                                            allow_explode=False)
                 bcol = e_tbl[p.bucket]
                 if isinstance(bcol, pa.ChunkedArray):
                     bcol = bcol.combine_chunks()
@@ -495,6 +531,24 @@ class TemporalPartition:
             ek = e_key[valid]
             ets = e_ts[valid]
             v = vals[valid]
+            if exploded:
+                # list input → per-element rows (null elements dropped),
+                # repeating the key/ts of the carrying event
+                lens = np.fromiter(
+                    (0 if lst is None else len(lst) for lst in v),
+                    dtype=np.int64, count=len(v))
+                rep = np.repeat(np.arange(len(v)), lens)
+                flat: list = [e for lst in v if lst is not None for e in lst]
+                el_ok = np.fromiter(
+                    (e is not None
+                     and not (isinstance(e, float) and np.isnan(e))
+                     for e in flat), dtype=bool, count=len(flat))
+                fv = np.empty(len(flat), dtype=object)
+                fv[:] = flat
+                ek, ets, v = ek[rep][el_ok], ets[rep][el_ok], fv[el_ok]
+                if len(ek) == 0:
+                    prebuilt[i] = {}
+                    continue
             hop_id = ets // hop
             mn = int(hop_id.min())
             span = int(hop_id.max()) - mn + 1
@@ -547,7 +601,11 @@ class TemporalPartition:
         # prepare per-part value accessors (nulls filtered per key slice later)
         col_cache: dict[str, Any] = {}
 
-        def col_values(p: AggregationPart, force_raw: bool = False):
+        def col_values(p: AggregationPart, force_raw: bool = False,
+                       allow_explode: bool = True):
+            """Returns (vals, valid, exploded). exploded=True means vals is
+            an object array of per-row element lists — consumers must apply
+            per-element updates (VectorPyOp / exploded hop partials)."""
             # exact UNIQUE_COUNT only needs distinctness, not the values —
             # dictionary codes stand in for strings (partition-local codes,
             # so only in finalized mode: partial IRs merge across shards)
@@ -561,12 +619,21 @@ class TemporalPartition:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                if (allow_explode and p.bucket is None
+                        and p.operation in _SAW_EXPLODE_OPS):
+                    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                    pylist = col.to_pylist()
+                    vals = np.empty(len(pylist), dtype=object)
+                    vals[:] = pylist
+                    col_cache[key] = (vals, valid, True)
+                    return col_cache[key]
                 raise NotImplementedError(
                     f"temporal sawtooth aggregation over list column "
                     f"{p.input_column!r} ({p.operation.name}): list "
-                    "auto-explode is only implemented in the snapshot "
-                    "path (RowAggregator) — pre-explode the column or "
-                    "aggregate at snapshot granularity")
+                    "auto-explode covers un-bucketed "
+                    "MIN/MAX/UNIQUE_COUNT/HISTOGRAM/TOP_K/sketch ops — "
+                    "pre-explode the column or aggregate at snapshot "
+                    "granularity")
             valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
             if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
                 vals = col.to_numpy(zero_copy_only=False)
@@ -583,7 +650,7 @@ class TemporalPartition:
                 valid = valid & bvalid
                 bvals = np.asarray(bcol.to_pylist(), dtype=object)
                 vals = np.array(list(zip(bvals, vals)), dtype=object)
-            col_cache[key] = (vals, valid)
+            col_cache[key] = (vals, valid, False)
             return col_cache[key]
 
         prebuilt = {} if self.exact else self._prebuild_hops(
@@ -602,12 +669,13 @@ class TemporalPartition:
             e_b = np.searchsorted(e_key, kcode, side="right")
             qts = q_ts[a:b]
             for i, p in saw_parts:
-                vals, valid = col_values(p)
+                vals, valid, exploded = col_values(p)
                 vmask = valid[e_a:e_b]
                 ets = e_ts[e_a:e_b][vmask]
                 evs = vals[e_a:e_b][vmask]
                 inner = OPS[p.operation]
-                op = BucketedPyOp(inner) if p.bucket is not None else inner
+                op = BucketedPyOp(inner) if p.bucket is not None \
+                    else (VectorPyOp(inner) if exploded else inner)
                 cache: dict = {}
                 if i in prebuilt:
                     pre = prebuilt[i].get(int(kcode))
@@ -1134,9 +1202,13 @@ def ir_rec_to_py(p: AggregationPart, op: AggOp, row):
     if o == Operation.UNIQUE_COUNT:
         u = row["uniq"]
         return set(u.tolist() if isinstance(u, np.ndarray) else u)
-    if o in (Operation.HISTOGRAM, Operation.APPROX_HISTOGRAM_K):
+    if o == Operation.HISTOGRAM:
         h = row["hist"]
         return dict(h)
+    if o == Operation.APPROX_HISTOGRAM_K:
+        from ..aggregators.sketches import MG
+
+        return MG.deserialize(row["sketch"])
     if o == Operation.APPROX_UNIQUE_COUNT:
         from ..aggregators.sketches import HLL
 

@@ -113,3 +113,56 @@ def test_map_temporal_guard(ray_session):
     with pytest.raises(NotImplementedError, match="map"):
         temporal_join(rd.from_pandas(q), rd.from_arrow(t), conf,
                       num_partitions=2)
+
+
+def test_sawtooth_list_explode_exact_and_hopped(ray_session):
+    """UNIQUE_COUNT/HISTOGRAM/MIN over a list column in a windowed as-of
+    join (sawtooth family) — brute-force pandas oracle, both hop-rounded
+    and exact window modes."""
+    import pyarrow as pa
+    from chronon_ray.api import window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    base = pd.Timestamp("2024-03-01").value // 10**6
+    day = 86_400_000
+    ts = np.sort(base + rng.integers(0, 10 * day, size=n))
+    toks = [rng.integers(0, 50, size=rng.integers(0, 6)).astype(np.int32).tolist()
+            for _ in range(n)]
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 7, size=n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.int64()),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+    })
+    qn = 60
+    q = pd.DataFrame({
+        "user_id": rng.integers(0, 7, size=qn).astype(np.int64),
+        "ts": np.sort(base + rng.integers(day, 10 * day, size=qn)).astype(np.int64),
+    }).drop_duplicates(["user_id", "ts"])
+    conf = GroupByConf(
+        name="lx", sources=(), key_columns=("user_id",),
+        aggregations=(agg("tokens", "unique_count", [window(7, "d")]),
+                      agg("tokens", "min", [window(7, "d")]),
+                      agg("tokens", "histogram", [window(7, "d")])),
+    )
+    for exact in (False, True):
+        out = temporal_join(rd.from_pandas(q), rd.from_arrow(ev), conf,
+                            num_partitions=3, exact_windows=exact) \
+            .to_pandas().set_index(["user_id", "ts"])
+        evdf = pd.DataFrame({"u": ev["user_id"].to_numpy(),
+                             "ts": ev["ts"].to_numpy(),
+                             "tok": [list(t) for t in toks]})
+        hop = 3_600_000
+        for (u, qt), row in out.iterrows():
+            tail = qt - 7 * day if exact else ((qt - 7 * day) // hop) * hop
+            sel = evdf[(evdf.u == u) & (evdf.ts < qt) & (evdf.ts >= tail)]
+            flat = [e for lst in sel["tok"] for e in lst]
+            if flat:
+                assert row["tokens_unique_count_7d"] == len(set(flat))
+                assert row["tokens_min_7d"] == min(flat)
+                got_hist = dict(row["tokens_histogram_7d"])
+                exp = pd.Series([str(x) for x in flat]).value_counts()
+                assert got_hist == exp.to_dict()
+            else:
+                assert pd.isna(row["tokens_unique_count_7d"])

@@ -184,3 +184,79 @@ def test_incremental_dedup_preserves_schema(ray_session, tmp_path):
     assert t.schema.field("n_tok").type == pa.int32()
     # only the 5 genuinely-new contents survive day 2
     assert len(t) == 5
+
+
+def test_band_bucket_star_cutoff():
+    """A duplicate cluster larger than star_cutoff emits linear star edges
+    to the bucket canonical instead of O(m^2) pairs; small buckets still
+    emit the full pair set."""
+    from chronon_ray.functions.dedup import _BandBucketCandidates
+
+    m = 500
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(m, dtype=np.int64),
+        "band": np.zeros(m, dtype=np.int64),
+        "band_hash": np.zeros(m, dtype=np.int64),
+    })
+    starred = _BandBucketCandidates("doc_id", star_cutoff=100)(pdf)
+    assert len(starred) == m - 1  # linear, not m*(m-1)/2
+    assert (starred["a"] == 0).all()
+    assert set(starred["b"]) == set(range(1, m))
+    full = _BandBucketCandidates("doc_id", star_cutoff=1024)(pdf)
+    assert len(full) == m * (m - 1) // 2
+
+
+def test_snapshot_tie_break_across_ir_shuffle(ray_session):
+    """conf.tie_break_column must be honored ACROSS block-level IR merges:
+    equal-ts rows land in different input blocks and the cross-block merge
+    must pick the winner by (ts, tb), not by block arrival order."""
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    n_keys = 40
+    # two equal-ts rows per key with opposing tb order vs block order:
+    # block 0 holds the HIGH-tb row, block 1 the LOW-tb row
+    hi = pd.DataFrame({
+        "user_id": np.arange(n_keys, dtype=np.int64),
+        "ts": np.full(n_keys, 1000, dtype=np.int64),
+        "tb": np.full(n_keys, 9, dtype=np.int64),
+        "value": np.full(n_keys, 111.0),
+    })
+    lo = hi.copy()
+    lo["tb"] = 1
+    lo["value"] = 222.0
+    ds = rd.from_pandas([hi, lo])  # one block each — IRs merge in shuffle
+    conf = GroupByConf(
+        name="tbx", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "last"), agg("value", "first")),
+        tie_break_column="tb",
+    )
+    out = aggregate_snapshot(ds, conf, num_partitions=4).to_pandas()
+    assert len(out) == n_keys
+    # LAST at equal ts = max tb (111.0); FIRST = min tb (222.0)
+    assert (out["value_last"] == 111.0).all()
+    assert (out["value_first"] == 222.0).all()
+
+
+def test_query_setups_macro(ray_session):
+    """Query.setups DDL (reference api.thrift:46-48): a CREATE MACRO runs
+    once per worker before the SqlExpr select that uses it."""
+    from chronon_ray.api import TQuery
+    from chronon_ray.expr import sql_expr
+    from chronon_ray.sources import scan_table
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({"user_id": np.arange(10, dtype=np.int64),
+                       "ts": np.arange(10, dtype=np.int64),
+                       "value": np.arange(10, dtype=np.float64)})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(pa.Table.from_pandas(df), path)
+        q = TQuery.of(
+            selects={"user_id": "user_id", "ts": "ts",
+                     "doubled": sql_expr(
+                         "dbl(value)",
+                         setups=("create or replace macro dbl(x) as x * 2",))},
+            time_column="ts")
+        out = scan_table(path, q).to_pandas()
+    assert (out["doubled"].to_numpy() == df["value"].to_numpy() * 2).all()
