@@ -191,6 +191,10 @@ class TQuery:
     start_partition: Optional[str] = None
     end_partition: Optional[str] = None
     partition_column: str = "ds"
+    #: setup DDL statements (UDF/macro definitions) run once per worker
+    #: before selects/wheres evaluate (reference Query.setups,
+    #: api.thrift:46-48)
+    setups: tuple = ()
 
     @staticmethod
     def of(selects: Optional[dict] = None, wheres: Sequence = (), **kw) -> "TQuery":

@@ -76,6 +76,10 @@ class _Render:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q = self.query
+        if getattr(q, "setups", ()):
+            from .expr import ensure_setups
+
+            ensure_setups(q.setups)
         for where in q.wheres:
             mask = where(batch)
             if isinstance(mask, np.ndarray):

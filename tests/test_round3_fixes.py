@@ -260,3 +260,25 @@ def test_query_setups_macro(ray_session):
             time_column="ts")
         out = scan_table(path, q).to_pandas()
     assert (out["doubled"].to_numpy() == df["value"].to_numpy() * 2).all()
+
+
+def test_tquery_setups_field(ray_session):
+    """TQuery.setups runs DDL before plain sql_where predicates too."""
+    from chronon_ray.api import TQuery
+    from chronon_ray.expr import sql_where
+    from chronon_ray.sources import scan_table
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({"user_id": np.arange(10, dtype=np.int64),
+                       "ts": np.arange(10, dtype=np.int64)})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(pa.Table.from_pandas(df), path)
+        q = TQuery.of(selects={"user_id": "user_id", "ts": "ts"},
+                      wheres=[sql_where("is_even(user_id)")],
+                      setups=("create or replace macro is_even(x) "
+                              "as x % 2 = 0",),
+                      time_column="ts")
+        out = scan_table(path, q).to_pandas()
+    assert (out["user_id"].to_numpy() % 2 == 0).all() and len(out) == 5
