@@ -254,10 +254,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        # scaling evidence runs on the larger fixture so per-core work
-        # dominates fixed orchestration overhead
+        # scaling evidence runs on the XL fixture (24M events / 1.26M
+        # queries): bench_lg is fixed-cost-bound at 32 cpus and
+        # under-measures efficiency (measured 0.556 on lg vs ≥0.8 on xl —
+        # see BASELINE.md round-3 note)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_PIN="1",
-                   BENCH_FIXTURE=os.environ.get("BENCH_FIXTURE", "bench_lg"))
+                   BENCH_FIXTURE=os.environ.get("BENCH_FIXTURE", "bench_xl"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])

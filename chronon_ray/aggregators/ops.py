@@ -84,6 +84,14 @@ class AggOp:
     def py_merge(self, a: Any, b: Any, part: AggregationPart) -> Any:
         raise NotImplementedError
 
+    def py_clone(self, ir: Any, part: AggregationPart) -> Any:
+        """Copy an IR before MUTATING updates touch it (reference clone()
+        — BaseAggregator.scala). Default: identity, correct for immutable
+        IRs (numbers/tuples); ops with dict/set/list/array IRs override.
+        Callers replaying events onto a SHARED base IR (serve, mutation
+        replay) must clone first or later queries double-count."""
+        return ir
+
     def py_finalize(self, ir: Any, part: AggregationPart) -> Any:
         raise NotImplementedError
 
@@ -601,6 +609,9 @@ class _KListBase(AggOp):
             del ir[k:]
         return ir
 
+    def py_clone(self, ir, part):
+        return list(ir) if ir is not None else None
+
     def py_merge(self, a, b, part):
         if a is None:
             return b
@@ -694,6 +705,9 @@ class UniqueCountOp(AggOp):
         ir.add(v)
         return ir
 
+    def py_clone(self, ir, part):
+        return set(ir) if ir is not None else None
+
     def py_merge(self, a, b, part):
         if a is None:
             return b
@@ -776,6 +790,11 @@ class ApproxUniqueCountOp(AggOp):
             return a
         return HLL.merge(a, b)
 
+    def py_clone(self, ir, part):
+        if ir is None:
+            return None
+        return HLL.deserialize(HLL.serialize(ir))
+
     def py_finalize(self, ir, part):
         return int(HLL.estimate(ir))
 
@@ -837,6 +856,11 @@ class ApproxPercentileOp(AggOp):
             return a
         return KLL.merge(a, b)
 
+    def py_clone(self, ir, part):
+        if ir is None:
+            return None
+        return KLL.deserialize(KLL.serialize(ir))
+
     def py_finalize(self, ir, part):
         return KLL.quantiles(ir, self._percentiles(part)).tolist()
 
@@ -845,14 +869,19 @@ class ApproxPercentileOp(AggOp):
 
 
 class _HistogramBase(AggOp):
-    """Exact counts per string value; IR = dict. Finalize drops nothing but
-    trims to top-k entries when k>0 (reference SimpleAggregators.scala:
-    249-321)."""
+    """Counts per STRING-CANONICAL value; IR = dict with str keys
+    (reference output is Map[String, Long]). Keys are stringified at IR
+    CREATION, not just at the Arrow boundary — a deserialized (str-keyed)
+    checkpoint IR and raw-valued py updates must agree on the key space or
+    counts split into duplicate entries. Finalize trims to top-k entries
+    when k>0 (reference SimpleAggregators.scala:249-321)."""
 
     deletable = True
 
     def partial(self, df, n, part):
-        cnt = df.groupby(["g", "v"], sort=True).size()
+        d2 = df.copy()
+        d2["v"] = d2["v"].map(str)
+        cnt = d2.groupby(["g", "v"], sort=True).size()
         s = cnt.groupby(level=0, sort=True).agg(
             lambda x: dict(zip(x.index.get_level_values(1), x.astype(int)))
         )
@@ -891,16 +920,21 @@ class _HistogramBase(AggOp):
     def py_update(self, ir, v, ts, part):
         if ir is None:
             ir = {}
+        v = str(v)
         ir[v] = ir.get(v, 0) + 1
         return ir
 
     def py_delete(self, ir, v, ts, part):
         if ir is None:
             ir = {}
+        v = str(v)
         ir[v] = ir.get(v, 0) - 1
         if ir[v] == 0:
             del ir[v]  # zero entries dropped (reference finalize semantics)
         return ir
+
+    def py_clone(self, ir, part):
+        return dict(ir) if ir is not None else None
 
     def py_merge(self, a, b, part):
         if a is None:
@@ -945,7 +979,10 @@ class ApproxHistogramKOp(AggOp):
         from .sketches import MG
 
         k = self._k(part)
-        cnt = df.groupby(["g", "v"], sort=True).size()
+        # str-canonical keys at IR creation (see _HistogramBase note)
+        d2 = df.copy()
+        d2["v"] = d2["v"].map(str)
+        cnt = d2.groupby(["g", "v"], sort=True).size()
         s = cnt.groupby(level=0, sort=True).agg(
             lambda x: MG.serialize(MG.from_exact(
                 dict(zip(x.index.get_level_values(1), x.astype(int))), k))
@@ -984,7 +1021,12 @@ class ApproxHistogramKOp(AggOp):
 
         if ir is None:
             ir = MG.empty()
-        return MG.update(ir, v, self._k(part))
+        return MG.update(ir, str(v), self._k(part))
+
+    def py_clone(self, ir, part):
+        if ir is None:
+            return None
+        return ir[:1] + (dict(ir[1]),) + ir[2:]
 
     def py_merge(self, a, b, part):
         from .sketches import MG

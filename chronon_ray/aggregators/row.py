@@ -127,6 +127,7 @@ class RowAggregator:
                 Operation.APPROX_UNIQUE_COUNT,
                 Operation.APPROX_PERCENTILE,
                 Operation.HISTOGRAM,
+                Operation.APPROX_HISTOGRAM_K,
                 Operation.TOP_K,
                 Operation.BOTTOM_K,
             ):
@@ -251,9 +252,10 @@ class RowAggregator:
     def partial_frame(self, tbl: pa.Table, codes: np.ndarray, n_groups: int) -> pd.DataFrame:
         present = np.unique(codes)
         out = pd.DataFrame(index=pd.Index(present, name="g"))
+        map_cache: dict = {}  # per input column: one flatten+factorize
         for bp in self.bound:
             if bp.is_map:
-                series = self._partial_map(tbl, codes, bp)
+                series = self._partial_map(tbl, codes, bp, map_cache)
                 for c in self._map_cols(bp):
                     out[c] = series[c] if series is not None else None
                 continue
@@ -295,12 +297,10 @@ class RowAggregator:
                                   index=pvals, dtype=object)
         return out
 
-    def _partial_map(self, tbl: pa.Table, codes: np.ndarray,
-                     bp: BoundPart) -> Optional[dict[str, pd.Series]]:
-        """Map column → per-(group, map-key) partial IRs, reassembled as
-        per-group parallel lists (mkeys + one list per IR slot). This is the
-        vectorized analog of the reference's per-entry guardedApply
-        (MapColumnAggregator.scala:47-71)."""
+    def _decompose_map(self, tbl: pa.Table, codes: np.ndarray,
+                       bp: BoundPart):
+        """Flatten + composite-factorize one map column once; multiple
+        parts over the same column share the result."""
         col = tbl[bp.part.input_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -324,6 +324,25 @@ class RowAggregator:
         if len(g_sub) == 0:
             return None
         pcodes, parents, mks = self._subgroup(g_sub, mk)
+        return pcodes, parents, mks, mv
+
+    def _partial_map(self, tbl: pa.Table, codes: np.ndarray, bp: BoundPart,
+                     cache: Optional[dict] = None
+                     ) -> Optional[dict[str, pd.Series]]:
+        """Map column → per-(group, map-key) partial IRs, reassembled as
+        per-group parallel lists (mkeys + one list per IR slot). This is the
+        vectorized analog of the reference's per-entry guardedApply
+        (MapColumnAggregator.scala:47-71)."""
+        ckey = bp.part.input_column
+        if cache is not None and ckey in cache:
+            dec = cache[ckey]
+        else:
+            dec = self._decompose_map(tbl, codes, bp)
+            if cache is not None:
+                cache[ckey] = dec
+        if dec is None:
+            return None
+        pcodes, parents, mks, mv = dec
         res = bp.op.partial(pd.DataFrame({"g": pcodes, "v": mv}),
                             len(parents), bp.part)
         res = res.sort_values("g", ignore_index=True)

@@ -440,8 +440,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency: int | None = None,
     small_mode_cutoff: int = 100_000,
+    star_cutoff: int = 1024,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs (a, b, jaccard-estimate), deduplicated.
+
+    ``star_cutoff``: band buckets larger than this emit star edges to the
+    bucket's min-id canonical instead of all O(m²) pairs (a 10⁶-doc dup
+    cluster yields 10⁶−1 edges per band, not ~5·10¹¹). Star edges preserve
+    dedup-cluster connectivity through the canonical; they do NOT preserve
+    the full verified pair SET above the cutoff (a member pair whose star
+    edge fails the jaccard threshold is not re-checked) — raise or disable
+    (None) when the exact pair list over pathological buckets matters more
+    than bounded work.
 
     Lean-exchange plan: ONE minhash pass emits 20-byte band rows (×bands)
     plus the full signature ONCE per doc (tagged union, materialized so the
@@ -483,7 +493,9 @@ def minhash_lsh_pairs(
         tagged.map_batches(bands_only, batch_format="pyarrow"),
         ["band", "band_hash"], nparts)
     cand = band_rows.groupby("_part").map_groups(
-        _BandBucketCandidates(id_col, id_dtype=pd_id),
+        _BandBucketCandidates(id_col, id_dtype=pd_id,
+                              star_cutoff=star_cutoff
+                              if star_cutoff is not None else 2**62),
         batch_format="pandas")
     pairs = _dedup_pairs_ds(cand).materialize()  # tiny: unique (a, b)
     sig_rows = tagged.map_batches(sigs_only, batch_format="pyarrow")

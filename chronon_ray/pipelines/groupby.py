@@ -69,6 +69,27 @@ def canon_key_hash(t: pa.Table, keys, types_by_name,
     return (stable_key_hash(kdf, keys) % num_partitions).astype(np.int64)
 
 
+def left_field_type(left_fields, name: str):
+    for f in left_fields:
+        if f.name == name:
+            return f.type
+    return None
+
+
+def left_column_array(left_fields, name: str, vals: list) -> pa.Array:
+    """Left/passthrough column values → Arrow, cast back to the declared
+    query schema (NaN→null via from_pandas; integral float64 — the pandas
+    null-padded-union promotion — casts back safely). Shared by the serve
+    and mutation-replay partitions."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(vals, from_pandas=True)
+    ft = left_field_type(left_fields, name)
+    if ft is not None and arr.type != ft:
+        arr = pc.cast(arr, ft)
+    return arr
+
+
 def _factorize_keys(pdf: pd.DataFrame, keys: Sequence[str]):
     if len(keys) == 1:
         codes, uniques = pd.factorize(pdf[keys[0]], use_na_sentinel=False)

@@ -125,6 +125,7 @@ class _EntityPartition:
         self.__name__ = type(self).__name__
         self.keys = list(keys)
         self.parts = parts
+        self.in_schema = snap_schema
         self.agg = RowAggregator(parts, snap_schema)
         self.left_cols = left_cols
         # declared left schema: the pandas union frame promotes int64→
@@ -142,7 +143,7 @@ class _EntityPartition:
         window check (unbounded parts); otherwise the reference's
         rowInWindow guard applies against THAT query's hop-rounded tail."""
         v = mr.get(p.input_column)
-        if v is None or (isinstance(v, float) and np.isnan(v)):
+        if v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v)):
             return ir
         if qts is not None and not p.window.unbounded:
             rts = mr.get("_row_ts")
@@ -214,6 +215,12 @@ class _EntityPartition:
         mut_groups: dict[tuple, pd.DataFrame] = {}
         if len(muts):
             m = muts.copy()
+            # restore declared INTEGER input dtypes (union promoted to
+            # float64) so histogram keys match the snapshot IRs' str keys
+            for c in {p.input_column for p in self.parts}:
+                if c in m.columns and c in self.in_schema.names \
+                        and pa.types.is_integer(self.in_schema.field(c).type):
+                    m[c] = m[c].astype("Int64")
             m["_day"] = (m["ts"].astype(np.int64) // MILLIS_DAY)
             for kv, grp in m.groupby([*self.keys, "_day"], sort=False):
                 mut_groups[tuple(kv)] = grp.sort_values("ts", kind="stable")
@@ -376,8 +383,9 @@ class _EntityPartition:
                     elif p.window.unbounded:
                         cur[name] = cur_shared[name]
                     else:
-                        base = base_irs[name]
-                        ir = dict(base) if isinstance(base, dict) else base
+                        # clone: py_update/py_delete mutate dict IRs and the
+                        # base is shared across this group's queries
+                        ir = OPS[p.operation].py_clone(base_irs[name], p)
                         for j in range(cuts[qi]):
                             ir = self._apply_one(p, ir, mrows[j], qts)
                         cur[name] = ir
@@ -393,19 +401,12 @@ class _EntityPartition:
         return pa.table(arrays)
 
     def _left_type(self, name: str):
-        for f in self.left_fields:
-            if f.name == name:
-                return f.type
-        return None
+        from .groupby import left_field_type
+        return left_field_type(self.left_fields, name)
 
     def _left_array(self, name: str, vals: list) -> pa.Array:
-        """Left column values → Arrow, cast back to the declared query
-        schema (NaN→null via from_pandas; integral float64 casts safely)."""
-        arr = pa.array(vals, from_pandas=True)
-        ft = self._left_type(name)
-        if ft is not None and arr.type != ft:
-            arr = pc.cast(arr, ft)
-        return arr
+        from .groupby import left_column_array
+        return left_column_array(self.left_fields, name, vals)
 
 
 def temporal_entities_join(

@@ -238,6 +238,7 @@ class _ServePartition:
         # declared left schema: the pandas union frame promotes int64→
         # float64 on null-padded columns; outputs must cast back
         self.left_fields = left_fields or []
+        self.in_schema = schema
         self.batch_end = batch_end_ts
         self.full_hops = full_hops
         self.agg = RowAggregator(parts, schema)
@@ -294,6 +295,14 @@ class _ServePartition:
 
         head_by_key: dict[tuple, pd.DataFrame] = {}
         if len(heads):
+            # restore declared INTEGER input dtypes: the null-padded union
+            # promoted them to float64, and a histogram py_update keyed on
+            # str(5.0) would never merge with the checkpoint's "5"
+            heads = heads.copy()
+            for c in {p.input_column for p in self.parts}:
+                if c in heads.columns and c in self.in_schema.names \
+                        and pa.types.is_integer(self.in_schema.field(c).type):
+                    heads[c] = heads[c].astype("Int64")
             for kv, grp in heads.groupby(self.keys, sort=False,
                                          dropna=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
@@ -328,10 +337,15 @@ class _ServePartition:
                             if hopstart >= qtail and cut > hopstart:
                                 ir = hir if ir is None \
                                     else op.py_merge(ir, hir, p)
+                    if cut_n:
+                        # py_update MUTATES dict/set/list IRs — the base /
+                        # tail-hop IRs are SHARED across this key's queries
+                        # and must not absorb one query's head replay
+                        ir = op.py_clone(ir, p)
                     for j in range(cut_n):
                         v = hrows[j].get(p.input_column)
-                        if v is None or (isinstance(v, float)
-                                         and np.isnan(v)):
+                        if v is None or v is pd.NA or (isinstance(v, float)
+                                                       and np.isnan(v)):
                             continue
                         ets = int(hrows[j]["ts"])
                         if not p.window.unbounded:
@@ -358,19 +372,12 @@ class _ServePartition:
         return pa.table(arrays)
 
     def _left_type(self, name: str):
-        for f in self.left_fields:
-            if f.name == name:
-                return f.type
-        return None
+        from .groupby import left_field_type
+        return left_field_type(self.left_fields, name)
 
     def _left_array(self, name: str, vals: list) -> pa.Array:
-        """Left column values → Arrow, cast back to the declared query
-        schema (NaN→null via from_pandas; integral float64 casts safely)."""
-        arr = pa.array(vals, from_pandas=True)
-        ft = self._left_type(name)
-        if ft is not None and arr.type != ft:
-            arr = pc.cast(arr, ft)
-        return arr
+        from .groupby import left_column_array
+        return left_column_array(self.left_fields, name, vals)
 
 
 def serve_with_events(

@@ -282,3 +282,38 @@ def test_tquery_setups_field(ray_session):
                       time_column="ts")
         out = scan_table(path, q).to_pandas()
     assert (out["user_id"].to_numpy() % 2 == 0).all() and len(out) == 5
+
+
+def test_serve_histogram_no_double_count_and_key_unification(ray_session):
+    """Two queries per key in serve_with_events with a HISTOGRAM over an
+    int column: (a) head-event replay must not mutate the shared base IR
+    (second query would double-count), (b) checkpointed (string-keyed) IRs
+    and raw-valued head updates must agree on the key space ('5' vs 5.0
+    split counts before the str-canonical fix)."""
+    from chronon_ray.api import UNBOUNDED
+    from chronon_ray.pipelines.upload import groupby_upload, serve_with_events
+
+    batch_end = BASE + 10 * DAY
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 1, 1, 1], dtype=np.int64),
+        "ts": np.array([BASE + 1 * DAY, BASE + 2 * DAY, BASE + 3 * DAY,
+                        batch_end + 100, batch_end + 200, batch_end + 300],
+                       dtype=np.int64),
+        "item": np.array([5, 5, 7, 5, 7, 5], dtype=np.int64),
+    })
+    head = ev[ev.ts >= batch_end]
+    q = pd.DataFrame({
+        "user_id": np.array([1, 1], dtype=np.int64),
+        "ts": np.array([batch_end + 400, batch_end + 500], dtype=np.int64),
+    })
+    conf = GroupByConf(
+        name="h", sources=(), key_columns=("user_id",),
+        aggregations=(agg("item", "histogram", [UNBOUNDED]),),
+    )
+    ir = groupby_upload(rd.from_pandas(ev), conf, batch_end,
+                        num_partitions=2)
+    out = serve_with_events(ir, rd.from_pandas(head), rd.from_pandas(q),
+                            conf, batch_end, num_partitions=2).to_pandas()
+    assert len(out) == 2
+    for m in out["item_histogram"]:
+        assert dict(m) == {"5": 4, "7": 2}
