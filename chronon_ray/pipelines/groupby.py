@@ -158,7 +158,11 @@ class MergeFinalize:
         irf = self.agg.ir_frame_from_pandas(pdf)
         irf = irf.drop(columns=[c for c in (*self.keys, "_part") if c in irf.columns])
         irf["g"] = codes
-        merged = self.agg.merge_frame(irf)
+        # reindex to EVERY key present in the input: a key whose inputs are
+        # all null still gets an output row with null features (SQL GROUP BY
+        # / Spark aggregateByKey semantics) — merge_frame alone would drop it
+        merged = self.agg.merge_frame(irf).set_index("g") \
+            .reindex(np.unique(codes)).reset_index()
         fin = self.agg.finalize_frame(merged)
         sel = fin["g"].to_numpy()
         out_cols: dict[str, pa.Array] = {}

@@ -317,3 +317,24 @@ def test_serve_histogram_no_double_count_and_key_unification(ray_session):
     assert len(out) == 2
     for m in out["item_histogram"]:
         assert dict(m) == {"5": 4, "7": 2}
+
+
+def test_snapshot_all_null_group_keeps_key(ray_session):
+    """A key whose aggregation inputs are ALL null still yields an output
+    row with null features (SQL GROUP BY / Spark aggregateByKey keep the
+    key; dropping it would diverge from any GROUP BY oracle)."""
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "ts": np.array([1, 2, 3], dtype=np.int64),
+        "value": np.array([1.5, 2.5, np.nan]),
+    })
+    conf = GroupByConf(name="n", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum"),
+                                     agg("value", "count")))
+    out = aggregate_snapshot(rd.from_pandas(df), conf, num_partitions=2) \
+        .to_pandas().set_index("user_id").sort_index()
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "value_sum"] == 4.0
+    assert pd.isna(out.loc[2, "value_sum"])
