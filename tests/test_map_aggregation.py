@@ -166,3 +166,55 @@ def test_sawtooth_list_explode_exact_and_hopped(ray_session):
                 assert got_hist == exp.to_dict()
             else:
                 assert pd.isna(row["tokens_unique_count_7d"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_map_agg_equals_exploded_scalar_agg(ray_session, seed):
+    """Property: aggregating a map column per map key == exploding the map
+    to (key-col, map-key, value) rows and aggregating the scalar column at
+    (key, map-key) granularity — for every supported op, under random
+    maps with nulls and duplicate keys across rows."""
+    rng = np.random.default_rng(seed)
+    n = 800
+    users = rng.integers(0, 12, size=n)
+    rows = []
+    for u in users:
+        if rng.random() < 0.1:
+            rows.append((int(u), None))
+            continue
+        ks = rng.choice(list("abcdef"), size=rng.integers(0, 4),
+                        replace=False)
+        rows.append((int(u), [(str(k),
+                               None if rng.random() < 0.15
+                               else float(rng.integers(0, 50)))
+                              for k in ks]))
+    t = _map_table(rows)
+    conf = GroupByConf(
+        name="m", sources=(), key_columns=("user_id",),
+        aggregations=(agg("m", "sum"), agg("m", "count"), agg("m", "min"),
+                      agg("m", "max"), agg("m", "average"),
+                      agg("m", "unique_count"), agg("m", "variance")),
+    )
+    out = aggregate_snapshot(rd.from_arrow(t).repartition(7), conf,
+                             num_partitions=3).to_pandas() \
+        .set_index("user_id").sort_index()
+    # oracle: explode in pandas
+    recs = []
+    for u, m in rows:
+        for k, v in (m or []):
+            if v is not None:
+                recs.append((u, k, v))
+    df = pd.DataFrame(recs, columns=["u", "k", "v"])
+    for (u, k), sub in df.groupby(["u", "k"]):
+        assert _asdict(out.loc[u, "m_sum"])[k] == sub["v"].sum()
+        assert _asdict(out.loc[u, "m_count"])[k] == len(sub)
+        assert _asdict(out.loc[u, "m_min"])[k] == sub["v"].min()
+        assert _asdict(out.loc[u, "m_max"])[k] == sub["v"].max()
+        np.testing.assert_allclose(_asdict(out.loc[u, "m_average"])[k],
+                                   sub["v"].mean(), rtol=1e-9)
+        assert _asdict(out.loc[u, "m_unique_count"])[k] == sub["v"].nunique()
+        np.testing.assert_allclose(_asdict(out.loc[u, "m_variance"])[k],
+                                   sub["v"].var(ddof=0), rtol=1e-9, atol=1e-12)
+    # and no phantom keys
+    for u, grp in df.groupby("u"):
+        assert set(_asdict(out.loc[u, "m_sum"])) == set(grp["k"])
