@@ -151,6 +151,52 @@ def q_map_aggregate(sf_dir: str):
     return _round(df, ["m_min", "m_max"])
 
 
+def q_map_asof(sf_dir: str):
+    """Map-input aggregation through the TEMPORAL as-of path (MapPyOp):
+    per purchase instant, the 7d-window per-map-key sum/count of
+    {event_type: value} maps; output maps exploded to rows for SQL."""
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    _ctx()
+
+    def to_map(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys = t["event_type"].combine_chunks() \
+            if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        vals = t["value"].combine_chunks() \
+            if isinstance(t["value"], pa.ChunkedArray) else t["value"]
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32))
+        m = pa.MapArray.from_arrays(offsets, keys, vals)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"], "m": m})
+
+    to_map.__name__ = "to_map"
+    ev = _events(sf_dir).map_batches(to_map, batch_format="pyarrow")
+    left = _purchase_left(sf_dir)
+    conf = GroupByConf(
+        name="mapasof", sources=(), key_columns=("user_id",),
+        aggregations=(agg("m", "sum", [window(7, "d")]),
+                      agg("m", "count", [window(7, "d")])),
+    )
+    out = temporal_join(left, ev, conf, num_partitions=16).to_pandas()
+    recs: dict[str, list] = {c: [] for c in
+                             ("user_id", "ts", "ekey", "m_sum_7d",
+                              "m_count_7d")}
+    for r in out.itertuples(index=False):
+        s = dict(r.m_sum_7d) if r.m_sum_7d is not None else {}
+        c = dict(r.m_count_7d) if r.m_count_7d is not None else {}
+        for k in sorted(s):
+            recs["user_id"].append(r.user_id)
+            recs["ts"].append(r.ts)
+            recs["ekey"].append(k)
+            recs["m_sum_7d"].append(s[k])
+            recs["m_count_7d"].append(c[k])
+    df = pd.DataFrame(recs)
+    df["m_count_7d"] = df["m_count_7d"].astype(np.int64)
+    df["m_sum_7d"] = np.round(df["m_sum_7d"].astype(float) + 1e-7, 3)
+    return df
+
+
 def q_asof_window_sums(sf_dir: str):
     from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
     from chronon_ray.pipelines.temporal import temporal_join
@@ -1407,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_user_stats": q_groupby_user_stats,
         "map_aggregate": q_map_aggregate,
+        "map_asof": q_map_asof,
         "asof_window_sums": q_asof_window_sums,
         "asof_exact_windows": q_asof_exact_windows,
         "asof_first_last": q_asof_first_last,
@@ -1490,6 +1537,24 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 4) as m_max,
                    count(distinct value) as m_uniq
             from events group by user_id, event_type
+        """,
+        "map_asof": f"""
+            with q as (select distinct user_id, epoch_ms(ts) as ts
+                       from events where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, event_type, value
+                       from events)
+            select q.user_id, q.ts, e.event_type as ekey,
+                   round(sum(case when e.ts < q.ts
+                       and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                       then e.value end) + 1e-7, 3) as m_sum_7d,
+                   count(case when e.ts < q.ts
+                       and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                       then e.value end) as m_count_7d
+            from q join e on q.user_id = e.user_id
+            group by q.user_id, q.ts, e.event_type
+            having count(case when e.ts < q.ts
+                       and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                       then e.value end) > 0
         """,
         "asof_exact_windows": f"""
             with q as (select distinct user_id, epoch_ms(ts) as ts from events

@@ -122,6 +122,48 @@ class VectorPyOp(AggOp):
         return self.inner.py_finalize(ir, part)
 
 
+class MapPyOp(AggOp):
+    """Scalar-path adapter for MAP inputs: IR = {map_key: inner IR}; each
+    event value is a list of (key, value) entries, null entry values
+    skipped (reference MapColumnAggregator.scala:29-75). Map keys are
+    str-canonical, matching the snapshot path."""
+
+    def __init__(self, inner: AggOp):
+        self.inner = inner
+        self.needs_ts = inner.needs_ts
+
+    def py_update(self, ir, v, ts, part):
+        if v is None:
+            return ir
+        if ir is None:
+            ir = {}
+        for mk, mv in v:
+            if mv is None or (isinstance(mv, float) and np.isnan(mv)):
+                continue
+            k = str(mk)
+            ir[k] = self.inner.py_update(ir.get(k), mv, ts, part)
+        return ir
+
+    def py_merge(self, a, b, part):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = self.inner.py_merge(out.get(k), v, part)
+        return out
+
+    def py_clone(self, ir, part):
+        if ir is None:
+            return None
+        return {k: self.inner.py_clone(v, part) for k, v in ir.items()}
+
+    def py_finalize(self, ir, part):
+        return sorted((k, self.inner.py_finalize(v, part))
+                      for k, v in ir.items())
+
+
 def _family(part: AggregationPart) -> str:
     if part.bucket is not None:
         return "sawtooth"
@@ -152,8 +194,19 @@ class TemporalPartition:
         self.left_cols = left_cols  # passthrough output columns incl. keys+ts
         self.tie_break = tie_break
         self.out_fields = []
-        for p in parts:
+        self._map_part_idx: set = set()  # map-input parts → sawtooth family
+        for i, p in enumerate(parts):
             in_type = right_schema.field(p.input_column).type
+            if pa.types.is_map(in_type):
+                if p.bucket is not None:
+                    raise NotImplementedError(
+                        "bucketing over map columns is unsupported "
+                        "(reference ColumnAggregator.scala:188)")
+                self._map_part_idx.add(i)
+                base = OPS[p.operation].output_arrow_type(in_type.item_type, p)
+                self.out_fields.append(
+                    pa.field(p.output_name, pa.map_(pa.string(), base)))
+                continue
             explode = (pa.types.is_list(in_type) or pa.types.is_large_list(in_type)) \
                 and (p.operation in _PREFIX_OPS
                      or (p.bucket is None and p.operation in _SAW_EXPLODE_OPS))
@@ -161,6 +214,8 @@ class TemporalPartition:
             base = OPS[p.operation].output_arrow_type(el_type, replace(p, bucket=None))
             t = pa.map_(pa.string(), base) if p.bucket is not None else base
             self.out_fields.append(pa.field(p.output_name, t))
+        self._fams = ["sawtooth" if i in self._map_part_idx else _family(p)
+                      for i, p in enumerate(parts)]
         if emit_partials:
             from .salting import partial_fields
 
@@ -239,10 +294,11 @@ class TemporalPartition:
 
         # ---- per-part feature computation
         feature_arrays: dict[str, pa.Array] = {}
-        saw_parts = [ (i, p) for i, p in enumerate(self.parts) if _family(p) == "sawtooth" ]
+        saw_parts = [(i, p) for i, p in enumerate(self.parts)
+                     if self._fams[i] == "sawtooth"]
         if self.emit_partials:
             for i, p in enumerate(self.parts):
-                fam = _family(p)
+                fam = self._fams[i]
                 if fam == "prefix":
                     feature_arrays.update(self._prefix_partial(
                         p, e_tbl, head_idx, tail_index))
@@ -262,7 +318,7 @@ class TemporalPartition:
                 cols[f.name] = feature_arrays[f.name]
             return pa.table(cols)
         for i, p in enumerate(self.parts):
-            fam = _family(p)
+            fam = self._fams[i]
             if fam == "prefix":
                 feature_arrays[p.output_name] = self._prefix_feature(
                     p, e_tbl, head_idx, tail_index, self.out_fields[i].type)
@@ -504,6 +560,11 @@ class TemporalPartition:
             from ..windowing.resolution import tail_hop_millis as _thm
 
             hop = _thm(p.window, self.daily)
+            if p.input_column in e_tbl.column_names and pa.types.is_map(
+                    e_tbl.schema.field(p.input_column).type):
+                # map parts build hops in the py path (MapPyOp per event) —
+                # the grouped partial has no per-map-key dispatch here
+                continue
             bcodes = buniq = None
             exploded = False
             if p.bucket is None:
@@ -618,6 +679,15 @@ class TemporalPartition:
             col = e_tbl[p.input_column]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if pa.types.is_map(col.type):
+                # per-row entry lists; MapPyOp applies per-map-key updates
+                # (reference MapColumnAggregator) — mode marker "map"
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                pylist = col.to_pylist()
+                vals = np.empty(len(pylist), dtype=object)
+                vals[:] = pylist
+                col_cache[key] = (vals, valid, "map")
+                return col_cache[key]
             if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
                 if (allow_explode and p.bucket is None
                         and p.operation in _SAW_EXPLODE_OPS):
@@ -674,8 +744,14 @@ class TemporalPartition:
                 ets = e_ts[e_a:e_b][vmask]
                 evs = vals[e_a:e_b][vmask]
                 inner = OPS[p.operation]
-                op = BucketedPyOp(inner) if p.bucket is not None \
-                    else (VectorPyOp(inner) if exploded else inner)
+                if p.bucket is not None:
+                    op = BucketedPyOp(inner)
+                elif exploded == "map":
+                    op = MapPyOp(inner)
+                elif exploded:
+                    op = VectorPyOp(inner)
+                else:
+                    op = inner
                 cache: dict = {}
                 if i in prebuilt:
                     pre = prebuilt[i].get(int(kcode))
@@ -825,8 +901,22 @@ def temporal_join(
         num_partitions = auto_num_partitions(left_ds, right_ds)
     left_schema = left_schema or dataset_schema(left_ds)
     right_schema = right_schema or dataset_schema(right_ds)
-    from ..aggregators.row import reject_map_inputs
-    reject_map_inputs(parts, right_schema, "temporal_join")
+    from ..aggregators.row import _MAP_OPS
+    map_parts = [p for p in parts
+                 if p.input_column in right_schema.names
+                 and pa.types.is_map(
+                     right_schema.field(p.input_column).type)]
+    for p in map_parts:
+        if p.operation not in _MAP_OPS:
+            raise NotImplementedError(
+                f"{p.operation.name} over a map input column is not "
+                "supported in temporal_join (map-key dispatch covers "
+                "SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS/MIN/MAX/"
+                "UNIQUE_COUNT)")
+        if p.bucket is not None:
+            raise NotImplementedError(
+                "bucketing over map columns is unsupported "
+                "(reference ColumnAggregator.scala:188)")
     left_cols = list(left_schema.names)
     # prune the right side to what the aggregation actually reads — only these
     # columns pay the shuffle (a 'tokens' payload not referenced by any part
@@ -905,6 +995,9 @@ def temporal_join(
         # salt shards would resolve by shard iteration order, breaking the
         # tie_break determinism contract. Correctness over skew handling:
         # run the plain co-partitioned path for these configs.
+        hot_keys = None
+    if hot_keys and map_parts:
+        # salted partial fields / shard merges don't model map IR dicts yet
         hot_keys = None
     if hot_keys:
         if len(keys) != 1:

@@ -102,14 +102,86 @@ def test_map_unsupported_op_raises(ray_session):
         RowAggregator(conf.parts(), t.schema)
 
 
-def test_map_temporal_guard(ray_session):
+def test_map_temporal_join(ray_session):
+    """Map-input aggregation through the temporal as-of path (MapPyOp):
+    windowed + unbounded SUM/COUNT/MIN over map entries vs a brute-force
+    pandas oracle; null maps and null entry values skipped."""
     from chronon_ray.api import UNBOUNDED, window
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(4)
+    n = 1200
+    base = pd.Timestamp("2024-03-01").value // 10**6
+    day = 86_400_000
+    ts = np.sort(base + rng.integers(0, 10 * day, size=n))
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.08:
+            rows.append((int(rng.integers(0, 6)), None))
+            continue
+        ks = rng.choice(list("abcd"), size=rng.integers(1, 4), replace=False)
+        rows.append((int(rng.integers(0, 6)),
+                     [(str(k), None if rng.random() < 0.1
+                       else float(rng.integers(1, 20))) for k in ks]))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.int64()),
+        "m": pa.array([r[1] for r in rows],
+                      type=pa.map_(pa.string(), pa.float64())),
+    })
+    q = pd.DataFrame({
+        "user_id": np.repeat(np.arange(6, dtype=np.int64), 8),
+        "ts": np.tile(np.sort(base + rng.integers(day, 10 * day, size=8)), 6)
+        .astype(np.int64),
+    }).drop_duplicates(["user_id", "ts"])
+    conf = GroupByConf(
+        name="mt", sources=(), key_columns=("user_id",),
+        aggregations=(agg("m", "sum", [window(7, "d"), UNBOUNDED]),
+                      agg("m", "count", [window(7, "d")]),
+                      agg("m", "min", [UNBOUNDED])),
+    )
+    out = temporal_join(rd.from_pandas(q), rd.from_arrow(t), conf,
+                        num_partitions=3).to_pandas() \
+        .set_index(["user_id", "ts"])
+    evdf = pd.DataFrame({
+        "u": [r[0] for r in rows], "ts": ts,
+        "m": [r[1] for r in rows],
+    })
+    hop = 3_600_000
+    for (u, qt), row in out.iterrows():
+        tail = ((qt - 7 * day) // hop) * hop
+        win = evdf[(evdf.u == u) & (evdf.ts < qt) & (evdf.ts >= tail)]
+        unb = evdf[(evdf.u == u) & (evdf.ts < qt)]
+        def fold(sub):
+            d = {}
+            for m in sub["m"]:
+                for k, v in (m or []):
+                    if v is not None:
+                        d.setdefault(k, []).append(v)
+            return d
+        dw, du = fold(win), fold(unb)
+        got_sum7 = None if row["m_sum_7d"] is None else dict(row["m_sum_7d"])
+        got_cnt7 = None if row["m_count_7d"] is None else dict(row["m_count_7d"])
+        got_sumu = None if row["m_sum"] is None else dict(row["m_sum"])
+        got_minu = None if row["m_min"] is None else dict(row["m_min"])
+        if dw:
+            assert got_sum7 == {k: sum(v) for k, v in dw.items()}
+            assert got_cnt7 == {k: len(v) for k, v in dw.items()}
+        else:
+            assert got_sum7 in (None, {})
+        if du:
+            assert got_sumu == {k: sum(v) for k, v in du.items()}
+            assert got_minu == {k: min(v) for k, v in du.items()}
+
+
+def test_map_temporal_unsupported_op_raises(ray_session):
+    from chronon_ray.api import UNBOUNDED
     from chronon_ray.pipelines.temporal import temporal_join
 
     t = _map_table([(1, [("a", 1.0)])])
     q = pd.DataFrame({"user_id": [1], "ts": [10]})
     conf = GroupByConf(name="m", sources=(), key_columns=("user_id",),
-                       aggregations=(agg("m", "sum", [UNBOUNDED]),))
+                       aggregations=(agg("m", "last", [UNBOUNDED]),))
     with pytest.raises(NotImplementedError, match="map"):
         temporal_join(rd.from_pandas(q), rd.from_arrow(t), conf,
                       num_partitions=2)
