@@ -223,6 +223,13 @@ class RowAggregator:
             lengths = pc.fill_null(lengths, 0).to_numpy(zero_copy_only=False).astype(np.int64)
             lengths = np.where(valid, lengths, 0)
             flat = pc.list_flatten(col)
+            # inner nulls on an integer list would promote the whole numpy
+            # conversion to float64 ('5' vs '5.0' key split in HISTOGRAM-
+            # family stringification); placeholder-fill first — the rows are
+            # dropped below via inner_valid anyway
+            inner_valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(flat.type) and flat.null_count:
+                flat = pc.fill_null(flat, 0)
             v = flat.to_numpy(zero_copy_only=False)
             g = np.repeat(codes, lengths)
             df = pd.DataFrame({"g": g, "v": v})
@@ -231,7 +238,6 @@ class RowAggregator:
                 if tb is not None:
                     df["tb"] = np.repeat(tb, lengths)
             # element-level nulls inside lists are dropped too
-            inner_valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
             if not inner_valid.all():
                 df = df[inner_valid]
             return df
@@ -239,6 +245,11 @@ class RowAggregator:
             bp.in_type
         ):
             v = col.to_pandas()  # object series of arrays — payload carried opaquely
+        elif pa.types.is_integer(bp.in_type) and col.null_count:
+            # keep the declared integer dtype: nulls would promote to_numpy
+            # to float64, splitting HISTOGRAM-family keys ('5' vs '5.0');
+            # the filled rows are invalid and dropped below
+            v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
         else:
             v = col.to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"g": codes})

@@ -312,15 +312,19 @@ class MG:
 
     @staticmethod
     def update(state: tuple, v, k: int, times: int = 1) -> tuple:
+        """Copy-on-write like merge: never mutates the input state's dict —
+        callers may share IRs across hops/windows (merge-then-update without
+        a clone must stay safe)."""
         if state[0] == "E":
-            d = state[1]
+            d = dict(state[1])
             d[v] = d.get(v, 0) + times
             if len(d) <= max(int(k), 1):
-                return state
+                return ("E", d)
             d = {vv: (c, 0) for vv, c in d.items()}
             d, off = MG._compact(d, MG.cap_for(k), 0)
             return ("A", d, off)
         _, d, off = state
+        d = dict(d)
         c, e = d.get(v, (0, off))  # new entries inherit the global offset
         d[v] = (c + times, e)
         if len(d) > MG.cap_for(k):

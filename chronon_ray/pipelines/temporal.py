@@ -93,6 +93,11 @@ class BucketedPyOp(AggOp):
             out[k] = self.inner.py_merge(out.get(k), v, part)
         return out
 
+    def py_clone(self, ir, part):
+        if ir is None:
+            return None
+        return {k: self.inner.py_clone(v, part) for k, v in ir.items()}
+
     def py_finalize(self, ir, part):
         return sorted((k, self.inner.py_finalize(v, part)) for k, v in ir.items())
 
@@ -115,8 +120,20 @@ class VectorPyOp(AggOp):
             ir = self.inner.py_update(ir, e, ts, part)
         return ir
 
+    def py_delete(self, ir, v, ts, part):
+        if v is None:
+            return ir
+        for e in v:
+            if e is None or (isinstance(e, float) and np.isnan(e)):
+                continue
+            ir = self.inner.py_delete(ir, e, ts, part)
+        return ir
+
     def py_merge(self, a, b, part):
         return self.inner.py_merge(a, b, part)
+
+    def py_clone(self, ir, part):
+        return self.inner.py_clone(ir, part)
 
     def py_finalize(self, ir, part):
         return self.inner.py_finalize(ir, part)
@@ -142,6 +159,18 @@ class MapPyOp(AggOp):
                 continue
             k = str(mk)
             ir[k] = self.inner.py_update(ir.get(k), mv, ts, part)
+        return ir
+
+    def py_delete(self, ir, v, ts, part):
+        if v is None:
+            return ir
+        if ir is None:
+            ir = {}
+        for mk, mv in v:
+            if mv is None or (isinstance(mv, float) and np.isnan(mv)):
+                continue
+            k = str(mk)
+            ir[k] = self.inner.py_delete(ir.get(k), mv, ts, part)
         return ir
 
     def py_merge(self, a, b, part):
@@ -706,6 +735,12 @@ class TemporalPartition:
                     "granularity")
             valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
             if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+                if pa.types.is_integer(col.type) and col.null_count:
+                    # nulls promote to_numpy to float64, splitting the
+                    # HISTOGRAM-family stringified key space ('5' vs '5.0')
+                    # and changing MIN/MAX output dtype; fill-then-convert —
+                    # consumers mask by `valid` so the filler is never read
+                    col = pc.fill_null(col, 0)
                 vals = col.to_numpy(zero_copy_only=False)
             elif use_codes and (pa.types.is_string(col.type)
                                 or pa.types.is_large_string(col.type)):

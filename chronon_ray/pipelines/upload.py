@@ -22,13 +22,18 @@ batchEnd) minus the tail-buffer region), one pickled
 tail buffer, so any query in [batchEnd, batchEnd + buffer) can trim its
 own hop-rounded tail), and ``_batch_end_ts``.
 
-Bucketed aggregations are not supported here yet (their pivoted IR frame
-needs a different tail layout) — callers get a clear error.
+Bucketed aggregations are rewritten into map-input aggregations over a
+synthesized single-entry ``map<string, value>`` column (`_prepare_parts`)
+— the checkpoint then carries one map-IR layout per bucketed part, the
+same tail-hop machinery applies per map key, and serve finalizes to the
+bucketed map output (reference GroupByUpload.scala:65-105 handles all
+part shapes uniformly via the same FinalBatchIr).
 """
 
 from __future__ import annotations
 
 import pickle
+from dataclasses import replace as _dc_replace
 from typing import Optional
 
 import numpy as np
@@ -38,33 +43,98 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..aggregators.ops import OPS
-from ..aggregators.row import RowAggregator
+from ..aggregators.row import BoundPart, RowAggregator
 from ..api import AggregationPart, GroupByConf, Operation
 from ..windowing.resolution import round_ts, tail_hop_millis
 from .groupby import _factorize_keys, canon_key_hash
 from .mutations import TAIL_BUFFER_MS
-from .temporal import ir_rec_to_py
+from .temporal import MapPyOp, VectorPyOp, ir_rec_to_py
 
 _MS_DAY = 86_400_000
 
 
-def _check_parts(parts: list[AggregationPart]):
-    for p in parts:
-        if p.bucket:
-            raise NotImplementedError(
-                "groupby_upload does not support bucketed aggregations yet")
+def _prepare_parts(conf: GroupByConf, in_schema: pa.Schema):
+    """Rewrite bucketed parts into map-input parts over a synthesized
+    single-entry map column. Returns (parts, synth, out_names, schema):
+    ``synth`` maps synth column name → (bucket_col, value_col); ``out_names``
+    is the user-facing output name per part (bucketed parts keep their
+    ``*_by_bucket`` name); ``schema`` has the synth map fields appended."""
+    parts, synth, out_names = [], {}, []
+    fields = list(in_schema)
+    for p in conf.parts():
+        if p.bucket is None:
+            parts.append(p)
+            out_names.append(p.output_name)
+            continue
+        col = f"_bmap__{p.bucket}__{p.input_column}"
+        rp = _dc_replace(p, input_column=col, bucket=None)
+        out_names.append(p.output_name)
+        parts.append(rp)
+        if col not in synth:
+            synth[col] = (p.bucket, p.input_column)
+            vt = in_schema.field(p.input_column).type
+            fields.append(pa.field(col, pa.map_(pa.string(), vt)))
+    return parts, synth, out_names, pa.schema(fields)
 
 
-def _rec_from_prefixed(p: AggregationPart, row) -> Optional[object]:
-    """Prefixed IR frame row → scalar py IR (None when the key never saw a
-    value for this part)."""
-    op = OPS[p.operation]
-    name = p.output_name
+def _add_bucket_maps(synth: dict[str, tuple]):
+    """Vectorized map_batches fn appending the synthesized single-entry map
+    columns (entry present iff bucket AND value are non-null — matching the
+    snapshot pivot's null-bucket drop and the inner op's null-value skip)."""
+    def f(t: pa.Table) -> pa.Table:
+        for col, (bcol, vcol) in synth.items():
+            b, v = t[bcol], t[vcol]
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            mask = pc.and_(pc.is_valid(b), pc.is_valid(v))
+            mnp = mask.to_numpy(zero_copy_only=False)
+            offsets = np.zeros(len(t) + 1, dtype=np.int32)
+            np.cumsum(mnp, out=offsets[1:])
+            keys = pc.cast(b.filter(mask), pa.string())
+            items = v.filter(mask)
+            marr = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
+            t = t.append_column(col, marr)
+        return t
+
+    f.__name__ = "add_bucket_maps"
+    return f
+
+
+def _py_op(bp: BoundPart):
+    """Scalar-replay op for a bound part: per-map-key / per-element
+    dispatch wrappers mirroring the snapshot partial semantics."""
+    if bp.is_map:
+        return MapPyOp(bp.op)
+    if bp.explode:
+        return VectorPyOp(bp.op)
+    return bp.op
+
+
+def _invalid(v) -> bool:
+    return v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v))
+
+
+def _py_ir_from_prefixed(bp: BoundPart, row) -> Optional[object]:
+    """Prefixed IR frame row → py IR (None when the key never saw a value
+    for this part). Map parts rebuild ``{map_key: inner py IR}``."""
+    op, name = bp.op, bp.name
+    if bp.is_map:
+        mkeys = row[f"{name}__mkeys"]
+        if _invalid(mkeys):
+            return None
+        cols = {irc: row[f"{name}__{irc}"] for irc in op.ir_columns()}
+        out = {}
+        for i, mk in enumerate(list(mkeys)):
+            rec = {irc: cols[irc][i] for irc in cols}
+            out[str(mk)] = ir_rec_to_py(bp.part, op, rec)
+        return out
     first = row[f"{name}__{op.ir_columns()[0]}"]
-    if first is None or (isinstance(first, float) and np.isnan(first)):
+    if _invalid(first):
         return None
     rec = {irc: row[f"{name}__{irc}"] for irc in op.ir_columns()}
-    return ir_rec_to_py(p, op, rec)
+    return ir_rec_to_py(bp.part, op, rec)
 
 
 def groupby_upload(
@@ -86,15 +156,15 @@ def groupby_upload(
     from ..util import auto_partitions, dataset_schema
 
     keys = list(conf.key_columns)
-    parts = conf.parts()
-    _check_parts(parts)
     schema = dataset_schema(events)
-    from ..aggregators.row import reject_map_inputs
-    reject_map_inputs(parts, schema, "groupby_upload")
-    agg = RowAggregator(parts, schema)
-    windowed = [p for p in parts if not p.window.unbounded]
+    parts, synth, _out_names, schema = _prepare_parts(conf, schema)
     if num_partitions is None:
         num_partitions = auto_partitions(events)
+    if synth:
+        events = events.map_batches(_add_bucket_maps(synth),
+                                    batch_format="pyarrow")
+    agg = RowAggregator(parts, schema)
+    windowed = [bp for bp in agg.bound if not bp.part.window.unbounded]
 
     def partials(tbl: pa.Table) -> pa.Table:
         tbl = tbl.filter(pc.less(pc.cast(tbl["ts"], pa.int64()),
@@ -104,9 +174,10 @@ def groupby_upload(
         irf = agg.partial_frame(tbl, codes, len(uniq))
         ts_row = tbl["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
         irf = irf.set_index("g")
-        for p in windowed:
-            op = OPS[p.operation]
-            name = p.output_name
+        for bp in windowed:
+            p, name = bp.part, bp.name
+            ircs = agg._map_cols(bp) if bp.is_map \
+                else [f"{name}__{c}" for c in agg._ircs(bp)]
             W = p.window.millis
             hop = tail_hop_millis(p.window)
             wstart = round_ts(batch_end_ts - W, hop)
@@ -116,15 +187,14 @@ def groupby_upload(
             coll = rel & (ts_row >= cut)
             tail = rel & ~coll
             # overwrite this part's full-range IR with the collapsed region
-            for irc in op.ir_columns():
-                irf[f"{name}__{irc}"] = None
+            for irc in ircs:
+                irf[irc] = None
             if coll.any():
                 sub = tbl.filter(pa.array(coll))
                 subf = agg.partial_frame(sub, codes[coll],
                                          len(uniq)).set_index("g")
-                for irc in op.ir_columns():
-                    irf.loc[subf.index, f"{name}__{irc}"] = \
-                        subf[f"{name}__{irc}"]
+                for irc in ircs:
+                    irf.loc[subf.index, irc] = subf[irc]
             tail_col = pd.Series([None] * len(irf), index=irf.index,
                                  dtype=object)
             if tail.any():
@@ -137,12 +207,10 @@ def groupby_upload(
                 per_g: dict[int, dict] = {}
                 for _, prow in subf.iterrows():
                     gg, hopstart = puniq[int(prow["g"])]
-                    rec = {irc: prow[f"{name}__{irc}"]
-                           for irc in op.ir_columns()}
-                    if rec[op.ir_columns()[0]] is None:
+                    pir = _py_ir_from_prefixed(bp, prow)
+                    if pir is None:
                         continue
-                    per_g.setdefault(int(gg), {})[int(hopstart)] = \
-                        ir_rec_to_py(p, op, rec)
+                    per_g.setdefault(int(gg), {})[int(hopstart)] = pir
                 for gg, d in per_g.items():
                     tail_col.loc[gg] = pickle.dumps(d)
             irf[f"{name}__tailhops"] = tail_col
@@ -161,8 +229,8 @@ def groupby_upload(
             {k: schema.field(k).type for k in keys}, num_partitions)
         key_arrays["_part"] = pa.array(part)
         out = agg.ir_frame_to_arrow(irf, key_arrays)
-        for p in windowed:
-            col = f"{p.output_name}__tailhops"
+        for bp in windowed:
+            col = f"{bp.name}__tailhops"
             out = out.append_column(col,
                                     pa.array(irf[col].tolist(),
                                              type=pa.binary()))
@@ -184,9 +252,10 @@ def groupby_upload(
             .reindex(np.unique(codes)).sort_index()
         # merge pickled tail dicts per key per part
         tails_out: dict[str, list] = {}
-        for p in windowed:
-            col = f"{p.output_name}__tailhops"
-            op = OPS[p.operation]
+        for bp in windowed:
+            p = bp.part
+            col = f"{bp.name}__tailhops"
+            wop = _py_op(bp)
             acc: dict[int, dict] = {}
             vals = pdf[col].to_numpy()
             floor = round_ts(batch_end_ts - p.window.millis,
@@ -201,7 +270,7 @@ def groupby_upload(
                         continue
                     prev = slot.get(hopstart)
                     slot[hopstart] = hir if prev is None \
-                        else op.py_merge(prev, hir, p)
+                        else wop.py_merge(prev, hir, p)
             tails_out[col] = [
                 pickle.dumps(acc[g]) if g in acc else None
                 for g in merged.index
@@ -227,13 +296,24 @@ def groupby_upload(
 
 class _ServePartition:
     """One hash partition of tagged rows: 0 = IR checkpoint rows,
-    1 = head events (ts ≥ batch_end), 2 = queries."""
+    1 = head events (ts ≥ batch_end), 2 = queries.
+
+    Head replay is LINEAR (the reference's cumulate pattern —
+    SawtoothAggregator.scala:124-158): per key and part, head events are
+    bucketed by tail hop once, and the ts-sorted query sweep maintains a
+    running segment IR inside the query's current hop, merging
+    base ∥ in-window checkpoint tail hops ∥ complete head-hop IRs ∥
+    segment. O(H + Q·hops_in_window) per key instead of the old O(Q·H)
+    per-query replay-from-scratch. Map / bucketed / list parts replay
+    through MapPyOp / VectorPyOp wrappers (same dispatch as the snapshot
+    partials — reference MapColumnAggregator / VectorDispatcher)."""
 
     def __init__(self, keys, parts, schema: pa.Schema, left_cols,
                  batch_end_ts: int, full_hops: bool = False,
-                 left_fields: Optional[list[pa.Field]] = None):
+                 left_fields: Optional[list[pa.Field]] = None,
+                 out_names: Optional[list[str]] = None):
         self.__name__ = type(self).__name__
-        self.keys, self.parts = list(keys), parts
+        self.keys = list(keys)
         self.left_cols = left_cols
         # declared left schema: the pandas union frame promotes int64→
         # float64 on null-padded columns; outputs must cast back
@@ -242,12 +322,25 @@ class _ServePartition:
         self.batch_end = batch_end_ts
         self.full_hops = full_hops
         self.agg = RowAggregator(parts, schema)
-        self.out_fields = [
-            pa.field(p.output_name,
-                     OPS[p.operation].output_arrow_type(
-                         schema.field(p.input_column).type, p))
-            for p in parts
-        ]
+        self.bound = self.agg.bound
+        self.wops = [_py_op(bp) for bp in self.bound]
+        names = list(out_names) if out_names \
+            else [bp.name for bp in self.bound]
+        self.out_fields = []
+        for i, bp in enumerate(self.bound):
+            t = bp.op.output_arrow_type(bp.in_type, bp.part)
+            if bp.is_map:
+                t = pa.map_(pa.string(), t)
+            self.out_fields.append(pa.field(names[i], t))
+
+    @staticmethod
+    def _fin(wop, p: AggregationPart, ir):
+        if ir is None:
+            return None
+        if p.operation == Operation.COUNT and isinstance(ir, int) \
+                and ir == 0:
+            return 0
+        return wop.py_finalize(ir, p)
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
@@ -280,17 +373,14 @@ class _ServePartition:
             irs = self.agg.ir_frame_from_pandas(irs)
         for _, row in irs.iterrows():
             kv = tuple(row[k] for k in self.keys)
-            base_by_key[kv] = {
-                p.output_name: _rec_from_prefixed(p, row)
-                for p in self.parts
-            }
+            base_by_key[kv] = {bp.name: _py_ir_from_prefixed(bp, row)
+                               for bp in self.bound}
             td = {}
-            for p in self.parts:
-                col = f"{p.output_name}__tailhops"
-                b = row.get(col)
+            for bp in self.bound:
+                b = row.get(f"{bp.name}__tailhops")
                 if b is not None and not (isinstance(b, float)
                                           and np.isnan(b)):
-                    td[p.output_name] = pickle.loads(b)
+                    td[bp.name] = pickle.loads(b)
             tails_by_key[kv] = td
 
         head_by_key: dict[tuple, pd.DataFrame] = {}
@@ -299,7 +389,7 @@ class _ServePartition:
             # promoted them to float64, and a histogram py_update keyed on
             # str(5.0) would never merge with the checkpoint's "5"
             heads = heads.copy()
-            for c in {p.input_column for p in self.parts}:
+            for c in {bp.part.input_column for bp in self.bound}:
                 if c in heads.columns and c in self.in_schema.names \
                         and pa.types.is_integer(self.in_schema.field(c).type):
                     heads[c] = heads[c].astype("Int64")
@@ -312,58 +402,94 @@ class _ServePartition:
         # outer row preservation — they match nothing, features stay null)
         for kv, grp in queries.groupby(self.keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
-            base = base_by_key.get(kv, {p.output_name: None
-                                        for p in self.parts})
+            base = base_by_key.get(kv) or {}
             tails = tails_by_key.get(kv, {})
             hg = head_by_key.get(kv)
-            hrows = hg.to_dict("records") if hg is not None else []
-            hts = np.array([int(r["ts"]) for r in hrows], dtype=np.int64)
             grp = grp.sort_values("ts", kind="stable")
-            for _, qr in grp.iterrows():
-                qts = int(qr["ts"])
-                cut_n = int(np.searchsorted(hts, qts, side="left"))
-                vals = []
-                for p in self.parts:
-                    op = OPS[p.operation]
-                    ir = base[p.output_name]
-                    if not p.window.unbounded:
-                        hop = tail_hop_millis(p.window)
-                        qtail = round_ts(qts - p.window.millis, hop)
-                        cut = qts + 1 if self.full_hops \
-                            else self.batch_end - p.window.millis \
-                            + TAIL_BUFFER_MS
-                        for hopstart, hir in tails.get(p.output_name,
-                                                       {}).items():
-                            if hopstart >= qtail and cut > hopstart:
-                                ir = hir if ir is None \
-                                    else op.py_merge(ir, hir, p)
-                    if cut_n:
-                        # py_update MUTATES dict/set/list IRs — the base /
-                        # tail-hop IRs are SHARED across this key's queries
-                        # and must not absorb one query's head replay
-                        ir = op.py_clone(ir, p)
-                    for j in range(cut_n):
-                        v = hrows[j].get(p.input_column)
-                        if v is None or v is pd.NA or (isinstance(v, float)
-                                                       and np.isnan(v)):
-                            continue
-                        ets = int(hrows[j]["ts"])
-                        if not p.window.unbounded:
-                            hop = tail_hop_millis(p.window)
-                            if ets < round_ts(qts - p.window.millis, hop):
-                                continue
-                        ir = op.py_update(ir, v, ets, p)
-                    val = None
-                    if ir is not None:
-                        if p.operation == Operation.COUNT and ir == 0:
-                            val = 0
-                        else:
-                            val = op.py_finalize(ir, p)
-                    vals.append(val)
-                for c in self.left_cols:
-                    out_cols[c].append(qr[c])
-                for pi, p in enumerate(self.parts):
-                    feats[p.output_name].append(vals[pi])
+            qts_arr = grp["ts"].astype(np.int64).to_numpy()
+            nq = len(grp)
+            hts = hg["ts"].astype(np.int64).to_numpy() if hg is not None \
+                else np.empty(0, dtype=np.int64)
+            for c in self.left_cols:
+                out_cols[c].extend(grp[c].tolist())
+            for pi, bp in enumerate(self.bound):
+                p, wop, name = bp.part, self.wops[pi], bp.name
+                col_out = feats[self.out_fields[pi].name]
+                hvals = hg[p.input_column].tolist() \
+                    if hg is not None and p.input_column in hg.columns \
+                    else None
+                if p.window.unbounded:
+                    # running prefix: each head event updates ONCE
+                    ir, e = base.get(name), 0
+                    for qi in range(nq):
+                        qts = int(qts_arr[qi])
+                        while e < len(hts) and hts[e] < qts:
+                            if hvals is not None:
+                                v = hvals[e]
+                                if not _invalid(v):
+                                    ir = wop.py_update(ir, v, int(hts[e]), p)
+                            e += 1
+                        col_out.append(self._fin(wop, p, ir))
+                    continue
+                W = p.window.millis
+                hop = tail_hop_millis(p.window)
+                ptails = sorted(tails.get(name, {}).items())
+                if len(hts):
+                    hop_ids = round_ts(hts, hop)
+                    bnd = np.flatnonzero(np.diff(hop_ids)) + 1
+                    bstarts = np.concatenate([[0], bnd]).astype(np.int64)
+                    bends = np.concatenate([bnd, [len(hts)]]).astype(np.int64)
+                    bhops = hop_ids[bstarts]
+                else:
+                    bstarts = bends = bhops = np.empty(0, dtype=np.int64)
+                bucket_irs: list = [False] * len(bhops)  # False = unbuilt
+                seg_hop, seg_ir, seg_ptr, seg_end = None, None, 0, 0
+                for qi in range(nq):
+                    qts = int(qts_arr[qi])
+                    qtail = round_ts(qts - W, hop)
+                    qhop = round_ts(qts, hop)
+                    cut = qts + 1 if self.full_hops \
+                        else self.batch_end - W + TAIL_BUFFER_MS
+                    acc = base.get(name)
+                    for hopstart, hir in ptails:
+                        if hopstart >= qtail and hopstart < cut:
+                            acc = hir if acc is None \
+                                else wop.py_merge(acc, hir, p)
+                    if len(bhops) and hvals is not None:
+                        lo = int(np.searchsorted(bhops, qtail, side="left"))
+                        hi = int(np.searchsorted(bhops, qhop, side="left"))
+                        for bi in range(lo, hi):
+                            if bucket_irs[bi] is False:
+                                bir = None
+                                for j in range(int(bstarts[bi]),
+                                               int(bends[bi])):
+                                    v = hvals[j]
+                                    if not _invalid(v):
+                                        bir = wop.py_update(
+                                            bir, v, int(hts[j]), p)
+                                bucket_irs[bi] = bir
+                            bir = bucket_irs[bi]
+                            if bir is not None:
+                                acc = bir if acc is None \
+                                    else wop.py_merge(acc, bir, p)
+                        # running segment inside the query's current hop —
+                        # resets when the sweep crosses a hop boundary, so
+                        # each head event updates at most once per part
+                        if hi < len(bhops) and bhops[hi] == qhop:
+                            if seg_hop != qhop:
+                                seg_hop, seg_ir = qhop, None
+                                seg_ptr = int(bstarts[hi])
+                                seg_end = int(bends[hi])
+                            while seg_ptr < seg_end and hts[seg_ptr] < qts:
+                                v = hvals[seg_ptr]
+                                if not _invalid(v):
+                                    seg_ir = wop.py_update(
+                                        seg_ir, v, int(hts[seg_ptr]), p)
+                                seg_ptr += 1
+                            if seg_ir is not None:
+                                acc = seg_ir if acc is None \
+                                    else wop.py_merge(acc, seg_ir, p)
+                    col_out.append(self._fin(wop, p, acc))
 
         arrays = {c: self._left_array(c, out_cols[c])
                   for c in self.left_cols}
@@ -400,16 +526,16 @@ def serve_with_events(
     from ..util import auto_partitions, dataset_schema
 
     keys = list(conf.key_columns)
-    parts = conf.parts()
-    _check_parts(parts)
     ev_schema = dataset_schema(head_events)
     q_schema = dataset_schema(queries)
-    from ..aggregators.row import reject_map_inputs
-    reject_map_inputs(parts, ev_schema, "serve_with_events")
-    left_cols = list(q_schema.names)
-    input_cols = sorted({p.input_column for p in parts})
     if num_partitions is None:
         num_partitions = auto_partitions(head_events)
+    parts, synth, out_names, ev_schema = _prepare_parts(conf, ev_schema)
+    if synth:
+        head_events = head_events.map_batches(_add_bucket_maps(synth),
+                                              batch_format="pyarrow")
+    left_cols = list(q_schema.names)
+    input_cols = sorted({p.input_column for p in parts})
 
     ir_schema = dataset_schema(ir_table)
 
@@ -480,7 +606,8 @@ def serve_with_events(
     proc = _ServePartition(keys, parts, ev_schema, left_cols, batch_end_ts,
                            full_hops=full_hops,
                            left_fields=[q_schema.field(c)
-                                        for c in left_cols])
+                                        for c in left_cols],
+                           out_names=out_names)
     return tagged_ir.union(tagged_ev).union(tagged_q) \
         .groupby("_part").map_groups(proc, batch_format="pandas")
 
@@ -509,11 +636,10 @@ def roll_checkpoint(
     if new_end_ts <= old_end_ts:
         raise ValueError("new_end_ts must be > old_end_ts")
     keys = list(conf.key_columns)
-    parts = conf.parts()
-    _check_parts(parts)
-    windowed = [p for p in parts if not p.window.unbounded]
     if num_partitions is None:
         num_partitions = auto_partitions(day_events)
+    d_schema = dataset_schema(day_events)
+    parts, _synth, _names, d_schema = _prepare_parts(conf, d_schema)
 
     def day_cut(t: pa.Table) -> pa.Table:
         ts = _pc.cast(t["ts"], pa.int64())
@@ -537,7 +663,8 @@ def roll_checkpoint(
                 "roll_checkpoint requires a checkpoint built with "
                 "groupby_upload(..., full_hops=True); this one is "
                 "collapsed-only")
-    agg = RowAggregator(parts, dataset_schema(day_events))
+    agg = RowAggregator(parts, d_schema)
+    windowed = [bp for bp in agg.bound if not bp.part.window.unbounded]
 
     ir_key_types = {k: dataset_schema(ir_table).field(k).type for k in keys}
 
@@ -567,9 +694,10 @@ def roll_checkpoint(
         merged = agg.merge_frame(irf).set_index("g") \
             .reindex(np.unique(codes)).sort_index()
         tails_out: dict[str, list] = {}
-        for p in windowed:
-            col = f"{p.output_name}__tailhops"
-            op = OPS[p.operation]
+        for bp in windowed:
+            p = bp.part
+            col = f"{bp.name}__tailhops"
+            wop = _py_op(bp)
             floor = round_ts(new_end_ts - p.window.millis,
                              tail_hop_millis(p.window))
             acc: dict[int, dict] = {}
@@ -585,7 +713,7 @@ def roll_checkpoint(
                         continue
                     prev = slot.get(hopstart)
                     slot[hopstart] = hir if prev is None \
-                        else op.py_merge(prev, hir, p)
+                        else wop.py_merge(prev, hir, p)
             tails_out[col] = [
                 pickle.dumps(acc[g]) if g in acc else None
                 for g in merged.index

@@ -1,0 +1,259 @@
+"""Regression tests for the round-4 fixes (VERDICT r3 / ADVICE r3):
+nullable-int dtype promotion splitting histogram keys, MG copy-on-write,
+list-input guards in serve/mutation replay, star_cutoff opt-in."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
+
+DAY = 86_400_000
+BASE = pd.Timestamp("2024-03-01").value // 10**6
+
+
+def _nullable_int_events(n=400, keys=7, seed=3):
+    """Events with an int64 value column where SOME blocks contain nulls —
+    the repro shape for the float64-promotion key split (ADVICE r3 high)."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(3, 9, size=n).astype(object)
+    null_at = rng.choice(n, size=n // 10, replace=False)
+    v[null_at] = None
+    return pd.DataFrame({
+        "user_id": rng.integers(0, keys, size=n).astype(np.int64),
+        "ts": np.sort(BASE + rng.integers(0, 10 * DAY, size=n)).astype(np.int64),
+        "v": pd.array(list(v), dtype="Int64"),
+    })
+
+
+def _expected_hist(df):
+    out = {}
+    for uid, grp in df.dropna(subset=["v"]).groupby("user_id"):
+        out[int(uid)] = {str(int(x)): int(c)
+                         for x, c in grp["v"].value_counts().items()}
+    return out
+
+
+def test_snapshot_histogram_nullable_int(ray_session):
+    """HISTOGRAM over nullable int64 must key on '5', never '5.0', even when
+    a block's null promotes the numpy conversion to float64."""
+    from chronon_ray.pipelines.groupby import aggregate_snapshot
+
+    df = _nullable_int_events()
+    conf = GroupByConf(name="h", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("v", "histogram"),
+                                     agg("v", "approx_histogram_k", k=32)))
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    # split into blocks so some contain nulls and some don't
+    ds = rd.from_arrow([tbl.slice(i, 50) for i in range(0, len(df), 50)])
+    out = aggregate_snapshot(ds, conf, num_partitions=4).to_pandas()
+    exp = _expected_hist(df)
+    for _, r in out.iterrows():
+        got = dict(r["v_histogram"]) if not isinstance(r["v_histogram"], dict) \
+            else r["v_histogram"]
+        assert got == exp[int(r["user_id"])], (r["user_id"], got)
+        gota = dict(r["v_approx_histogram_k"]) \
+            if not isinstance(r["v_approx_histogram_k"], dict) \
+            else r["v_approx_histogram_k"]
+        assert gota == exp[int(r["user_id"])], (r["user_id"], gota)
+
+
+def test_temporal_histogram_nullable_int(ray_session):
+    """Same key-split guard on the sawtooth (windowed as-of) path — the
+    temporal col_values numeric conversion must keep integers integral."""
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    ev = _nullable_int_events(n=600, keys=5, seed=8)
+    rng = np.random.default_rng(12)
+    q = pd.DataFrame({
+        "user_id": rng.integers(0, 5, size=80).astype(np.int64),
+        "ts": (BASE + 9 * DAY + rng.integers(0, DAY, size=80)).astype(np.int64),
+    })
+    conf = GroupByConf(name="th", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("v", "histogram", [UNBOUNDED]),
+                                     agg("v", "min", [UNBOUNDED]),
+                                     agg("v", "max", [UNBOUNDED])))
+    ev_tbl = pa.Table.from_pandas(ev, preserve_index=False)
+    ev_ds = rd.from_arrow([ev_tbl.slice(i, 60) for i in range(0, len(ev), 60)])
+    out = temporal_join(rd.from_pandas(q), ev_ds, conf,
+                        num_partitions=4).to_pandas()
+    for _, r in out.iterrows():
+        past = ev[(ev.user_id == r["user_id"]) & (ev.ts < r["ts"])]
+        exp = {str(int(x)): int(c)
+               for x, c in past["v"].dropna().value_counts().items()}
+        got = r["v_histogram"]
+        got = dict(got) if not isinstance(got, dict) else got
+        assert (got or {}) == exp, (r["user_id"], r["ts"], got, exp)
+        vals = past["v"].dropna()
+        if len(vals):
+            assert r["v_min"] == vals.min() and r["v_max"] == vals.max()
+
+
+def test_mg_update_copy_on_write():
+    """MG.update must not mutate the input IR in place (merge-then-update
+    without py_clone would corrupt shared hop/base IRs) — ADVICE r3 low."""
+    from chronon_ray.aggregators.sketches import MG
+
+    k = 4
+    base = MG.empty()
+    for v in ["a", "a", "b"]:
+        base = MG.update(base, v, k)
+    snap = dict(base[1])
+    updated = MG.update(base, "c", k)
+    assert dict(base[1]) == snap, "MG.update mutated its exact-tier input"
+    assert updated[1].get("c") == 1
+    # approx tier too: force the flip, then update a shared state twice
+    for v in ["d", "e", "f", "g", "h"]:
+        base = MG.update(base, v, k)
+    assert base[0] == "A"
+    snap = dict(base[1])
+    u1 = MG.update(base, "zz", k)
+    assert dict(base[1]) == snap, "MG.update mutated its approx-tier input"
+    assert u1[1]["zz"][0] == 1
+
+
+# ---------------------------------------------------------------- serve
+# map / bucketed / list parts through the FinalBatchIr checkpoint + lambda
+# merge must reproduce the direct temporal join (VERDICT r3 items 4/5;
+# reference GroupByUpload.scala:65-105 handles all part shapes uniformly)
+
+def _nested_events(n=3000, keys=19, days=20, seed=17):
+    rng = np.random.default_rng(seed)
+    base = BASE
+    ts = np.sort(base + rng.integers(0, days * DAY, size=n)).astype(np.int64)
+    cats = np.array(["a", "b", "c", "d"], dtype=object)
+    cat = cats[rng.integers(0, 4, size=n)]
+    cat[rng.random(n) < 0.05] = None
+    vmap = []
+    for i in range(n):
+        nk = int(rng.integers(0, 3))
+        vmap.append([(f"m{j}", round(float(rng.normal(5, 2)), 3))
+                     for j in range(nk)] or None)
+    toks = [list(map(int, rng.integers(0, 40, size=rng.integers(1, 6))))
+            for _ in range(n)]
+    return pa.table({
+        "user_id": pa.array(rng.integers(0, keys, size=n), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.int64()),
+        "value": pa.array(np.round(rng.normal(10, 3, size=n), 3),
+                          type=pa.float64()),
+        "cat": pa.array(cat, type=pa.string()),
+        "vmap": pa.array(vmap, type=pa.map_(pa.string(), pa.float64())),
+        "tokens": pa.array(toks, type=pa.list_(pa.int64())),
+    })
+
+
+def _cmp_frames(a, b, sort):
+    a = a.sort_values(sort).reset_index(drop=True)
+    b = b.sort_values(sort).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in b.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av, bv = av.astype(float), bv.astype(float)
+            na, nb = av.isna(), bv.isna()
+            assert (na == nb).all(), c
+            np.testing.assert_allclose(av[~na], bv[~nb], rtol=1e-9,
+                                       err_msg=c)
+        elif av.dtype == object:
+            for i in range(len(av)):
+                x, y = av.iloc[i], bv.iloc[i]
+                if x is None or y is None or (isinstance(x, float)) \
+                        or (isinstance(y, float)):
+                    assert (x is None or (isinstance(x, float) and np.isnan(x))) == \
+                           (y is None or (isinstance(y, float) and np.isnan(y))), (c, i)
+                    continue
+                xs = dict(x) if isinstance(x, (list, np.ndarray)) and len(x) \
+                    and isinstance(x[0], tuple) else x
+                ys = dict(y) if isinstance(y, (list, np.ndarray)) and len(y) \
+                    and isinstance(y[0], tuple) else y
+                if isinstance(xs, dict) and isinstance(ys, dict):
+                    assert sorted(xs) == sorted(ys), (c, i, xs, ys)
+                    for k in xs:
+                        np.testing.assert_allclose(xs[k], ys[k], rtol=1e-9,
+                                                   err_msg=f"{c}[{k}]")
+                else:
+                    assert list(np.asarray(x).tolist()) == \
+                           list(np.asarray(y).tolist()), (c, i)
+        else:
+            assert (av.fillna(-1) == bv.fillna(-1)).all(), c
+
+
+def test_serve_nested_parts_equal_direct_join(ray_session):
+    """Checkpoint+serve with MAP, BUCKETED and LIST parts == temporal_join."""
+    from chronon_ray.pipelines.temporal import temporal_join
+    from chronon_ray.pipelines.upload import groupby_upload, serve_with_events
+
+    conf = GroupByConf(
+        name="nested", sources=(), key_columns=("user_id",),
+        aggregations=(
+            agg("vmap", "sum", [window(7, "d")]),
+            agg("vmap", "unique_count", [UNBOUNDED]),
+            agg("value", "sum", [window(7, "d")], buckets=["cat"]),
+            agg("value", "average", [UNBOUNDED], buckets=["cat"]),
+            agg("tokens", "unique_count", [window(7, "d")]),
+            agg("tokens", "histogram", [UNBOUNDED]),
+            agg("value", "sum", [window(2, "d")]),
+        ),
+    )
+    ev = _nested_events()
+    ts = ev["ts"].to_numpy()
+    batch_end = ((int(ts.min()) // DAY) + 16) * DAY
+    rng = np.random.default_rng(23)
+    q = pd.DataFrame({
+        "user_id": rng.integers(0, 19, size=400).astype(np.int64),
+        "ts": (batch_end + rng.integers(0, 2 * DAY - 1, size=400)).astype(np.int64),
+    })
+    hist = ev.filter(pa.compute.less(ev["ts"], batch_end))
+    head = ev.filter(pa.compute.greater_equal(ev["ts"], batch_end))
+    ir = groupby_upload(rd.from_arrow(hist), conf, batch_end,
+                        num_partitions=4)
+    served = serve_with_events(ir, rd.from_arrow(head), rd.from_pandas(q),
+                               conf, batch_end, num_partitions=4).to_pandas()
+    direct = temporal_join(rd.from_pandas(q), rd.from_arrow(ev), conf,
+                           num_partitions=4).to_pandas()
+    _cmp_frames(served, direct, ["user_id", "ts"])
+
+
+def test_serve_linear_replay_perf(ray_session):
+    """Many queries per key: the cumulate replay must scale ~O(H + Q), not
+    O(Q·H) — time the partition callable directly on a worst-case shape."""
+    import time
+
+    from chronon_ray.pipelines.upload import groupby_upload, serve_with_events
+
+    conf = GroupByConf(
+        name="perf", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(7, "d")]),
+                      agg("value", "average", [UNBOUNDED]),
+                      agg("value", "last", [window(1, "d")])),
+    )
+    rng = np.random.default_rng(3)
+    n_head, n_q = 4000, 4000
+    base_day = (BASE // DAY) * DAY
+    batch_end = base_day + 10 * DAY
+    ev = pd.DataFrame({
+        "user_id": np.zeros(n_head, dtype=np.int64),  # ONE hot key
+        "ts": np.sort(batch_end + rng.integers(0, 2 * DAY - 1, size=n_head)).astype(np.int64),
+        "value": rng.normal(10, 3, size=n_head),
+    })
+    hist = pd.DataFrame({
+        "user_id": np.zeros(200, dtype=np.int64),
+        "ts": np.sort(base_day + rng.integers(0, 10 * DAY, size=200)).astype(np.int64),
+        "value": rng.normal(10, 3, size=200),
+    })
+    q = pd.DataFrame({
+        "user_id": np.zeros(n_q, dtype=np.int64),
+        "ts": (batch_end + rng.integers(0, 2 * DAY - 1, size=n_q)).astype(np.int64),
+    })
+    ir = groupby_upload(rd.from_pandas(hist), conf, batch_end,
+                        num_partitions=1)
+    t0 = time.monotonic()
+    out = serve_with_events(ir, rd.from_pandas(ev), rd.from_pandas(q), conf,
+                            batch_end, num_partitions=1).to_pandas()
+    wall = time.monotonic() - t0
+    assert len(out) == n_q
+    # old O(Q·H) replay: 4000×4000×3 parts ≈ 5e7 py_update calls ≫ 60 s;
+    # linear replay does ~3×(H+Q) ≈ 5e4 — generous bound for CI noise
+    assert wall < 30, f"serve replay too slow: {wall:.1f}s"
