@@ -855,8 +855,11 @@ def q_text_quality(sf_dir: str):
 
 
 def q_text_signals(sf_dir: str):
-    """Non-SQL-expressible text ops (language-ID heuristic, rolling-hash
-    fingerprint) — rows-only check, determinism covered in pytest."""
+    """Language-ID heuristic (stopword hit-rate argmax + CJK codepoint
+    gate) and Rabin-Karp rolling-hash fingerprint. Both are deterministic
+    integer/rational arithmetic, reproduced bit-identically by the DuckDB
+    oracle (list_reduce Horner fold mod 2^64 in HUGEINT; the driver corpus
+    is ASCII so ord(char) == utf-8 byte)."""
     import ray.data as rd
 
     from chronon_ray.functions.text import FingerprintStage, LangIdStage
@@ -1190,6 +1193,19 @@ def q_hnsw_knn(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_tiers(sf_dir: str):
+    """IVF (nprobe = all clusters) and HNSW (ef ≥ shard size) ANN tiers in
+    their exact degenerate modes, unioned with a `tier` column — one driver
+    row exercises both partition/build/merge machineries against the
+    brute-force SQL oracle. The approximate regimes (nprobe < clusters,
+    beam ef < shard) are recall-pinned in pytest."""
+    ivf = q_ivf_knn(sf_dir).copy()
+    ivf.insert(0, "tier", "ivf")
+    hnsw = q_hnsw_knn(sf_dir).copy()
+    hnsw.insert(0, "tier", "hnsw")
+    return pd.concat([ivf, hnsw], ignore_index=True)
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -1450,68 +1466,78 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING CONTRACT: the driver runs the first 50 entries. Queries with
+    # no prior green CORRECTNESS row come FIRST (r3 verdict item 2); the
+    # tail entries past 50 are redundant family members whose operators are
+    # each covered by an earlier entry AND hold green r3 rows. ivf/hnsw fold
+    # into ann_tiers (one row, same exact-mode brute-force oracle).
     return {
+        # -- never driver-verified before round 4
+        "incremental_serve": q_incremental_serve,
+        "curate": q_curate,
+        "training_export": q_training_export,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "ann_tiers": q_ann_tiers,
+        "pq_knn": q_pq_knn,
+        "multimodal_features": q_multimodal_features,
+        "text_signals": q_text_signals,  # oracle new in r4 (was rows-only)
+        # -- flagship + one entry per operator family
+        "token_backfill": q_token_backfill,
         "groupby_user_stats": q_groupby_user_stats,
         "map_aggregate": q_map_aggregate,
         "map_asof": q_map_asof,
         "asof_window_sums": q_asof_window_sums,
-        "asof_exact_windows": q_asof_exact_windows,
         "asof_first_last": q_asof_first_last,
-        "lag_lead": q_lag_lead,
-        "running_agg": q_running_agg,
-        "profile_table": q_profile_table,
-        "group_quantiles": q_group_quantiles,
-        "range_join": q_range_join,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "topk_per_user": q_topk_per_user,
-        "histogram_user_event": q_histogram_user_event,
-        "approx_histogram_topk": q_approx_histogram_topk,
         "bucketed_sums": q_bucketed_sums,
         "bucketed_asof": q_bucketed_asof,
         "snapshot_join": q_snapshot_join,
-        "dedup_exact_docs": q_dedup_exact_docs,
-        "token_counts": q_token_counts,
-        "skew_kurtosis": q_skew_kurtosis,
-        "knn_top5": q_knn_top5,
-        "lineitem_pricing": q_lineitem_pricing,
-        "snapshot_unrolled": q_snapshot_unrolled,
-        "join_two_parts": q_join_two_parts,
-        "entity_snapshot_join": q_entity_snapshot_join,
-        "label_join": q_label_join,
         "temporal_entities": q_temporal_entities,
         "backfill_join": q_backfill_join,
-        "token_backfill": q_token_backfill,
+        "label_join": q_label_join,
+        "join_two_parts": q_join_two_parts,
+        "entity_snapshot_join": q_entity_snapshot_join,
         "token_unique": q_token_unique,
         "approx_unique": q_approx_unique,
+        "approx_histogram_topk": q_approx_histogram_topk,
+        "topk_per_user": q_topk_per_user,
+        "profile_table": q_profile_table,
+        "range_join": q_range_join,
+        "session_stats": q_session_stats,
+        "running_agg": q_running_agg,
+        "lineitem_pricing": q_lineitem_pricing,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "incremental_dedup": q_incremental_dedup,
+        "dedup_spans": q_dedup_spans,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "semdedup": q_semdedup,
-        "dedup_spans": q_dedup_spans,
-        "incremental_dedup": q_incremental_dedup,
+        "dup_ngrams": q_dup_ngrams,
+        "knn_top5": q_knn_top5,
         "shuffle_export": q_shuffle_export,
+        "pack_sequences": q_pack_sequences,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
         "perplexity": q_perplexity,
         "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
-        "text_signals": q_text_signals,
         "repetition_signals": q_repetition_signals,
-        "dup_ngrams": q_dup_ngrams,
+        "semdedup": q_semdedup,
+        # -- past the driver's 50-row cap: green r3 rows on file, operator
+        # families covered above (sawtooth/TwoStack by asof_window_sums +
+        # token_backfill, window fns by running_agg, maps by map_aggregate,
+        # n-gram stats by dup_ngrams, embeddings by knn/semdedup, …)
+        "skew_kurtosis": q_skew_kurtosis,
+        "histogram_user_event": q_histogram_user_event,
+        "group_quantiles": q_group_quantiles,
+        "sessionize": q_sessionize,
+        "lag_lead": q_lag_lead,
+        "asof_exact_windows": q_asof_exact_windows,
+        "snapshot_unrolled": q_snapshot_unrolled,
+        "token_counts": q_token_counts,
         "char_dup_ngrams": q_char_dup_ngrams,
-        "pack_sequences": q_pack_sequences,
-        "incremental_serve": q_incremental_serve,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "ivf_knn": q_ivf_knn,
-        "hnsw_knn": q_hnsw_knn,
-        "pq_knn": q_pq_knn,
-        "curate": q_curate,
-        "training_export": q_training_export,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "multimodal_features": q_multimodal_features,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -1854,18 +1880,6 @@ def oracle_sql() -> dict[str, str]:
             where rank <= 5
         """,
         # IVF with nprobe = n_clusters is exact → same oracle as brute force
-        "ivf_knn": """
-            select query_id, neighbor_id, rank from (
-                select q.vec_id as query_id, c.vec_id as neighbor_id,
-                       row_number() over (
-                           partition by q.vec_id
-                           order by list_cosine_similarity(q.embedding,
-                                                           c.embedding) desc,
-                                    c.vec_id) as rank
-                from (select * from embeddings where vec_id < 10) q
-                cross join embeddings c)
-            where rank <= 5
-        """,
         "curate": r"""
             with w as (
                 select doc_id,
@@ -1965,17 +1979,80 @@ def oracle_sql() -> dict[str, str]:
                         then 1 else 0 end as bigint) as keep
             from documents d left join per on d.doc_id = per.doc_id
         """,
-        "hnsw_knn": """
-            select query_id, neighbor_id, rank from (
-                select q.vec_id as query_id, c.vec_id as neighbor_id,
-                       row_number() over (
-                           partition by q.vec_id
-                           order by list_cosine_similarity(q.embedding,
-                                                           c.embedding) desc,
-                                    c.vec_id) as rank
-                from (select * from embeddings where vec_id < 10) q
-                cross join embeddings c)
-            where rank <= 5
+        "ann_tiers": """
+            select t.tier, b.query_id, b.neighbor_id, b.rank
+            from (select 'ivf' as tier union all select 'hnsw') t
+            cross join (
+                select query_id, neighbor_id, rank from (
+                    select q.vec_id as query_id, c.vec_id as neighbor_id,
+                           row_number() over (
+                               partition by q.vec_id
+                               order by list_cosine_similarity(q.embedding,
+                                                               c.embedding)
+                                   desc,
+                                        c.vec_id) as rank
+                    from (select * from embeddings where vec_id < 10) q
+                    cross join embeddings c)
+                where rank <= 5) b
+        """,
+        "text_signals": """
+            -- LangIdStage + FingerprintStage reproduced exactly: stopword
+            -- hit-rate argmax (first-language-wins ties, threshold 0.02,
+            -- CJK codepoint gate) and the Rabin-Karp fold
+            -- H = sum b_i * P^(n-1-i) mod 2^64 via a HUGEINT Horner
+            -- list_reduce (driver corpus is ASCII: ord(char) == utf8 byte)
+            with base as (
+                select doc_id, text,
+                       [lower(x) for x in regexp_extract_all(coalesce(text,
+                           ''), '[a-zA-ZäöüßéèêàâçñáíóúÄÖÜ]+')]
+                           as words,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '[一-鿿㐀-䶿]')) as n_cjk,
+                       length(coalesce(text, '')) as n_chars,
+                       regexp_replace(lower(trim(text,
+                           ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                               || chr(12))), '\\s+', ' ', 'g') as norm
+                from documents
+            ), scored as (
+                select doc_id, text, norm, n_cjk, n_chars,
+                       len(words) as n_words,
+                       len([w for w in words if w in ('the','and','of','to',
+                           'in','is','that','it','for','was','with','are')])
+                           / cast(greatest(len(words), 1) as double) as s_en,
+                       len([w for w in words if w in ('der','die','das','und',
+                           'ist','nicht','von','mit','ein','eine','zu','den')])
+                           / cast(greatest(len(words), 1) as double) as s_de,
+                       len([w for w in words if w in ('le','la','les','et',
+                           'est','des','une','dans','que','pour','qui','pas')])
+                           / cast(greatest(len(words), 1) as double) as s_fr,
+                       len([w for w in words if w in ('el','la','los','las',
+                           'y','es','que','en','un','una','por','para')])
+                           / cast(greatest(len(words), 1) as double) as s_es
+                from base
+            )
+            select doc_id,
+                   case when text is null then null
+                        when n_cjk >= 3 or (n_chars > 0 and
+                            cast(n_cjk as double) / greatest(n_chars, 1)
+                                > 0.05) then 'zh'
+                        when n_words = 0
+                            or greatest(s_en, s_de, s_fr, s_es) <= 0.02
+                            then 'unknown'
+                        when s_en = greatest(s_en, s_de, s_fr, s_es)
+                            then 'en'
+                        when s_de = greatest(s_en, s_de, s_fr, s_es)
+                            then 'de'
+                        when s_fr = greatest(s_en, s_de, s_fr, s_es)
+                            then 'fr'
+                        else 'es' end as lang_pred,
+                   cast(case when norm is null or norm = '' then 0 else
+                       list_reduce(
+                           [cast(ord(c) as hugeint)
+                            for c in regexp_split_to_array(norm, '')],
+                           (acc, b) -> (acc * 1099511628211 + b) %
+                               cast('18446744073709551616' as hugeint))
+                       // 2 end as bigint) as fingerprint
+            from scored
         """,
         "approx_unique": """
             select user_id,

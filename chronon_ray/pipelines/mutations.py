@@ -115,50 +115,300 @@ def _ir_rec_to_py(p: AggregationPart, rec: dict):
     raise KeyError(op)
 
 
+#: power-sum order per op (S_0..S_K accumulate the signed mutation stream)
+_MOM_K = {Operation.SUM: 1, Operation.COUNT: 0, Operation.AVERAGE: 1,
+          Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}
+
+
+def _ps_from_ir(op: Operation, ir, K: int) -> np.ndarray:
+    """Scalar py IR → raw power sums S_0..S_K about 0 (exact identities;
+    the signed replay is algebra over these, matching the signed-merge
+    delete identities in _MomentBase.py_delete)."""
+    S = np.zeros(K + 1, dtype=np.float64)
+    if ir is None:
+        return S
+    if op == Operation.SUM:
+        S[1] = float(ir)
+        S[0] = np.nan  # SUM carries no count; presence tracked separately
+        return S
+    if op == Operation.COUNT:
+        S[0] = float(ir)
+        return S
+    if op == Operation.AVERAGE:
+        S[1], S[0] = float(ir[0]), float(ir[1])
+        return S
+    n, mu = float(ir[0]), float(ir[1])
+    S[0], S[1] = n, n * mu
+    M = [None, None] + [float(x) for x in ir[2:]]
+    if K >= 2:
+        S[2] = M[2] + n * mu**2
+    if K >= 3:
+        S[3] = M[3] + 3 * mu * M[2] + n * mu**3
+    if K >= 4:
+        S[4] = M[4] + 4 * mu * M[3] + 6 * mu**2 * M[2] + n * mu**4
+    return S
+
+
+def _irs_from_ps(op: Operation, S: np.ndarray, has: np.ndarray) -> list:
+    """(nq × K+1) power sums → per-query py IRs. Count-bearing ops yield
+    None at n ≤ 0 (the scalar py_delete's all-rows-removed semantics)."""
+    nq = S.shape[0]
+    if op == Operation.SUM:
+        return [float(S[i, 1]) if has[i] else None for i in range(nq)]
+    n = S[:, 0]
+    if op == Operation.COUNT:
+        return [int(round(n[i])) if has[i] else None for i in range(nq)]
+    if op == Operation.AVERAGE:
+        return [(float(S[i, 1]), int(round(n[i]))) if has[i] else None
+                for i in range(nq)]
+    K = S.shape[1] - 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu = np.where(n > 0, S[:, 1] / np.maximum(n, 1e-300), 0.0)
+        M2 = np.maximum(S[:, 2] - n * mu**2, 0.0)
+        M3 = S[:, 3] - 3 * mu * S[:, 2] + 2 * n * mu**3 if K >= 3 else None
+        M4 = (S[:, 4] - 4 * mu * S[:, 3] + 6 * mu**2 * S[:, 2]
+              - 3 * n * mu**4) if K >= 4 else None
+    out = []
+    for i in range(nq):
+        if not has[i] or n[i] <= 0:
+            out.append(None)
+            continue
+        ir = [float(n[i]), float(mu[i]), float(M2[i])]
+        if K >= 3:
+            ir.append(float(M3[i]))
+        if K >= 4:
+            ir.append(float(M4[i]))
+        out.append(tuple(ir))
+    return out
+
+
 class _EntityPartition:
     """One hash partition of tagged rows: kind 0 = snapshot IR partials,
-    kind 1 = mutations, kind 2 = queries."""
+    kind 1 = mutations, kind 2 = queries.
+
+    The mutation replay is FULLY VECTORIZED for every supported part shape
+    (scalar / list auto-explode / map input × SUM/COUNT/AVERAGE/VARIANCE/
+    SKEW/KURTOSIS/HISTOGRAM): the per-(query, mutation) applicability mask
+    (before ∧ valid ∧ rowInWindow) drives signed power-sum matvecs for the
+    numeric family and a signed scatter-add count matrix for histograms —
+    no per-row Python replay loop remains. Queries are processed in chunks
+    so the dense mask stays bounded (reference semantics:
+    SawtoothMutationAggregator.scala:40-216)."""
+
+    #: dense (query-chunk × mutations) cells per chunk
+    _CHUNK_CELLS = 4_000_000
 
     def __init__(self, keys: Sequence[str], parts: list[AggregationPart],
                  snap_schema: pa.Schema, left_cols: list[str],
-                 left_fields: Optional[list[pa.Field]] = None):
+                 left_fields: Optional[list[pa.Field]] = None,
+                 out_names: Optional[list[str]] = None):
         self.__name__ = type(self).__name__
         self.keys = list(keys)
-        self.parts = parts
         self.in_schema = snap_schema
         self.agg = RowAggregator(parts, snap_schema)
+        self.bound = self.agg.bound
         self.left_cols = left_cols
         # declared left schema: the pandas union frame promotes int64→
         # float64 on null-padded columns; outputs must cast back
         self.left_fields = left_fields or []
-        self.out_fields = [
-            pa.field(p.output_name,
-                     OPS[p.operation].output_arrow_type(
-                         snap_schema.field(p.input_column).type, p))
-            for p in parts
-        ]
+        from .upload import _py_op
+        self.wops = [_py_op(bp) for bp in self.bound]
+        names = list(out_names) if out_names \
+            else [bp.name for bp in self.bound]
+        self.out_fields = []
+        for i, bp in enumerate(self.bound):
+            t = bp.op.output_arrow_type(bp.in_type, bp.part)
+            if bp.is_map:
+                t = pa.map_(pa.string(), t)
+            self.out_fields.append(pa.field(names[i], t))
 
-    def _apply_one(self, p: AggregationPart, ir, mr: dict, qts):
-        """Apply one mutation row to a scalar py IR. qts=None skips the
-        window check (unbounded parts); otherwise the reference's
-        rowInWindow guard applies against THAT query's hop-rounded tail."""
-        v = mr.get(p.input_column)
-        if v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v)):
-            return ir
-        if qts is not None and not p.window.unbounded:
-            rts = mr.get("_row_ts")
-            rts = int(mr["ts"]) if rts is None or \
-                (isinstance(rts, float) and np.isnan(rts)) else int(rts)
-            hop = tail_hop_millis(p.window)
-            if not (rts >= round_ts(qts - p.window.millis, hop)
-                    and rts < qts):
-                return ir
-        op = OPS[p.operation]
-        if mr.get("is_before"):
-            return op.py_delete(ir, v, int(mr["ts"]), p)
-        return op.py_update(ir, v, int(mr["ts"]), p)
+    # ------------------------------------------------- vectorized replay
+
+    def _prep_part(self, bp, mg: pd.DataFrame, nm: int):
+        """Per-group static arrays for one part: returns a dict the chunked
+        replay consumes. Computed once per (key, day) group."""
+        p = bp.part
+        K = _MOM_K.get(p.operation)
+        col = mg[p.input_column] if p.input_column in mg.columns else None
+        if col is None:
+            return {"kind": "missing"}
+        if bp.is_map:
+            ent_mi, ent_k, ent_v = [], [], []
+            for mi, entries in enumerate(col.tolist()):
+                if entries is None or (isinstance(entries, float)
+                                       and np.isnan(entries)):
+                    continue
+                for mk, mv in entries:
+                    if mv is None or (isinstance(mv, float)
+                                      and np.isnan(mv)):
+                        continue
+                    ent_mi.append(mi)
+                    ent_k.append(str(mk))
+                    ent_v.append(float(mv))
+            kcodes, kuniq = pd.factorize(np.asarray(ent_k, dtype=object))
+            nmk = len(kuniq)
+            E = np.zeros((K + 1, nm, nmk), dtype=np.float64)
+            EH = np.zeros((nm, nmk), dtype=np.float64)
+            mi_a = np.asarray(ent_mi, dtype=np.int64)
+            v_a = np.asarray(ent_v, dtype=np.float64)
+            for k in range(K + 1):
+                np.add.at(E[k], (mi_a, kcodes), v_a**k)
+            np.add.at(EH, (mi_a, kcodes), 1.0)
+            valid = EH.sum(axis=1) > 0
+            return {"kind": "map", "K": K, "E": E, "EH": EH,
+                    "mkeys": list(kuniq), "valid": valid}
+        if p.operation == Operation.HISTOGRAM:
+            if bp.explode:
+                ent_mi, ent_s = [], []
+                for mi, elems in enumerate(col.tolist()):
+                    if elems is None or (isinstance(elems, float)
+                                         and np.isnan(elems)):
+                        continue
+                    for e in elems:
+                        if e is None or (isinstance(e, float)
+                                         and np.isnan(e)):
+                            continue
+                        ent_mi.append(mi)
+                        ent_s.append(str(e))
+                codes, uniq = pd.factorize(np.asarray(ent_s, dtype=object))
+                nv = len(uniq)
+                E = np.zeros((nm, nv), dtype=np.float64)
+                if len(ent_mi):
+                    np.add.at(E, (np.asarray(ent_mi, dtype=np.int64),
+                                  codes), 1.0)
+                valid = E.sum(axis=1) > 0
+            else:
+                notna = col.notna().to_numpy()
+                svals = col[notna].map(str).to_numpy(dtype=object)
+                codes_v, uniq = pd.factorize(svals)
+                nv = len(uniq)
+                E = np.zeros((nm, nv), dtype=np.float64)
+                E[np.flatnonzero(notna), codes_v] = 1.0
+                valid = notna
+            return {"kind": "hist", "E": E, "vals": list(uniq),
+                    "valid": valid}
+        # numeric family (scalar or list auto-explode)
+        if bp.explode:
+            P = np.zeros((K + 1, nm), dtype=np.float64)
+            for mi, elems in enumerate(col.tolist()):
+                if elems is None or (isinstance(elems, float)
+                                     and np.isnan(elems)):
+                    continue
+                for e in elems:
+                    if e is None or (isinstance(e, float) and np.isnan(e)):
+                        continue
+                    fe = float(e)
+                    for k in range(K + 1):
+                        P[k, mi] += fe**k
+            valid = P[0] > 0
+        else:
+            valid = col.notna().to_numpy()
+            v = pd.to_numeric(col, errors="coerce").fillna(0.0) \
+                .to_numpy(dtype=np.float64)
+            P = np.stack([np.where(valid, v**k, 0.0)
+                          for k in range(K + 1)])
+        return {"kind": "num", "K": K, "P": P, "valid": valid}
+
+    def _replay_group(self, mg: pd.DataFrame, qts_arr: np.ndarray,
+                      base_irs: dict) -> dict:
+        """All mutations of one (key, day) group replayed against its
+        ts-sorted queries. Returns {part_name: [py IR per query]}."""
+        nq, nm = len(qts_arr), len(mg)
+        mts = mg["ts"].astype(np.int64).to_numpy()
+        if "_row_ts" in mg.columns:
+            rts_arr = pd.to_numeric(mg["_row_ts"], errors="coerce") \
+                .fillna(pd.Series(mts, index=mg.index)) \
+                .to_numpy(dtype=np.int64)
+        else:
+            rts_arr = mts
+        is_b = mg["is_before"].astype("boolean").fillna(False) \
+            .to_numpy(dtype=bool) \
+            if "is_before" in mg.columns else np.zeros(nm, dtype=bool)
+        sign = np.where(is_b, -1.0, 1.0)
+        prep = {bp.name: self._prep_part(bp, mg, nm) for bp in self.bound}
+        out: dict[str, list] = {bp.name: [] for bp in self.bound}
+        cq = max(1, self._CHUNK_CELLS // max(nm, 1))
+        for a in range(0, nq, cq):
+            qts_c = qts_arr[a:a + cq]
+            before = mts[None, :] < qts_c[:, None]
+            for bp in self.bound:
+                p, name = bp.part, bp.name
+                pr = prep[name]
+                base = base_irs.get(name)
+                if pr["kind"] == "missing":
+                    out[name].extend([base] * len(qts_c))
+                    continue
+                m = before & pr["valid"][None, :]
+                if not p.window.unbounded:
+                    hop = tail_hop_millis(p.window)
+                    qtail = round_ts(qts_c - p.window.millis, hop)
+                    m = m & (rts_arr[None, :] >= qtail[:, None]) \
+                          & (rts_arr[None, :] < qts_c[:, None])
+                sm = np.where(m, sign[None, :], 0.0)
+                applied = m.any(axis=1)
+                if pr["kind"] == "num":
+                    K = pr["K"]
+                    Sb = _ps_from_ir(p.operation, base, K)
+                    S = np.empty((len(qts_c), K + 1))
+                    for k in range(K + 1):
+                        S[:, k] = Sb[k] + sm @ pr["P"][k]
+                    has = applied | (base is not None)
+                    out[name].extend(_irs_from_ps(p.operation, S, has))
+                elif pr["kind"] == "hist":
+                    D = sm @ pr["E"]  # (cq × nv) signed counts
+                    vals = pr["vals"]
+                    bdict = base if base is not None else {}
+                    for i in range(len(qts_c)):
+                        if not applied[i] and base is None:
+                            out[name].append(None)
+                            continue
+                        d = dict(bdict)
+                        row = D[i]
+                        for j in np.flatnonzero(row):
+                            c = d.get(vals[j], 0) + int(round(row[j]))
+                            if c == 0:
+                                d.pop(vals[j], None)
+                            else:
+                                d[vals[j]] = c
+                        out[name].append(d)
+                else:  # map
+                    K = pr["K"]
+                    iop = p.operation
+                    mkeys = pr["mkeys"]
+                    nmk = len(mkeys)
+                    bdict = base if base is not None else {}
+                    base_only = {k: v for k, v in bdict.items()
+                                 if k not in set(mkeys)}
+                    Sb = np.stack(
+                        [_ps_from_ir(iop, bdict.get(k), K) for k in mkeys]) \
+                        if nmk else np.zeros((0, K + 1))
+                    in_base = np.array([k in bdict for k in mkeys],
+                                       dtype=bool) if nmk \
+                        else np.zeros(0, dtype=bool)
+                    A = (m.astype(np.float64) @ pr["EH"]) > 0  # (cq × nmk)
+                    S = np.empty((len(qts_c), nmk, K + 1))
+                    for k in range(K + 1):
+                        S[:, :, k] = Sb[None, :, k] + sm @ pr["E"][k]
+                    for i in range(len(qts_c)):
+                        if not applied[i] and base is None:
+                            out[name].append(None)
+                            continue
+                        d = dict(base_only)
+                        hask = A[i] | in_base
+                        if hask.any():
+                            irs = _irs_from_ps(iop, S[i][hask],
+                                               np.ones(int(hask.sum()),
+                                                       dtype=bool))
+                            for j, ki in enumerate(np.flatnonzero(hask)):
+                                if irs[j] is not None:
+                                    d[mkeys[ki]] = irs[j]
+                        out[name].append(d if (d or base is not None
+                                               or applied[i]) else None)
+        return out
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
+        from .upload import _py_ir_from_prefixed
+
         pdf = pdf.reset_index(drop=True)
         snaps = pdf[pdf["_kind"] == 0]
         muts = pdf[pdf["_kind"] == 1]
@@ -174,7 +424,7 @@ class _EntityPartition:
         # merge snapshot IR partials per (keys, ds) — vectorized
         base_by_kd: dict[tuple, pd.Series] = {}
         tails_by_kd: dict[tuple, dict[str, dict]] = {}
-        windowed = [p for p in self.parts if not p.window.unbounded]
+        windowed = [bp for bp in self.bound if not bp.part.window.unbounded]
         if len(snaps):
             codes, kdf = _factorize_keys(snaps, [*self.keys, "_snap_ds"])
             irf = self.agg.ir_frame_from_pandas(snaps)
@@ -193,11 +443,13 @@ class _EntityPartition:
                 base_by_kd[kvals] = {c: lst[j]
                                      for c, lst in col_lists.items()}
             # merge pickled tail-hop dicts per group per windowed part
-            for p in windowed:
-                col = f"{p.output_name}__tailhops"
+            for wi, bp in enumerate(self.bound):
+                if bp.part.window.unbounded:
+                    continue
+                col = f"{bp.name}__tailhops"
                 if col not in snaps.columns:
                     continue
-                op = OPS[p.operation]
+                wop = self.wops[wi]
                 vals = snaps[col].to_numpy()
                 for i, c in enumerate(codes):
                     b = vals[i]
@@ -205,11 +457,11 @@ class _EntityPartition:
                         continue
                     kvals = key_rows[int(c)]
                     slot = tails_by_kd.setdefault(kvals, {}) \
-                        .setdefault(p.output_name, {})
+                        .setdefault(bp.name, {})
                     for hopstart, hir in pickle.loads(b).items():
                         prev = slot.get(hopstart)
                         slot[hopstart] = hir if prev is None \
-                            else op.py_merge(prev, hir, p)
+                            else wop.py_merge(prev, hir, bp.part)
 
         # group mutations by (keys, day); sort by mutation_ts
         mut_groups: dict[tuple, pd.DataFrame] = {}
@@ -217,7 +469,7 @@ class _EntityPartition:
             m = muts.copy()
             # restore declared INTEGER input dtypes (union promoted to
             # float64) so histogram keys match the snapshot IRs' str keys
-            for c in {p.input_column for p in self.parts}:
+            for c in {bp.part.input_column for bp in self.bound}:
                 if c in m.columns and c in self.in_schema.names \
                         and pa.types.is_integer(self.in_schema.field(c).type):
                     m[c] = m[c].astype("Int64")
@@ -230,26 +482,26 @@ class _EntityPartition:
             + finalize). Non-mutating: py_merge for the deletable set always
             returns fresh IRs."""
             vals = []
-            for p in self.parts:
-                ir = cur[p.output_name]
-                op = OPS[p.operation]
+            for pi, bp in enumerate(self.bound):
+                p = bp.part
+                ir = cur[bp.name]
+                wop = self.wops[pi]
                 if not p.window.unbounded:
                     hop = tail_hop_millis(p.window)
                     qtail = round_ts(qts - p.window.millis, hop)
                     cut = batch_end - p.window.millis + TAIL_BUFFER_MS
-                    for hopstart, hir in tails.get(p.output_name, {}).items():
+                    for hopstart, hir in tails.get(bp.name, {}).items():
                         if hopstart >= qtail and cut > hopstart:
-                            ir = hir if ir is None else op.py_merge(ir, hir, p)
+                            ir = hir if ir is None else wop.py_merge(ir, hir, p)
                 val = None
                 if ir is not None:
-                    if p.operation == Operation.COUNT and ir == 0:
+                    if p.operation == Operation.COUNT \
+                            and isinstance(ir, int) and ir == 0:
                         val = 0
                     else:
-                        val = op.py_finalize(ir, p)
+                        val = wop.py_finalize(ir, p)
                 vals.append(val)
             return vals
-
-        windowed_parts = [p for p in self.parts if not p.window.unbounded]
 
         # replay per query, grouped by (keys, day), queries sorted by ts so
         # the mutation prefix sweep is shared
@@ -263,23 +515,26 @@ class _EntityPartition:
             batch_end = day * MILLIS_DAY  # EOD of the ds-1 snapshot
             base_row = base_by_kd.get((*key_vals, prev_ds))
             base_irs = {
-                p.output_name: (None if base_row is None
-                                else _ir_row_to_py(p, base_row))
-                for p in self.parts
+                bp.name: (None if base_row is None
+                          else _py_ir_from_prefixed(bp, base_row))
+                for bp in self.bound
             }
             tails = tails_by_kd.get((*key_vals, prev_ds), {})
             mg = mut_groups.get((*key_vals, day))
+            grp = grp.sort_values("ts", kind="stable")
+            qts_arr = grp["ts"].astype(np.int64).to_numpy()
+            for c in self.left_cols:
+                out_cols[c].extend(grp[c].tolist())
             if mg is None:
                 # fast path (the common case — most key-days see no CDC):
                 # features depend only on the base IR and each query's
                 # hop-rounded tails, so compute once per distinct tail
                 # signature instead of per query
-                qts_arr = grp["ts"].astype(np.int64).to_numpy()
-                if windowed_parts:
+                if windowed:
                     sig = np.stack([
-                        round_ts(qts_arr - p.window.millis,
-                                 tail_hop_millis(p.window))
-                        for p in windowed_parts], axis=1)
+                        round_ts(qts_arr - bp.part.window.millis,
+                                 tail_hop_millis(bp.part.window))
+                        for bp in windowed], axis=1)
                     _, rep, inv = np.unique(sig, axis=0, return_index=True,
                                             return_inverse=True)
                 else:
@@ -287,112 +542,19 @@ class _EntityPartition:
                     inv = np.zeros(len(grp), dtype=np.int64)
                 reps = [feats_for(base_irs, tails, int(qts_arr[i]), batch_end)
                         for i in rep]
-                for c in self.left_cols:
-                    out_cols[c].extend(grp[c].tolist())
-                for pi, p in enumerate(self.parts):
-                    feats[p.output_name].extend(
-                        reps[ci][pi] for ci in inv)
+                for pi, f in enumerate(self.out_fields):
+                    feats[f.name].extend(reps[ci][pi] for ci in inv)
                 continue
-            # CDC replay. Windowed parts must apply each mutation PER QUERY
-            # (reference SawtoothMutationAggregator rowInWindow: the mutated
-            # row's event ts must lie in THAT query's hop-rounded window — a
-            # row can exit the window between two same-day queries, so a
-            # shared running state over the mutation prefix is only exact
-            # for unbounded parts). Windowed SUM/COUNT/AVERAGE use a dense
-            # (query x mutation) signed mask — one matvec per part instead
-            # of a per-row Python sweep; windowed VARIANCE/HISTOGRAM and
-            # oversized groups fall back to per-query scalar replay.
-            grp = grp.sort_values("ts", kind="stable")
-            qts_arr = grp["ts"].astype(np.int64).to_numpy()
-            nq, nm = len(grp), len(mg)
-            mts = mg["ts"].astype(np.int64).to_numpy()
-            if "_row_ts" in mg.columns:
-                rts_arr = pd.to_numeric(mg["_row_ts"], errors="coerce") \
-                    .fillna(pd.Series(mts, index=mg.index)) \
-                    .to_numpy(dtype=np.int64)
-            else:
-                rts_arr = mts
-            is_b = mg["is_before"].astype("boolean").fillna(False) \
-                .to_numpy(dtype=bool) \
-                if "is_before" in mg.columns else np.zeros(nm, dtype=bool)
-            sign = np.where(is_b, -1.0, 1.0)
-            cuts = np.searchsorted(mts, qts_arr, side="left")
-
-            vec_ops = (Operation.SUM, Operation.COUNT, Operation.AVERAGE)
-            per_q: dict[str, list] = {}
-            seq_shared: list = []     # unbounded: running-prefix replay
-            seq_per_query: list = []  # windowed scalar: replay per query
-            before = None
-            for p in self.parts:
-                if p.operation not in vec_ops or nq * nm > 4_000_000:
-                    (seq_shared if p.window.unbounded
-                     else seq_per_query).append(p)
-                    continue
-                if before is None:
-                    before = mts[None, :] < qts_arr[:, None]
-                col = mg[p.input_column]
-                valid = col.notna().to_numpy()
-                v = pd.to_numeric(col, errors="coerce").fillna(0.0) \
-                    .to_numpy(dtype=np.float64)
-                m = before & valid[None, :]
-                if not p.window.unbounded:
-                    hop = tail_hop_millis(p.window)
-                    qtail = round_ts(qts_arr - p.window.millis, hop)
-                    m = m & (rts_arr[None, :] >= qtail[:, None]) \
-                          & (rts_arr[None, :] < qts_arr[:, None])
-                sm = np.where(m, sign[None, :], 0.0)
-                applied = m.any(axis=1)
-                base = base_irs[p.output_name]
-                has = applied | (base is not None)
-                if p.operation == Operation.SUM:
-                    s = (0.0 if base is None else float(base)) + sm @ v
-                    irs = [float(s[i]) if has[i] else None for i in range(nq)]
-                elif p.operation == Operation.COUNT:
-                    n = (0 if base is None else int(base)) + sm.sum(axis=1)
-                    irs = [int(round(n[i])) if has[i] else None
-                           for i in range(nq)]
-                else:  # AVERAGE
-                    bs, bn = (0.0, 0) if base is None \
-                        else (float(base[0]), int(base[1]))
-                    s = bs + sm @ v
-                    n = bn + sm.sum(axis=1)
-                    irs = [(float(s[i]), int(round(n[i]))) if has[i] else None
-                           for i in range(nq)]
-                per_q[p.output_name] = irs
-
-            mrows = mg.to_dict("records") \
-                if (seq_shared or seq_per_query) else None
-            cur_shared = {p.output_name: base_irs[p.output_name]
-                          for p in seq_shared}
-            mi = 0
-            for c in self.left_cols:
-                out_cols[c].extend(grp[c].tolist())
-            for qi in range(nq):
-                qts = int(qts_arr[qi])
-                while seq_shared and mi < cuts[qi]:
-                    mr = mrows[mi]
-                    for p in seq_shared:
-                        cur_shared[p.output_name] = self._apply_one(
-                            p, cur_shared[p.output_name], mr, None)
-                    mi += 1
-                cur = {}
-                for p in self.parts:
-                    name = p.output_name
-                    if name in per_q:
-                        cur[name] = per_q[name][qi]
-                    elif p.window.unbounded:
-                        cur[name] = cur_shared[name]
-                    else:
-                        # clone: py_update/py_delete mutate dict IRs and the
-                        # base is shared across this group's queries
-                        ir = OPS[p.operation].py_clone(base_irs[name], p)
-                        for j in range(cuts[qi]):
-                            ir = self._apply_one(p, ir, mrows[j], qts)
-                        cur[name] = ir
-                # mergeTailHops + finalize (shared with the fast path)
-                vals = feats_for(cur, tails, qts, batch_end)
-                for pi, p in enumerate(self.parts):
-                    feats[p.output_name].append(vals[pi])
+            # CDC replay — fully vectorized (see class docstring); windowed
+            # parts apply each mutation PER QUERY through the mask (the
+            # reference rowInWindow check: a mutated row can exit the
+            # hop-rounded window between two same-day queries)
+            per_q = self._replay_group(mg, qts_arr, base_irs)
+            for qi in range(len(qts_arr)):
+                cur = {bp.name: per_q[bp.name][qi] for bp in self.bound}
+                vals = feats_for(cur, tails, int(qts_arr[qi]), batch_end)
+                for pi, f in enumerate(self.out_fields):
+                    feats[f.name].append(vals[pi])
 
         arrays = {c: self._left_array(c, out_cols[c])
                   for c in self.left_cols}
@@ -421,18 +583,25 @@ def temporal_entities_join(
     queries: keys + ts (+ passthrough); snapshots: keys + ds + inputs;
     mutations: keys + mutation_ts + is_before + inputs."""
     from ..util import dataset_schema
+    from .upload import _add_bucket_maps, _prepare_parts, _py_ir_from_prefixed
 
     keys = list(conf.key_columns)
-    parts = conf.parts()
-    for p in parts:
+    for p in conf.parts():
         if p.operation not in _SUPPORTED:
             raise NotImplementedError(
                 "temporal_entities_join supports deletable ops only: "
                 "SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS/HISTOGRAM")
     q_schema = dataset_schema(queries)
     s_schema = dataset_schema(snapshots)
-    from ..aggregators.row import reject_map_inputs
-    reject_map_inputs(parts, s_schema, "temporal_entities_join")
+    # bucketed parts rewrite into map-input parts over a synthesized
+    # single-entry map column (same machinery as groupby_upload); map
+    # inputs are handled natively (numeric deletable inner ops)
+    parts, synth, out_names, s_schema = _prepare_parts(conf, s_schema)
+    if synth:
+        snapshots = snapshots.map_batches(_add_bucket_maps(synth),
+                                          batch_format="pyarrow")
+        mutations = mutations.map_batches(_add_bucket_maps(synth),
+                                          batch_format="pyarrow")
     windowed = [p for p in parts if not p.window.unbounded]
     if windowed and "ts" not in s_schema.names:
         raise ValueError(
@@ -441,6 +610,7 @@ def temporal_entities_join(
             "time — reference SawtoothMutationAggregator.update)")
     left_cols = list(q_schema.names)
     agg = RowAggregator(parts, s_schema)
+    w_bound = [bp for bp in agg.bound if not bp.part.window.unbounded]
     input_cols = sorted({p.input_column for p in parts})
     # all three tagged branches MUST hash the same key representation —
     # canonicalize to the query schema's key types before partitioning
@@ -463,16 +633,24 @@ def temporal_entities_join(
                         // 1_000_000 + MILLIS_DAY).to_numpy()
             end_row = end_by_g[codes]
             irf = irf.set_index("g")
-            for p in windowed:
-                op = OPS[p.operation]
-                name = p.output_name
+            for bp in w_bound:
+                p, op, name = bp.part, bp.op, bp.name
+                nested = bp.is_map or bp.explode
+                ircs = agg._map_cols(bp) if bp.is_map \
+                    else [f"{name}__{c}" for c in agg._ircs(bp)]
                 W = p.window.millis
                 hop = tail_hop_millis(p.window)
                 col = batch[p.input_column]
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
                 valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-                v = col.to_numpy(zero_copy_only=False)
+                if not nested:
+                    v = col.to_numpy(zero_copy_only=False)
+                    if pa.types.is_integer(col.type) and col.null_count:
+                        # keep integer dtype (float64 promotion would split
+                        # HISTOGRAM str keys — see RowAggregator._extract)
+                        v = pc.fill_null(col, 0) \
+                            .to_numpy(zero_copy_only=False)
                 # hop-rounded retention, matching the sawtooth window
                 # contract ts >= round(q - W, hop): a row at exactly
                 # end - W (or inside the rounded tail band) is still in
@@ -482,13 +660,19 @@ def temporal_entities_join(
                 coll = rel & (ts_row >= end_row - W + TAIL_BUFFER_MS)
                 tail = rel & ~coll
                 # overwrite this part's collapsed IR with the masked version
-                for irc in op.ir_columns():
-                    irf[f"{name}__{irc}"] = None
+                for irc in ircs:
+                    irf[irc] = None
                 if coll.any():
-                    dfc = pd.DataFrame({"g": codes[coll], "v": v[coll]})
-                    res = op.partial(dfc, len(uniq), p).set_index("g")
-                    for irc in op.ir_columns():
-                        irf.loc[res.index, f"{name}__{irc}"] = res[irc]
+                    if nested:
+                        sub = batch.filter(pa.array(coll))
+                        res = agg.partial_frame(sub, codes[coll],
+                                                len(uniq)).set_index("g")
+                    else:
+                        dfc = pd.DataFrame({"g": codes[coll], "v": v[coll]})
+                        res = op.partial(dfc, len(uniq), p).set_index("g")
+                        res.columns = [f"{name}__{c}" for c in res.columns]
+                    for irc in ircs:
+                        irf.loc[res.index, irc] = res[irc]
                 # tail rows → per-(g, hopstart) py IRs, pickled per g
                 tail_col = pd.Series([None] * len(irf), index=irf.index,
                                      dtype=object)
@@ -498,13 +682,21 @@ def temporal_entities_join(
                     pairs = np.stack([gt, hs], axis=1)
                     puniq, pcodes = np.unique(pairs, axis=0,
                                               return_inverse=True)
-                    dft = pd.DataFrame({"g": pcodes, "v": v[tail]})
-                    rest = op.partial(dft, len(puniq), p).set_index("g")
+                    if nested:
+                        sub = batch.filter(pa.array(tail))
+                        rest = agg.partial_frame(sub, pcodes, len(puniq))
+                    else:
+                        dft = pd.DataFrame({"g": pcodes, "v": v[tail]})
+                        rest = op.partial(dft, len(puniq), p)
+                        rest.columns = ["g"] + \
+                            [f"{name}__{c}" for c in rest.columns[1:]]
                     per_g: dict[int, dict] = {}
-                    for pc_, rec in rest.iterrows():
-                        gg, hopstart = puniq[int(pc_)]
-                        per_g.setdefault(int(gg), {})[int(hopstart)] = \
-                            _ir_rec_to_py(p, rec)
+                    for _, prow in rest.iterrows():
+                        gg, hopstart = puniq[int(prow["g"])]
+                        pir = _py_ir_from_prefixed(bp, prow)
+                        if pir is None:
+                            continue
+                        per_g.setdefault(int(gg), {})[int(hopstart)] = pir
                     for gg, d in per_g.items():
                         tail_col.loc[gg] = pickle.dumps(d)
                 irf[f"{name}__tailhops"] = tail_col
@@ -520,8 +712,8 @@ def temporal_entities_join(
                               keys, key_types, num_partitions)
         key_arrays["_part"] = pa.array(part)
         out = agg.ir_frame_to_arrow(irf, key_arrays)
-        for p in windowed:
-            col = f"{p.output_name}__tailhops"
+        for bp in w_bound:
+            col = f"{bp.name}__tailhops"
             out = out.append_column(
                 col, pa.array(irf[col].tolist(), type=pa.binary()))
         return out.append_column("_kind", pa.array(np.zeros(len(out), dtype=np.int8)))
@@ -541,8 +733,8 @@ def temporal_entities_join(
     _addf(pa.field("_snap_ds", pa.string()))
     for f in agg.ir_fields():
         _addf(f)
-    for p in windowed:
-        _addf(pa.field(f"{p.output_name}__tailhops", pa.binary()))
+    for bp in w_bound:
+        _addf(pa.field(f"{bp.name}__tailhops", pa.binary()))
     _addf(pa.field("is_before", pa.bool_()))
     if windowed:
         _addf(pa.field("_row_ts", pa.int64()))
@@ -604,5 +796,6 @@ def temporal_entities_join(
     unioned = snap_ds.union(mut_ds).union(q_ds)
     proc = _EntityPartition(keys, parts, s_schema, left_cols,
                             left_fields=[q_schema.field(c)
-                                         for c in left_cols])
+                                         for c in left_cols],
+                            out_names=out_names)
     return unioned.groupby("_part").map_groups(proc, batch_format="pandas")

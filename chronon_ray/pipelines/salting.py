@@ -82,7 +82,14 @@ def detect_hot_keys(
 # ------------------------------------------------------- partial emission
 
 
-def partial_fields(parts: list[AggregationPart], right_schema: pa.Schema) -> list[pa.Field]:
+def partial_fields(parts: list[AggregationPart], right_schema: pa.Schema,
+                   tie_break: Optional[str] = None) -> list[pa.Field]:
+    """Mergeable per-query partial columns for the salted two-stage path.
+    With a tie_break column configured, slice-family partials also carry
+    the winning row's tie-break value (`__tb` / parallel `__otb` list) so
+    cross-shard equal-ts collisions resolve by (ts, tb), not by shard
+    iteration order (reference TimedAggregators.scala:74-112)."""
+    tb_type = right_schema.field(tie_break).type if tie_break else None
     fields: list[pa.Field] = []
     for p in parts:
         name = p.output_name
@@ -97,9 +104,14 @@ def partial_fields(parts: list[AggregationPart], right_schema: pa.Schema) -> lis
             if p.operation in (Operation.FIRST, Operation.LAST):
                 fields.append(pa.field(f"{name}__ts", pa.float64()))
                 fields.append(pa.field(f"{name}__payload", in_type))
+                if tb_type is not None:
+                    fields.append(pa.field(f"{name}__tb", tb_type))
             else:
                 fields.append(pa.field(f"{name}__o", pa.list_(pa.int64())))
                 fields.append(pa.field(f"{name}__p", pa.list_(in_type)))
+                if tb_type is not None:
+                    fields.append(pa.field(f"{name}__otb",
+                                           pa.list_(tb_type)))
         else:
             fields.append(pa.field(f"{name}__pkl", pa.binary()))
     return fields
@@ -171,15 +183,22 @@ class SaltedMerge:
             elif fam == "slice" and p.operation in (Operation.FIRST, Operation.LAST):
                 ts = pdf[f"{name}__ts"].to_numpy(dtype=float)
                 pay = pdf[f"{name}__payload"]
+                # (ts, tb) ordering when the partials carry a tie-break
+                # slot — cross-shard equal-ts winners must match the
+                # unsalted path's (ts, tie_break)-ascending contract
+                tbv = pdf[f"{name}__tb"].to_numpy() \
+                    if f"{name}__tb" in pdf.columns else None
                 pick = np.full(ng, -1, dtype=np.int64)
-                best = np.full(ng, np.inf if p.operation == Operation.FIRST else -np.inf)
+                best: list = [None] * ng
+                is_first = p.operation == Operation.FIRST
                 for i, c in enumerate(codes):
                     t = ts[i]
                     if np.isnan(t):
                         continue
-                    if (p.operation == Operation.FIRST and t < best[c]) or \
-                       (p.operation == Operation.LAST and t > best[c]):
-                        best[c] = t
+                    cand = (t, tbv[i]) if tbv is not None else (t,)
+                    if pick[c] < 0 or (cand < best[c] if is_first
+                                       else cand > best[c]):
+                        best[c] = cand
                         pick[c] = i
                 vals = [None if j < 0 else pay.iloc[j] for j in pick]
                 out_cols[name] = pa.array([_np2py(v) for v in vals], type=f.type)
@@ -188,19 +207,26 @@ class SaltedMerge:
                 desc = p.operation == Operation.LAST_K
                 merged: list = [None] * ng
                 o_col, p_col = pdf[f"{name}__o"], pdf[f"{name}__p"]
+                otb_col = pdf[f"{name}__otb"] \
+                    if f"{name}__otb" in pdf.columns else None
                 for i, c in enumerate(codes):
                     o = o_col.iloc[i]
                     if o is None or (isinstance(o, float) and np.isnan(o)):
                         continue
-                    items = list(zip(_aslist(o), _aslist(p_col.iloc[i])))
+                    if otb_col is not None:
+                        items = list(zip(_aslist(o), _aslist(otb_col.iloc[i]),
+                                         _aslist(p_col.iloc[i])))
+                    else:
+                        items = list(zip(_aslist(o), _aslist(p_col.iloc[i])))
                     merged[c] = items if merged[c] is None else merged[c] + items
                 vals = []
                 for m in merged:
                     if m is None:
                         vals.append(None)
                     else:
-                        m.sort(key=lambda t: t[0], reverse=desc)
-                        vals.append([_np2py(t[1]) for t in m[:k]])
+                        # key = (ts[, tb]); payload is always the last slot
+                        m.sort(key=lambda t: t[:-1], reverse=desc)
+                        vals.append([_np2py(t[-1]) for t in m[:k]])
                 out_cols[name] = pa.array(vals, type=f.type)
             else:
                 from .temporal import BucketedPyOp

@@ -248,7 +248,10 @@ class TemporalPartition:
         if emit_partials:
             from .salting import partial_fields
 
-            self.partial_out_fields = partial_fields(parts, right_schema)
+            self.partial_out_fields = partial_fields(
+                parts, right_schema,
+                tie_break=tie_break if tie_break
+                and tie_break in right_schema.names else None)
 
     # ------------------------------------------------------------------
 
@@ -433,21 +436,40 @@ class TemporalPartition:
         j_r = np.searchsorted(nn_pos, r, side="left")
         have = j_r > j_l
         name = p.output_name
+        # tie-break slot: events are (ts, tb)-sorted within the shard, so
+        # the picked rows are shard-correct; emitting their tb lets the
+        # cross-shard merge resolve equal-ts collisions by (ts, tb) too
+        tb_col = None
+        if self.tie_break and self.tie_break in e_tbl.column_names:
+            tb_col = e_tbl[self.tie_break]
+            if isinstance(tb_col, pa.ChunkedArray):
+                tb_col = tb_col.combine_chunks()
         if p.operation in (Operation.FIRST, Operation.LAST):
             if len(nn_pos) == 0:
-                return {f"{name}__ts": pa.nulls(len(have), pa.float64()),
-                        f"{name}__payload": pa.nulls(len(have), col.type)}
+                out = {f"{name}__ts": pa.nulls(len(have), pa.float64()),
+                       f"{name}__payload": pa.nulls(len(have), col.type)}
+                if tb_col is not None:
+                    out[f"{name}__tb"] = pa.nulls(len(have), tb_col.type)
+                return out
             if p.operation == Operation.FIRST:
                 pos = nn_pos[np.minimum(j_l, len(nn_pos) - 1)]
             else:
                 pos = nn_pos[np.clip(j_r - 1, 0, len(nn_pos) - 1)]
             ts_out = np.where(have, e_ts[pos].astype(np.float64), np.nan)
-            taken = col.take(pa.array(np.where(have, pos, 0).astype(np.int64)))
+            idx_arr = pa.array(np.where(have, pos, 0).astype(np.int64))
+            taken = col.take(idx_arr)
             if (~have).any():
                 taken = pc.if_else(pa.array(have), taken,
                                    pa.nulls(len(have), col.type))
-            return {f"{name}__ts": pa.array(ts_out, from_pandas=True),
-                    f"{name}__payload": taken}
+            out = {f"{name}__ts": pa.array(ts_out, from_pandas=True),
+                   f"{name}__payload": taken}
+            if tb_col is not None:
+                tb_taken = tb_col.take(idx_arr)
+                if (~have).any():
+                    tb_taken = pc.if_else(pa.array(have), tb_taken,
+                                          pa.nulls(len(have), tb_col.type))
+                out[f"{name}__tb"] = tb_taken
+            return out
         # FIRST_K / LAST_K: per-shard top-k candidates with their ts order keys
         k = p.get_int("k")
         lens = np.minimum(j_r - j_l, k)
@@ -470,7 +492,14 @@ class TemporalPartition:
         p_arr = pa.LargeListArray.from_arrays(
             pa.array(offs, type=pa.int64()), p_inner,
             mask=pa.array(mask) if mask.any() else None)
-        return {f"{name}__o": o_arr, f"{name}__p": p_arr}
+        out = {f"{name}__o": o_arr, f"{name}__p": p_arr}
+        if tb_col is not None:
+            tb_inner = tb_col.take(pa.array(flat_idx))
+            out[f"{name}__otb"] = pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), tb_inner,
+                mask=pa.array(mask) if mask.any() else None) \
+                .cast(pa.list_(tb_col.type))
+        return out
 
     def _prefix_feature(self, p: AggregationPart, e_tbl, head_idx, tail_index,
                         out_type) -> pa.Array:
@@ -1023,13 +1052,16 @@ def temporal_join(
         else:
             hot_keys = detect_hot_keys(right_ds, keys[0], num_partitions)
     if hot_keys and getattr(conf, "tie_break_column", None) and any(
-            p.operation in _SLICE_OPS
-            or p.operation in (Operation.TOP_K, Operation.BOTTOM_K)
+            p.operation in (Operation.TOP_K, Operation.BOTTOM_K)
+            or (p.operation in _SLICE_OPS and p.bucket is not None)
             for p in parts):
-        # the salted partial IRs carry only __ts — equal-ts ties across
-        # salt shards would resolve by shard iteration order, breaking the
-        # tie_break determinism contract. Correctness over skew handling:
-        # run the plain co-partitioned path for these configs.
+        # FIRST/LAST/FIRST_K/LAST_K partials now carry a (ts, tb) slot
+        # through the salted exchange (salting.partial_fields), so plain
+        # slice parts keep salting ON under tie_break. Still unsupported:
+        # TOP_K/BOTTOM_K (value-ordered — equal-VALUE winners across shards
+        # would need arrival order carried per item) and bucketed slice
+        # parts (pickled BucketedPyOp IRs merge ts-only). Correctness over
+        # skew handling for those.
         hot_keys = None
     if hot_keys and map_parts:
         # salted partial fields / shard merges don't model map IR dicts yet
@@ -1257,7 +1289,10 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
                                  tie_break=conf.tie_break_column, daily=daily,
                                  emit_partials=True, exact=exact)
     final_fields = cold_proc.out_fields
-    part_fields = partial_fields(parts, right_schema)
+    part_fields = partial_fields(
+        parts, right_schema,
+        tie_break=conf.tie_break_column if conf.tie_break_column
+        and conf.tie_break_column in right_schema.names else None)
     out_schema = pa.schema(
         [left_schema.field(c) for c in left_cols]
         + final_fields
