@@ -139,6 +139,18 @@ def run_bench() -> dict:
         headline = min(headline, t2)
     times["token_backfill"] = round(headline, 3)
 
+    # BENCH_ONLY=headline: skip secondaries (fast shape sweeps / scaling)
+    if os.environ.get("BENCH_ONLY") == "headline":
+        result = {
+            "metric": "token_backfill_wall_sec (headline only)",
+            "value": round(headline, 3), "unit": "sec",
+            "queries": times, "sf": _sf_of(sf_dir), "num_cpus": ncpu,
+            "headline_rows": headline_rows,
+            "rows_per_sec": round(headline_rows / headline, 1),
+        }
+        ray.shutdown()
+        return result
+
     # ---------------- secondary pipelines over the sf tables
     ev_ds = scan_table(f"{sf_dir}/events.parquet", TQuery(time_column="ts"))
     t0 = time.perf_counter()
@@ -264,7 +276,10 @@ def run_scaling() -> dict:
         # see BASELINE.md round-3 note)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_PIN="1",
                    BENCH_FIXTURE=os.environ.get("BENCH_FIXTURE", "bench_xl"),
-                   BENCH_PARTS=os.environ.get("BENCH_PARTS", "128"))
+                   BENCH_PARTS=os.environ.get("BENCH_PARTS", "128"),
+                   # scaling measures the headline only — secondaries would
+                   # just burn the quiet window between fresh processes
+                   BENCH_ONLY="headline")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])

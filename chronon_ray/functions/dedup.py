@@ -257,9 +257,9 @@ class _BandBucketCandidates:
     cluster of 10⁶ docs yields 10⁶−1 edges per band instead of ~5·10¹¹.
     Star edges keep every bucket member connected to its canonical, which
     is exactly what the downstream dedup (connected components / canonical
-    election) consumes; at the default cutoff the full pair set is emitted
-    for every realistic non-pathological bucket, so verified-pair outputs
-    are unchanged on normal corpora."""
+    election) consumes. Truncation is OPT-IN at the pipeline level
+    (minhash_lsh_pairs star_cutoff=None by default) and logged per
+    collapsed bucket so a shrunken verified-pair set is always visible."""
 
     def __init__(self, id_col: str, id_dtype=np.int64,
                  star_cutoff: int = 1024):
@@ -283,6 +283,13 @@ class _BandBucketCandidates:
             if len(ids) < 2:
                 continue
             if len(ids) > self.star_cutoff:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash LSH bucket with %d ids star-collapsed to %d "
+                    "canonical edges (star_cutoff=%d): connectivity kept, "
+                    "full pair set truncated", len(ids), len(ids) - 1,
+                    self.star_cutoff)
                 out_a.append(np.full(len(ids) - 1, ids[0],
                                      dtype=ids.dtype))
                 out_b.append(ids[1:])
@@ -440,18 +447,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency: int | None = None,
     small_mode_cutoff: int = 100_000,
-    star_cutoff: int = 1024,
+    star_cutoff: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs (a, b, jaccard-estimate), deduplicated.
 
-    ``star_cutoff``: band buckets larger than this emit star edges to the
-    bucket's min-id canonical instead of all O(m²) pairs (a 10⁶-doc dup
-    cluster yields 10⁶−1 edges per band, not ~5·10¹¹). Star edges preserve
-    dedup-cluster connectivity through the canonical; they do NOT preserve
-    the full verified pair SET above the cutoff (a member pair whose star
-    edge fails the jaccard threshold is not re-checked) — raise or disable
-    (None) when the exact pair list over pathological buckets matters more
-    than bounded work.
+    ``star_cutoff``: OPT-IN scale guard (default None = exact full pair
+    emission). When set, band buckets larger than the cutoff emit star
+    edges to the bucket's min-id canonical instead of all O(m²) pairs (a
+    10⁶-doc dup cluster yields 10⁶−1 edges per band, not ~5·10¹¹). Star
+    edges preserve dedup-cluster connectivity through the canonical; they
+    do NOT preserve the full verified pair SET above the cutoff (a member
+    pair whose star edge fails the jaccard threshold is not re-checked),
+    which is why truncation is opt-in and logged per collapsed bucket —
+    at 100-TB scale pass e.g. star_cutoff=1024, keeping work linear in
+    bucket size.
 
     Lean-exchange plan: ONE minhash pass emits 20-byte band rows (×bands)
     plus the full signature ONCE per doc (tagged union, materialized so the
