@@ -2,7 +2,25 @@
 the query/data-processing capabilities of the reference feature platform
 (kambstreat/chronon batch side). See SURVEY.md for the blueprint."""
 
-from .api import (  # noqa: F401
+import logging as _logging
+
+
+class _DropSchemaHashWarning(_logging.Filter):
+    """Ray 2.49's block-concat schema-dedup emits a harmless
+    "Failed to hash the schemas (for deduplication): unhashable type: 'dict'"
+    warning for every map-typed batch (pa.Schema with map fields isn't
+    hashable); it's pure noise at our volume and would bury real warnings.
+    Installed here so it applies in every Ray worker that unpickles our
+    stages (importing chronon_ray is what triggers it)."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _DropSchemaHashWarning())
+
+from .api import (  # noqa: F401,E402
     Accuracy,
     BootstrapPart,
     Aggregation,
@@ -20,6 +38,6 @@ from .api import (  # noqa: F401
     agg,
     window,
 )
-from .expr import SqlExpr, sql_expr, sql_where  # noqa: F401
+from .expr import SqlExpr, sql_expr, sql_where  # noqa: F401,E402
 
 __version__ = "0.1.0"
