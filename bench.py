@@ -280,9 +280,19 @@ def run_scaling() -> dict:
                    # scaling measures the headline only — secondaries would
                    # just burn the quiet window between fresh processes
                    BENCH_ONLY="headline")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        # a child can die transiently (disk pressure during the 11-GiB pin,
+        # host CPU steal stalling Ray heartbeats): retry once per draw and
+        # surface the child's stderr instead of a bare CalledProcessError
+        last_err = ""
+        for _attempt in range(2):
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True)
+            if out.returncode == 0 and out.stdout.strip():
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            last_err = out.stderr[-2000:]
+        raise RuntimeError(
+            f"scaling child (cpus={ncpu}) failed twice; stderr tail:\n"
+            f"{last_err}")
 
     lo, hi = 8, 32
     # two fresh processes per side, keep each side's best: this host shows

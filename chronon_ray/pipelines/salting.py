@@ -135,12 +135,17 @@ class SaltedMerge:
 
     def __init__(self, parts: list[AggregationPart], left_cols: list[str],
                  out_fields: list[pa.Field],
-                 left_types: Optional[dict] = None):
+                 left_types: Optional[dict] = None,
+                 tb_slice: bool = False):
         self.__name__ = type(self).__name__
         self.parts = parts
         self.left_cols = left_cols
         self.out_fields = out_fields
         self.left_types = left_types or {}
+        # True when the partial emitter wrapped bucketed slice parts in
+        # TieBreakSliceOp (tie_break configured): the pickled IRs carry a
+        # (ts, tb)-comparable key and must be merged by the same wrapper
+        self.tb_slice = tb_slice
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
@@ -229,9 +234,17 @@ class SaltedMerge:
                         vals.append([_np2py(t[-1]) for t in m[:k]])
                 out_cols[name] = pa.array(vals, type=f.type)
             else:
-                from .temporal import BucketedPyOp
+                from .temporal import BucketedPyOp, TieBreakSliceOp
 
-                pop = BucketedPyOp(op) if p.bucket is not None else op
+                if (self.tb_slice and p.bucket is not None
+                        and p.operation in (Operation.FIRST, Operation.LAST,
+                                            Operation.FIRST_K,
+                                            Operation.LAST_K)):
+                    pop = BucketedPyOp(TieBreakSliceOp(op))
+                elif p.bucket is not None:
+                    pop = BucketedPyOp(op)
+                else:
+                    pop = op
                 irs: list = [None] * ng
                 col = pdf[f"{name}__pkl"]
                 from dataclasses import replace as _rep

@@ -102,6 +102,83 @@ class BucketedPyOp(AggOp):
         return sorted((k, self.inner.py_finalize(v, part)) for k, v in ir.items())
 
 
+def _tb_key(ts, tb) -> tuple:
+    """Total-order key over (ts, tie_break) where tb may be null: null tb
+    sorts before any value at equal ts (None is incomparable in py3, so the
+    presence flag does the ordering and the raw tb is only compared when
+    both sides have one)."""
+    return (ts, tb is not None, tb)
+
+
+class TieBreakSliceOp(AggOp):
+    """Slice-family py adapter carrying the tie-break value through the IR.
+
+    Values are ``(payload, tb)`` pairs. FIRST/LAST IR = ``(key, payload)``
+    and FIRST_K/LAST_K IR = ``[(key, payload), ...]`` with ``key =
+    _tb_key(ts, tb)``, so every comparison — including CROSS-SHARD merges in
+    the salted path — resolves equal-ts collisions by the configured
+    tie_break column, matching the vectorized unbucketed slice contract
+    (reference TimedAggregators.scala:74-112). The temporal engine applies
+    this wrapper to BUCKETED slice parts whenever tie_break is configured,
+    in both finalized and partial modes, so salted and unsalted runs
+    bit-match."""
+
+    needs_ts = True
+
+    def __init__(self, inner: AggOp):
+        self.inner = inner
+        self.op = inner.op
+        # LAST/LAST_K keep the max (ts, tb); FIRST/FIRST_K the min
+        self.keep_max = inner.op in (Operation.LAST, Operation.LAST_K)
+        self.is_k = inner.op in (Operation.FIRST_K, Operation.LAST_K)
+
+    def py_update(self, ir, v, ts, part):
+        payload, tb = v
+        key = _tb_key(ts, tb)
+        if self.is_k:
+            item = (key, payload)
+            if ir is None:
+                return [item]
+            ir = list(ir)
+            ir.append(item)
+            k = part.get_int("k")
+            if len(ir) > 4 * k:
+                ir.sort(key=lambda t: t[0], reverse=self.keep_max)
+                del ir[k:]
+            return ir
+        if ir is None:
+            return (key, payload)
+        if self.keep_max:
+            return (key, payload) if key >= ir[0] else ir
+        return (key, payload) if key < ir[0] else ir
+
+    def py_clone(self, ir, part):
+        if ir is None:
+            return None
+        return list(ir) if self.is_k else ir
+
+    def py_merge(self, a, b, part):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if self.is_k:
+            k = part.get_int("k")
+            out = list(a) + list(b)
+            out.sort(key=lambda t: t[0], reverse=self.keep_max)
+            return out[:k]
+        if self.keep_max:
+            return b if b[0] >= a[0] else a
+        return a if a[0] <= b[0] else b
+
+    def py_finalize(self, ir, part):
+        if self.is_k:
+            k = part.get_int("k")
+            out = sorted(ir, key=lambda t: t[0], reverse=self.keep_max)
+            return [t[1] for t in out[:k]]
+        return ir[1]
+
+
 class VectorPyOp(AggOp):
     """Scalar-path adapter for LIST inputs: one inner update per element,
     null elements skipped (reference VectorDispatcher / guardedApplyVector,
@@ -721,17 +798,20 @@ class TemporalPartition:
         col_cache: dict[str, Any] = {}
 
         def col_values(p: AggregationPart, force_raw: bool = False,
-                       allow_explode: bool = True):
+                       allow_explode: bool = True, with_tb: bool = False):
             """Returns (vals, valid, exploded). exploded=True means vals is
             an object array of per-row element lists — consumers must apply
-            per-element updates (VectorPyOp / exploded hop partials)."""
+            per-element updates (VectorPyOp / exploded hop partials).
+            with_tb=True (bucketed slice parts under tie_break) zips each
+            value with its tie-break cell: (bucket, (value, tb)) pairs for
+            TieBreakSliceOp."""
             # exact UNIQUE_COUNT only needs distinctness, not the values —
             # dictionary codes stand in for strings (partition-local codes,
             # so only in finalized mode: partial IRs merge across shards)
             use_codes = (not force_raw
                          and p.operation == Operation.UNIQUE_COUNT
                          and p.bucket is None and not self.emit_partials)
-            key = (p.input_column, p.bucket, use_codes)
+            key = (p.input_column, p.bucket, use_codes, with_tb)
             if key in col_cache:
                 return col_cache[key]
             col = e_tbl[p.input_column]
@@ -778,6 +858,11 @@ class TemporalPartition:
                     .astype(np.int64)
             else:
                 vals = np.asarray(col.to_pylist(), dtype=object)
+            if with_tb:
+                tbvals = e_tbl[self.tie_break].to_pylist()
+                pairs = np.empty(len(tbvals), dtype=object)
+                pairs[:] = list(zip(vals, tbvals))
+                vals = pairs
             if p.bucket is not None:
                 bcol = e_tbl[p.bucket]
                 bvalid = pc.is_valid(bcol).to_numpy(zero_copy_only=False)
@@ -803,12 +888,18 @@ class TemporalPartition:
             e_b = np.searchsorted(e_key, kcode, side="right")
             qts = q_ts[a:b]
             for i, p in saw_parts:
-                vals, valid, exploded = col_values(p)
+                use_tb = bool(self.tie_break
+                              and self.tie_break in e_tbl.column_names
+                              and p.bucket is not None
+                              and p.operation in _SLICE_OPS)
+                vals, valid, exploded = col_values(p, with_tb=use_tb)
                 vmask = valid[e_a:e_b]
                 ets = e_ts[e_a:e_b][vmask]
                 evs = vals[e_a:e_b][vmask]
                 inner = OPS[p.operation]
-                if p.bucket is not None:
+                if use_tb:
+                    op = BucketedPyOp(TieBreakSliceOp(inner))
+                elif p.bucket is not None:
                     op = BucketedPyOp(inner)
                 elif exploded == "map":
                     op = MapPyOp(inner)
@@ -1051,18 +1142,14 @@ def temporal_join(
             hot_keys = None
         else:
             hot_keys = detect_hot_keys(right_ds, keys[0], num_partitions)
-    if hot_keys and getattr(conf, "tie_break_column", None) and any(
-            p.operation in (Operation.TOP_K, Operation.BOTTOM_K)
-            or (p.operation in _SLICE_OPS and p.bucket is not None)
-            for p in parts):
-        # FIRST/LAST/FIRST_K/LAST_K partials now carry a (ts, tb) slot
-        # through the salted exchange (salting.partial_fields), so plain
-        # slice parts keep salting ON under tie_break. Still unsupported:
-        # TOP_K/BOTTOM_K (value-ordered — equal-VALUE winners across shards
-        # would need arrival order carried per item) and bucketed slice
-        # parts (pickled BucketedPyOp IRs merge ts-only). Correctness over
-        # skew handling for those.
-        hot_keys = None
+    # tie_break no longer disables salting for ANY part family:
+    # - plain slice parts carry a (ts, tb) slot through the salted exchange
+    #   (salting.partial_fields);
+    # - bucketed slice parts wrap in TieBreakSliceOp so pickled IRs merge
+    #   by (ts, tb) across shards;
+    # - TOP_K/BOTTOM_K need no carve-out: their payload IS the ordering
+    #   value, so equal-value winners across shards are observationally
+    #   identical and the pickled heap merge is output-deterministic.
     if hot_keys and map_parts:
         # salted partial fields / shard merges don't model map IR dicts yet
         hot_keys = None
@@ -1347,7 +1434,10 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
             SaltedMerge(parts, left_cols, final_fields,
                         left_types={c: left_schema.field(c).type
                                     for c in left_cols
-                                    if left_schema.get_field_index(c) >= 0}),
+                                    if left_schema.get_field_index(c) >= 0},
+                        tb_slice=bool(
+                            conf.tie_break_column
+                            and conf.tie_break_column in right_schema.names)),
             batch_format="pandas")
 
     return cold_rows.union(

@@ -467,3 +467,85 @@ def test_salted_tie_break_parity(ray_session):
                            num_partitions=4, hot_keys=[0],
                            salt_shards=8).to_pandas()
     _cmp_frames(salted, plain, ["user_id", "ts"])
+
+
+def test_salted_tie_break_bucketed_topk_parity(ray_session):
+    """The LAST salting carve-outs: bucketed slice parts (TieBreakSliceOp
+    carries (ts, tb) through pickled cross-shard merges) and TOP_K/BOTTOM_K
+    (payload == ordering value, so equal-value winners are observationally
+    identical) must keep salting ON under tie_break and match the plain
+    path bit-for-bit."""
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    key = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 5, size=n))
+    ts = BASE + rng.integers(0, 300, size=n) * 3_600_000  # heavy ts ties
+    ev = pd.DataFrame({
+        "user_id": key.astype(np.int64),
+        "ts": ts.astype(np.int64),
+        "event_id": rng.permutation(n).astype(np.int64),  # tie breaker
+        "bucket": rng.choice(["a", "b", "c"], size=n),
+        # few distinct values => heavy VALUE ties for TOP_K too
+        "value": rng.integers(0, 7, size=n).astype(np.int64),
+    })
+    q = pd.DataFrame({
+        "user_id": np.where(rng.random(500) < 0.7, 0,
+                            rng.integers(1, 5, size=500)).astype(np.int64),
+        "ts": (BASE + rng.integers(1, 301, size=500) * 3_600_000).astype(np.int64),
+    })
+    conf = GroupByConf(
+        name="stbb", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "last", [window(7, "d")], buckets=["bucket"]),
+                      agg("value", "first", [window(7, "d")], buckets=["bucket"]),
+                      agg("value", "last_k", [window(7, "d")], k=2,
+                          buckets=["bucket"]),
+                      agg("value", "top_k", [window(7, "d")], k=3),
+                      agg("value", "bottom_k", [window(7, "d")], k=3)),
+        tie_break_column="event_id",
+    )
+    plain = temporal_join(rd.from_pandas(q), rd.from_pandas(ev), conf,
+                          num_partitions=4, hot_keys=None).to_pandas()
+    salted = temporal_join(rd.from_pandas(q), rd.from_pandas(ev), conf,
+                           num_partitions=4, hot_keys=[0],
+                           salt_shards=8).to_pandas()
+    assert len(salted) == len(plain) > 0
+    _cmp_frames(salted, plain, ["user_id", "ts"])
+
+
+def test_tie_break_slice_op_shard_order_invariant():
+    """TieBreakSliceOp merges must be invariant to shard arrival order —
+    the exact property the salted exchange needs."""
+    from chronon_ray.aggregators.ops import OPS
+    from chronon_ray.api import Operation
+    from chronon_ray.pipelines.temporal import TieBreakSliceOp
+
+    class P:  # minimal AggregationPart stand-in
+        @staticmethod
+        def get_int(_name, default=None):
+            return 2
+
+    rng = np.random.default_rng(7)
+    for opname in (Operation.LAST, Operation.FIRST, Operation.LAST_K,
+                   Operation.FIRST_K):
+        op = TieBreakSliceOp(OPS[opname])
+        # 12 events, only 2 distinct ts values -> guaranteed tb-resolved ties
+        events = [(float(v), int(tb), 1000 + 60_000 * int(h))
+                  for v, tb, h in zip(rng.integers(0, 100, 12),
+                                      rng.permutation(12),
+                                      rng.integers(0, 2, 12))]
+        shards = [events[0:4], events[4:8], events[8:12]]
+        outs = []
+        for order in ([0, 1, 2], [2, 0, 1], [1, 2, 0]):
+            irs = []
+            for si in order:
+                ir = None
+                for v, tb, ts in sorted(shards[si],
+                                        key=lambda e: (e[2], e[1])):
+                    ir = op.py_update(ir, (v, tb), ts, P)
+                irs.append(ir)
+            merged = None
+            for ir in irs:
+                merged = op.py_merge(merged, ir, P)
+            outs.append(op.py_finalize(merged, P))
+        assert outs[0] == outs[1] == outs[2], opname
