@@ -40,7 +40,7 @@ _MOMENTS_NEEDED = {Operation.COUNT: 0, Operation.SUM: 1, Operation.AVERAGE: 1,
 
 def detect_hot_keys(
     right_ds: ray.data.Dataset,
-    key: str,
+    key,
     num_partitions: int,
     sample_frac: float = 0.05,
     factor: float = 3.0,
@@ -51,6 +51,9 @@ def detect_hot_keys(
     sampled rows would dominate their partition → hot. (Analyzer-style
     heavy-hitter sampling — reference spark/Analyzer.scala:64-152.)
 
+    ``key`` is one column name or a sequence of them; composite keys return
+    a list of TUPLES (the shape _salted_temporal_join's hash probe expects).
+
     The default factor is deliberately high: salting pays a replication +
     double-scan + partial-merge tax, measured ~4x the plain path when skew is
     mild — it only wins when one key genuinely dominates a partition.
@@ -58,6 +61,7 @@ def detect_hot_keys(
     NOTE: ``right_ds.count()`` below executes the (pruned) event pipeline
     once when the input carries transforms — an extra scan the 'auto' mode
     pays for skew safety; pass explicit hot_keys to skip it."""
+    keys = [key] if isinstance(key, str) else list(key)
     # block-randomized limit(): touches only as many blocks as the sample
     # needs (random_sample would scan everything to throw 95% away), while
     # randomize_block_order defeats key-clustered layouts
@@ -68,15 +72,16 @@ def detect_hot_keys(
     # randomize BLOCK order before the limit: a plain limit() reads only
     # the first blocks, so inputs sorted/clustered by key would misreport
     # the prefix keys as hot and miss truly hot keys elsewhere
-    pdf = right_ds.select_columns([key]).randomize_block_order(seed=17) \
+    pdf = right_ds.select_columns(keys).randomize_block_order(seed=17) \
         .limit(n_sample).to_pandas()
     if len(pdf) == 0:
         return []
-    counts = pdf[key].value_counts()
+    counts = pdf[keys[0]].value_counts() if len(keys) == 1 \
+        else pdf.groupby(keys, sort=False, dropna=True).size()
     frac = counts / len(pdf)
     est_rows = frac * total
     hot = frac[(frac > factor / num_partitions) & (est_rows >= min_hot_rows)]
-    return hot.index.tolist()
+    return hot.index.tolist()  # scalars for 1 key, tuples for composites
 
 
 # ------------------------------------------------------- partial emission

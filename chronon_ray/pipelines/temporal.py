@@ -1039,9 +1039,11 @@ def temporal_join(
     input scale.
 
     ``hot_keys``: None (no salting), "auto" (sample the event stream and salt
-    keys that would dominate a partition), or an explicit key list. Hot keys
-    take the salted two-stage path (pipelines/salting.py); cold keys the
-    single-pass path; outputs are unioned.
+    keys that would dominate a partition), or an explicit key list — scalars
+    for single-key confs, tuples for composite keys (matched on the stable
+    composite key hash). Hot keys take the salted two-stage path
+    (pipelines/salting.py); cold keys the single-pass path; outputs are
+    unioned.
 
     ``exact_windows=True`` computes per-event exact windows [q.ts - w, q.ts)
     instead of the reference's sawtooth (hop-rounded tail) semantics —
@@ -1138,10 +1140,7 @@ def temporal_join(
     if hot_keys == "auto":
         from .salting import detect_hot_keys
 
-        if len(keys) != 1:
-            hot_keys = None
-        else:
-            hot_keys = detect_hot_keys(right_ds, keys[0], num_partitions)
+        hot_keys = detect_hot_keys(right_ds, keys, num_partitions)
     # tie_break no longer disables salting for ANY part family:
     # - plain slice parts carry a (ts, tb) slot through the salted exchange
     #   (salting.partial_fields);
@@ -1154,8 +1153,6 @@ def temporal_join(
         # salted partial fields / shard merges don't model map IR dicts yet
         hot_keys = None
     if hot_keys:
-        if len(keys) != 1:
-            raise NotImplementedError("salting requires a single key column")
         if salt_shards is None:
             # hot-side parallelism = n_hot × shards distinct (key, salt)
             # groups — size it so the hot work can occupy ~2 tasks/cpu on
@@ -1259,21 +1256,31 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
 
     from .salting import SaltedMerge, partial_fields
 
-    key = keys[0]
     S = salt_shards
 
     fields = _union_fields(left_schema, right_schema)
     _ftypes = {f.name: f.type for f in fields}
     # the hot-key probe and all partition hashing run on the UNION key
-    # type so cross-dtype left/right keys classify and partition alike
-    hot_arr = pa.array(hot_keys).cast(_ftypes[key])
+    # types so cross-dtype left/right keys classify and partition alike.
+    # Multi-key confs match on the stable COMPOSITE key hash: a cold key
+    # whose hash collides with a hot one merely takes the salted path too
+    # (the per-shard processor still groups by the real key columns, so
+    # collisions cost routing, never correctness).
+    hot_tuples = [k if isinstance(k, tuple) else (k,) for k in hot_keys]
+    hot_tbl = pa.table({
+        k: pa.array([tup[j] for tup in hot_tuples]).cast(_ftypes[k])
+        for j, k in enumerate(keys)})
+    hot_hash_arr = pa.array(stable_key_hash(
+        _canon_key_table(hot_tbl, keys, _ftypes).to_pandas(), keys)
+        .view(np.int64))
     fields = fields + [pa.field("_qid_hi", pa.int64()),
                        pa.field("_qid_lo", pa.int64()),
                        pa.field("_salt", pa.int8())]
 
     def _hot_idx(t: pa.Table) -> np.ndarray:
-        c = _canon_key_table(t, [key], _ftypes)[key]
-        return pc.index_in(c, value_set=hot_arr) \
+        kdf = _canon_key_table(t, keys, _ftypes).to_pandas()
+        h = stable_key_hash(kdf, keys).view(np.int64)
+        return pc.index_in(pa.array(h), value_set=hot_hash_arr) \
             .to_numpy(zero_copy_only=False)
 
     def _pad(t: pa.Table, extra: dict, is_q: int) -> pa.Table:
@@ -1335,7 +1342,10 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
 
     def tag_events(t: pa.Table) -> pa.Table:
         # drop null-key events (reference removeNulls)
-        t = t.filter(pc.is_valid(t[key]))
+        m = pc.is_valid(t[keys[0]])
+        for k2 in keys[1:]:
+            m = pc.and_(m, pc.is_valid(t[k2]))
+        t = t.filter(m)
         hi = _hot_idx(t)
         hot_mask = ~pd.isna(hi)
         cold_t = t.filter(pa.array(~hot_mask))
@@ -1371,7 +1381,7 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
     cold_proc = TemporalPartition(keys, parts, right_schema, left_cols,
                                   tie_break=conf.tie_break_column, daily=daily,
                                   exact=exact)
-    hot_proc = TemporalPartition([key, "_salt"], parts, right_schema,
+    hot_proc = TemporalPartition([*keys, "_salt"], parts, right_schema,
                                  [*left_cols, "_qid_hi", "_qid_lo"],
                                  tie_break=conf.tie_break_column, daily=daily,
                                  emit_partials=True, exact=exact)

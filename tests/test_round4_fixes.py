@@ -549,3 +549,59 @@ def test_tie_break_slice_op_shard_order_invariant():
                 merged = op.py_merge(merged, ir, P)
             outs.append(op.py_finalize(merged, P))
         assert outs[0] == outs[1] == outs[2], opname
+
+
+def test_salted_multi_key_parity(ray_session):
+    """Composite-key salting (round-4: the single-key restriction is gone):
+    a hot (user_id, region) pair takes the salted path and must match the
+    plain path bit-for-bit; hash-probe routing must not leak cold keys'
+    rows into wrong results."""
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    hot = rng.random(n) < 0.7
+    uid = np.where(hot, 3, rng.integers(0, 6, size=n))
+    reg = np.where(hot, 0, rng.integers(0, 3, size=n))
+    ev = pd.DataFrame({
+        "user_id": uid.astype(np.int64),
+        "region": reg.astype(np.int64),
+        "ts": (BASE + rng.integers(0, 10 * DAY, size=n)).astype(np.int64),
+        "value": np.round(rng.normal(5, 2, size=n), 3),
+    })
+    nq = 400
+    qh = rng.random(nq) < 0.6
+    q = pd.DataFrame({
+        "user_id": np.where(qh, 3, rng.integers(0, 6, size=nq)).astype(np.int64),
+        "region": np.where(qh, 0, rng.integers(0, 3, size=nq)).astype(np.int64),
+        "ts": (BASE + rng.integers(1, 10 * DAY, size=nq)).astype(np.int64),
+    })
+    conf = GroupByConf(
+        name="mk", sources=(), key_columns=("user_id", "region"),
+        aggregations=(agg("value", "sum", [window(7, "d"), UNBOUNDED]),
+                      agg("value", "last", [window(7, "d")]),
+                      agg("value", "unique_count", [window(7, "d")])),
+    )
+    plain = temporal_join(rd.from_pandas(q), rd.from_pandas(ev), conf,
+                          num_partitions=4, hot_keys=None).to_pandas()
+    salted = temporal_join(rd.from_pandas(q), rd.from_pandas(ev), conf,
+                           num_partitions=4, hot_keys=[(3, 0)],
+                           salt_shards=6).to_pandas()
+    assert len(salted) == len(plain) > 0
+    _cmp_frames(salted, plain, ["user_id", "region", "ts"])
+
+
+def test_detect_hot_keys_multi(ray_session):
+    """Composite-key heavy-hitter detection returns tuples."""
+    from chronon_ray.pipelines.salting import detect_hot_keys
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    hot = rng.random(n) < 0.5
+    pdf = pd.DataFrame({
+        "a": np.where(hot, 7, rng.integers(0, 50, size=n)).astype(np.int64),
+        "b": np.where(hot, 2, rng.integers(0, 5, size=n)).astype(np.int64),
+    })
+    got = detect_hot_keys(rd.from_pandas(pdf), ["a", "b"], 16,
+                          min_hot_rows=10_000)
+    assert (7, 2) in got
