@@ -98,7 +98,7 @@ def partial_fields(parts: list[AggregationPart], right_schema: pa.Schema,
     fields: list[pa.Field] = []
     for p in parts:
         name = p.output_name
-        fam = _family(p)
+        fam = "sawtooth" if _is_map_input(p, right_schema) else _family(p)
         if fam == "prefix":
             nm = _MOMENTS_NEEDED[p.operation]
             fields.append(pa.field(f"{name}__n", pa.float64()))
@@ -122,6 +122,14 @@ def partial_fields(parts: list[AggregationPart], right_schema: pa.Schema,
     return fields
 
 
+def _is_map_input(p: AggregationPart, right_schema: pa.Schema) -> bool:
+    """Map-input parts always take the pickled-IR family: their IR is a
+    {map_key: inner IR} dict (MapPyOp), never power sums or slice slots —
+    matching TemporalPartition._map_part_idx routing."""
+    return (p.input_column in right_schema.names
+            and pa.types.is_map(right_schema.field(p.input_column).type))
+
+
 def _family(p: AggregationPart) -> str:
     if p.bucket is not None:
         return "sawtooth"
@@ -141,7 +149,8 @@ class SaltedMerge:
     def __init__(self, parts: list[AggregationPart], left_cols: list[str],
                  out_fields: list[pa.Field],
                  left_types: Optional[dict] = None,
-                 tb_slice: bool = False):
+                 tb_slice: bool = False,
+                 map_parts: frozenset = frozenset()):
         self.__name__ = type(self).__name__
         self.parts = parts
         self.left_cols = left_cols
@@ -151,6 +160,9 @@ class SaltedMerge:
         # TieBreakSliceOp (tie_break configured): the pickled IRs carry a
         # (ts, tb)-comparable key and must be merged by the same wrapper
         self.tb_slice = tb_slice
+        # output names of map-INPUT parts: their pickled IRs are
+        # {map_key: inner IR} dicts and merge through MapPyOp
+        self.map_parts = map_parts
 
     def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.reset_index(drop=True)
@@ -175,7 +187,7 @@ class SaltedMerge:
                 out_cols[c] = pdf[c].to_numpy()[first_idx]
         for p, f in zip(self.parts, self.out_fields):
             name = p.output_name
-            fam = _family(p)
+            fam = "sawtooth" if name in self.map_parts else _family(p)
             op = OPS[p.operation]
             if fam == "prefix":
                 nm = _MOMENTS_NEEDED[p.operation]
@@ -239,9 +251,11 @@ class SaltedMerge:
                         vals.append([_np2py(t[-1]) for t in m[:k]])
                 out_cols[name] = pa.array(vals, type=f.type)
             else:
-                from .temporal import BucketedPyOp, TieBreakSliceOp
+                from .temporal import BucketedPyOp, MapPyOp, TieBreakSliceOp
 
-                if (self.tb_slice and p.bucket is not None
+                if name in self.map_parts:
+                    pop = MapPyOp(op)
+                elif (self.tb_slice and p.bucket is not None
                         and p.operation in (Operation.FIRST, Operation.LAST,
                                             Operation.FIRST_K,
                                             Operation.LAST_K)):

@@ -1149,9 +1149,9 @@ def temporal_join(
     # - TOP_K/BOTTOM_K need no carve-out: their payload IS the ordering
     #   value, so equal-value winners across shards are observationally
     #   identical and the pickled heap merge is output-deterministic.
-    if hot_keys and map_parts:
-        # salted partial fields / shard merges don't model map IR dicts yet
-        hot_keys = None
+    # map-input parts salt too: their pickled {map_key: IR} partials merge
+    # through MapPyOp in SaltedMerge (partial_fields routes them to the
+    # pkl family), so no carve-out is needed.
     if hot_keys:
         if salt_shards is None:
             # hot-side parallelism = n_hot × shards distinct (key, salt)
@@ -1447,7 +1447,12 @@ def _salted_temporal_join(left_ds, right_ds, conf, keys, parts, left_schema,
                                     if left_schema.get_field_index(c) >= 0},
                         tb_slice=bool(
                             conf.tie_break_column
-                            and conf.tie_break_column in right_schema.names)),
+                            and conf.tie_break_column in right_schema.names),
+                        map_parts=frozenset(
+                            p.output_name for p in parts
+                            if p.input_column in right_schema.names
+                            and pa.types.is_map(
+                                right_schema.field(p.input_column).type))),
             batch_format="pandas")
 
     return cold_rows.union(

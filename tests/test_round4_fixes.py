@@ -605,3 +605,45 @@ def test_detect_hot_keys_multi(ray_session):
     got = detect_hot_keys(rd.from_pandas(pdf), ["a", "b"], 16,
                           min_hot_rows=10_000)
     assert (7, 2) in got
+
+
+def test_salted_map_input_parity(ray_session):
+    """Map-input parts on a hot salted key: pickled {map_key: IR} partials
+    must merge through MapPyOp across shards and match the plain path."""
+    import pyarrow as pa
+
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    key = np.where(rng.random(n) < 0.75, 0, rng.integers(1, 4, size=n))
+    ts = (BASE + rng.integers(0, 8 * DAY, size=n)).astype(np.int64)
+    mkeys = np.array(["clicks", "views", "buys"])
+    maps = [
+        [(mkeys[j], float(rng.integers(1, 9)))
+         for j in rng.choice(3, size=rng.integers(1, 4), replace=False)]
+        for _ in range(n)]
+    ev = pa.table({
+        "user_id": pa.array(key.astype(np.int64)),
+        "ts": pa.array(ts),
+        "metrics": pa.array(maps, type=pa.map_(pa.string(), pa.float64())),
+    })
+    q = pd.DataFrame({
+        "user_id": np.where(rng.random(300) < 0.6, 0,
+                            rng.integers(1, 4, size=300)).astype(np.int64),
+        "ts": (BASE + rng.integers(1, 8 * DAY, size=300)).astype(np.int64),
+    })
+    conf = GroupByConf(
+        name="msalt", sources=(), key_columns=("user_id",),
+        aggregations=(agg("metrics", "sum", [window(7, "d")]),
+                      agg("metrics", "max", [window(7, "d")]),
+                      agg("metrics", "unique_count", [window(7, "d")])),
+    )
+    ev_ds = rd.from_arrow(ev)
+    plain = temporal_join(rd.from_pandas(q), ev_ds, conf,
+                          num_partitions=4, hot_keys=None).to_pandas()
+    salted = temporal_join(rd.from_pandas(q), ev_ds, conf,
+                           num_partitions=4, hot_keys=[0],
+                           salt_shards=6).to_pandas()
+    assert len(salted) == len(plain) > 0
+    _cmp_frames(salted, plain, ["user_id", "ts"])
