@@ -53,20 +53,6 @@ class BoundPart:
         return [f"{self.name}__{c}" for c in self.op.ir_columns()]
 
 
-def reject_map_inputs(parts, input_schema: pa.Schema, where: str):
-    """Pipelines whose per-event py-IR replay can't dispatch per map key
-    call this to fail loudly (map aggregation is supported in
-    aggregate_snapshot and temporal_join, not in the checkpoint/mutation
-    replays yet)."""
-    for p in parts:
-        if p.input_column in input_schema.names and pa.types.is_map(
-                input_schema.field(p.input_column).type):
-            raise NotImplementedError(
-                f"{where} does not support map-typed input column "
-                f"{p.input_column!r} — map aggregation is implemented in "
-                "aggregate_snapshot and temporal_join; pre-explode the "
-                "map for this pipeline")
-
 
 class RowAggregator:
     def __init__(

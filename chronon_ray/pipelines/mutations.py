@@ -59,71 +59,18 @@ _SUPPORTED = {Operation.SUM, Operation.COUNT, Operation.AVERAGE,
               Operation.HISTOGRAM}
 
 
-def _ir_row_to_py(p: AggregationPart, row: pd.Series):
-    """Grouped-path IR frame row → scalar py IR for the same op."""
-    name = p.output_name
-    op = p.operation
-    if row.get(f"{name}__{_first_ir_col(p)}") is None or \
-            (isinstance(row.get(f"{name}__{_first_ir_col(p)}"), float)
-             and np.isnan(row[f"{name}__{_first_ir_col(p)}"])):
-        return None
-    if op == Operation.SUM:
-        return float(row[f"{name}__s"])
-    if op == Operation.COUNT:
-        return int(row[f"{name}__n"])
-    if op == Operation.AVERAGE:
-        return (float(row[f"{name}__s"]), int(row[f"{name}__n"]))
-    if op == Operation.VARIANCE:
-        return (float(row[f"{name}__n"]), float(row[f"{name}__m1"]),
-                float(row[f"{name}__m2"]))
-    if op == Operation.SKEW:
-        return (float(row[f"{name}__n"]), float(row[f"{name}__m1"]),
-                float(row[f"{name}__m2"]), float(row[f"{name}__m3"]))
-    if op == Operation.KURTOSIS:
-        return (float(row[f"{name}__n"]), float(row[f"{name}__m1"]),
-                float(row[f"{name}__m2"]), float(row[f"{name}__m3"]),
-                float(row[f"{name}__m4"]))
-    if op == Operation.HISTOGRAM:
-        h = row[f"{name}__hist"]
-        return dict(h) if not isinstance(h, dict) else dict(h)
-    raise KeyError(op)
-
-
-def _first_ir_col(p: AggregationPart) -> str:
-    return OPS[p.operation].ir_columns()[0]
-
-
-def _ir_rec_to_py(p: AggregationPart, rec: dict):
-    """op.partial() result row (unprefixed IR columns) → scalar py IR."""
-    op = p.operation
-    if op == Operation.SUM:
-        return float(rec["s"])
-    if op == Operation.COUNT:
-        return int(rec["n"])
-    if op == Operation.AVERAGE:
-        return (float(rec["s"]), int(rec["n"]))
-    if op == Operation.VARIANCE:
-        return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]))
-    if op == Operation.SKEW:
-        return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]),
-                float(rec["m3"]))
-    if op == Operation.KURTOSIS:
-        return (float(rec["n"]), float(rec["m1"]), float(rec["m2"]),
-                float(rec["m3"]), float(rec["m4"]))
-    if op == Operation.HISTOGRAM:
-        return dict(rec["hist"])
-    raise KeyError(op)
-
-
 #: power-sum order per op (S_0..S_K accumulate the signed mutation stream)
 _MOM_K = {Operation.SUM: 1, Operation.COUNT: 0, Operation.AVERAGE: 1,
           Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}
 
 
-def _ps_from_ir(op: Operation, ir, K: int) -> np.ndarray:
-    """Scalar py IR → raw power sums S_0..S_K about 0 (exact identities;
+def _ps_from_ir(op: Operation, ir, K: int, pivot: float = 0.0) -> np.ndarray:
+    """Scalar py IR → power sums S_0..S_K about ``pivot`` (exact identities;
     the signed replay is algebra over these, matching the signed-merge
-    delete identities in _MomentBase.py_delete)."""
+    delete identities in _MomentBase.py_delete). Central moments are
+    shift-invariant, so a pivot near the data magnitude avoids the
+    catastrophic cancellation of raw (about-0) power sums when |values| is
+    large with small spread (e.g. epoch-millis inputs)."""
     S = np.zeros(K + 1, dtype=np.float64)
     if ir is None:
         return S
@@ -137,7 +84,7 @@ def _ps_from_ir(op: Operation, ir, K: int) -> np.ndarray:
     if op == Operation.AVERAGE:
         S[1], S[0] = float(ir[0]), float(ir[1])
         return S
-    n, mu = float(ir[0]), float(ir[1])
+    n, mu = float(ir[0]), float(ir[1]) - pivot
     S[0], S[1] = n, n * mu
     M = [None, None] + [float(x) for x in ir[2:]]
     if K >= 2:
@@ -149,7 +96,8 @@ def _ps_from_ir(op: Operation, ir, K: int) -> np.ndarray:
     return S
 
 
-def _irs_from_ps(op: Operation, S: np.ndarray, has: np.ndarray) -> list:
+def _irs_from_ps(op: Operation, S: np.ndarray, has: np.ndarray,
+                 pivot: float = 0.0) -> list:
     """(nq × K+1) power sums → per-query py IRs. Count-bearing ops yield
     None at n ≤ 0 (the scalar py_delete's all-rows-removed semantics)."""
     nq = S.shape[0]
@@ -173,7 +121,7 @@ def _irs_from_ps(op: Operation, S: np.ndarray, has: np.ndarray) -> list:
         if not has[i] or n[i] <= 0:
             out.append(None)
             continue
-        ir = [float(n[i]), float(mu[i]), float(M2[i])]
+        ir = [float(n[i]), float(mu[i]) + pivot, float(M2[i])]
         if K >= 3:
             ir.append(float(M3[i]))
         if K >= 4:
@@ -224,9 +172,60 @@ class _EntityPartition:
 
     # ------------------------------------------------- vectorized replay
 
-    def _prep_part(self, bp, mg: pd.DataFrame, nm: int):
+    @staticmethod
+    def _pivot_for(bp, mg: pd.DataFrame, base) -> float:
+        """Pivot for the moment family (VARIANCE/SKEW/KURTOSIS): the base
+        IR's mean when present, else the first valid mutation value, else 0.
+        Raw (about-0) power sums cancel catastrophically when |values| is
+        large with small spread; shifting by any value near the data
+        magnitude restores the FP stability the old reverse-Welford scalar
+        replay had. Other ops keep pivot 0 (linear, no cancellation)."""
+        if bp.part.operation not in (Operation.VARIANCE, Operation.SKEW,
+                                     Operation.KURTOSIS):
+            return 0.0
+        try:
+            if base is not None:
+                if bp.is_map:
+                    for v in base.values():
+                        if v is not None:
+                            return float(v[1])
+                else:
+                    return float(base[1])
+        except (TypeError, ValueError, IndexError):
+            pass
+        col = mg[bp.part.input_column] \
+            if bp.part.input_column in mg.columns else None
+        if col is None:
+            return 0.0
+
+        def _ok(x):
+            return x is not None and not (isinstance(x, float)
+                                          and np.isnan(x))
+
+        for x in col.tolist():
+            if not _ok(x):
+                continue
+            try:
+                if bp.is_map:
+                    for _mk, mv in x:
+                        if _ok(mv):
+                            return float(mv)
+                elif bp.explode:
+                    for e in x:
+                        if _ok(e):
+                            return float(e)
+                else:
+                    return float(x)
+            except (TypeError, ValueError):
+                return 0.0
+        return 0.0
+
+    def _prep_part(self, bp, mg: pd.DataFrame, nm: int,
+                   pivot: float = 0.0):
         """Per-group static arrays for one part: returns a dict the chunked
-        replay consumes. Computed once per (key, day) group."""
+        replay consumes. Computed once per (key, day) group. ``pivot``
+        (moment family only) shifts values so power sums accumulate about
+        the data magnitude, not about 0 — see _ps_from_ir."""
         p = bp.part
         K = _MOM_K.get(p.operation)
         col = mg[p.input_column] if p.input_column in mg.columns else None
@@ -252,11 +251,15 @@ class _EntityPartition:
             mi_a = np.asarray(ent_mi, dtype=np.int64)
             v_a = np.asarray(ent_v, dtype=np.float64)
             for k in range(K + 1):
-                np.add.at(E[k], (mi_a, kcodes), v_a**k)
+                np.add.at(E[k], (mi_a, kcodes), (v_a - pivot)**k)
             np.add.at(EH, (mi_a, kcodes), 1.0)
             valid = EH.sum(axis=1) > 0
+            # width: per-query dense cells the chunked replay allocates for
+            # this part (S is cq x nmk x (K+1)) — the chunk sizing must
+            # bound cq x width, not just cq x nm (code-review r4)
             return {"kind": "map", "K": K, "E": E, "EH": EH,
-                    "mkeys": list(kuniq), "valid": valid}
+                    "mkeys": list(kuniq), "valid": valid, "pivot": pivot,
+                    "width": max(1, nmk * (K + 1))}
         if p.operation == Operation.HISTOGRAM:
             if bp.explode:
                 ent_mi, ent_s = [], []
@@ -286,7 +289,7 @@ class _EntityPartition:
                 E[np.flatnonzero(notna), codes_v] = 1.0
                 valid = notna
             return {"kind": "hist", "E": E, "vals": list(uniq),
-                    "valid": valid}
+                    "valid": valid, "width": max(1, nv)}
         # numeric family (scalar or list auto-explode)
         if bp.explode:
             P = np.zeros((K + 1, nm), dtype=np.float64)
@@ -297,17 +300,18 @@ class _EntityPartition:
                 for e in elems:
                     if e is None or (isinstance(e, float) and np.isnan(e)):
                         continue
-                    fe = float(e)
+                    fe = float(e) - pivot
                     for k in range(K + 1):
                         P[k, mi] += fe**k
             valid = P[0] > 0
         else:
             valid = col.notna().to_numpy()
             v = pd.to_numeric(col, errors="coerce").fillna(0.0) \
-                .to_numpy(dtype=np.float64)
+                .to_numpy(dtype=np.float64) - pivot
             P = np.stack([np.where(valid, v**k, 0.0)
                           for k in range(K + 1)])
-        return {"kind": "num", "K": K, "P": P, "valid": valid}
+        return {"kind": "num", "K": K, "P": P, "valid": valid,
+                "pivot": pivot}
 
     def _replay_group(self, mg: pd.DataFrame, qts_arr: np.ndarray,
                       base_irs: dict) -> dict:
@@ -325,9 +329,17 @@ class _EntityPartition:
             .to_numpy(dtype=bool) \
             if "is_before" in mg.columns else np.zeros(nm, dtype=bool)
         sign = np.where(is_b, -1.0, 1.0)
-        prep = {bp.name: self._prep_part(bp, mg, nm) for bp in self.bound}
+        prep = {bp.name: self._prep_part(
+            bp, mg, nm,
+            pivot=self._pivot_for(bp, mg, base_irs.get(bp.name)))
+            for bp in self.bound}
         out: dict[str, list] = {bp.name: [] for bp in self.bound}
-        cq = max(1, self._CHUNK_CELLS // max(nm, 1))
+        # chunk so the LARGEST dense intermediate stays bounded: the
+        # (cq x nm) mask AND every part's (cq x width) scatter/stack (maps:
+        # nmk*(K+1) planes; histograms: nv value columns)
+        width = max([1, nm] + [prep[bp.name].get("width", 1)
+                               for bp in self.bound])
+        cq = max(1, self._CHUNK_CELLS // width)
         for a in range(0, nq, cq):
             qts_c = qts_arr[a:a + cq]
             before = mts[None, :] < qts_c[:, None]
@@ -348,12 +360,14 @@ class _EntityPartition:
                 applied = m.any(axis=1)
                 if pr["kind"] == "num":
                     K = pr["K"]
-                    Sb = _ps_from_ir(p.operation, base, K)
+                    Sb = _ps_from_ir(p.operation, base, K,
+                                     pr.get("pivot", 0.0))
                     S = np.empty((len(qts_c), K + 1))
                     for k in range(K + 1):
                         S[:, k] = Sb[k] + sm @ pr["P"][k]
                     has = applied | (base is not None)
-                    out[name].extend(_irs_from_ps(p.operation, S, has))
+                    out[name].extend(_irs_from_ps(p.operation, S, has,
+                                                  pr.get("pivot", 0.0)))
                 elif pr["kind"] == "hist":
                     D = sm @ pr["E"]  # (cq × nv) signed counts
                     vals = pr["vals"]
@@ -380,7 +394,9 @@ class _EntityPartition:
                     base_only = {k: v for k, v in bdict.items()
                                  if k not in set(mkeys)}
                     Sb = np.stack(
-                        [_ps_from_ir(iop, bdict.get(k), K) for k in mkeys]) \
+                        [_ps_from_ir(iop, bdict.get(k), K,
+                                     pr.get("pivot", 0.0))
+                         for k in mkeys]) \
                         if nmk else np.zeros((0, K + 1))
                     in_base = np.array([k in bdict for k in mkeys],
                                        dtype=bool) if nmk \
@@ -398,7 +414,8 @@ class _EntityPartition:
                         if hask.any():
                             irs = _irs_from_ps(iop, S[i][hask],
                                                np.ones(int(hask.sum()),
-                                                       dtype=bool))
+                                                       dtype=bool),
+                                               pr.get("pivot", 0.0))
                             for j, ki in enumerate(np.flatnonzero(hask)):
                                 if irs[j] is not None:
                                     d[mkeys[ki]] = irs[j]

@@ -130,6 +130,23 @@ def _is_map_input(p: AggregationPart, right_schema: pa.Schema) -> bool:
             and pa.types.is_map(right_schema.field(p.input_column).type))
 
 
+def _tb_ord(tb):
+    """Null-safe tie-break ordering slot: (is_missing, value). Missing
+    (None/NaN) sorts AFTER any real value in ascending order — the same
+    nulls-last convention as pandas sort_values and np.lexsort, which the
+    within-shard partial emitters use — and never enters a raw comparison
+    with a real value (None < str raises in py3; NaN comparisons are
+    order-inconsistent).
+
+    TWO missing tie-breaks at the same timestamp compare equal, so the
+    winner among them stays arrival-order-dependent — exactly as in the
+    unsalted path, where it depends on input row order. The tie_break
+    contract delivers full determinism only when tie-break values are
+    present (or at most one is missing) per (key, ts) collision group."""
+    missing = tb is None or (isinstance(tb, float) and tb != tb)
+    return (True, None) if missing else (False, tb)
+
+
 def _family(p: AggregationPart) -> str:
     if p.bucket is not None:
         return "sawtooth"
@@ -217,7 +234,7 @@ class SaltedMerge:
                     t = ts[i]
                     if np.isnan(t):
                         continue
-                    cand = (t, tbv[i]) if tbv is not None else (t,)
+                    cand = (t, _tb_ord(tbv[i])) if tbv is not None else (t,)
                     if pick[c] < 0 or (cand < best[c] if is_first
                                        else cand > best[c]):
                         best[c] = cand
@@ -236,8 +253,10 @@ class SaltedMerge:
                     if o is None or (isinstance(o, float) and np.isnan(o)):
                         continue
                     if otb_col is not None:
-                        items = list(zip(_aslist(o), _aslist(otb_col.iloc[i]),
-                                         _aslist(p_col.iloc[i])))
+                        items = list(zip(
+                            _aslist(o),
+                            [_tb_ord(x) for x in _aslist(otb_col.iloc[i])],
+                            _aslist(p_col.iloc[i])))
                     else:
                         items = list(zip(_aslist(o), _aslist(p_col.iloc[i])))
                     merged[c] = items if merged[c] is None else merged[c] + items

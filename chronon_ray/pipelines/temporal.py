@@ -103,11 +103,14 @@ class BucketedPyOp(AggOp):
 
 
 def _tb_key(ts, tb) -> tuple:
-    """Total-order key over (ts, tie_break) where tb may be null: null tb
-    sorts before any value at equal ts (None is incomparable in py3, so the
-    presence flag does the ordering and the raw tb is only compared when
-    both sides have one)."""
-    return (ts, tb is not None, tb)
+    """Total-order key over (ts, tie_break) where tb may be null/NaN:
+    missing tb sorts AFTER any real value at equal ts (the nulls-last
+    convention of pandas sort_values / np.lexsort that every other
+    tie-break path uses). None is incomparable in py3 and NaN comparisons
+    are order-inconsistent, so the missing flag does the ordering and the
+    raw tb is only compared when both sides have one."""
+    missing = tb is None or (isinstance(tb, float) and tb != tb)
+    return (ts, missing, None if missing else tb)
 
 
 class TieBreakSliceOp(AggOp):
@@ -197,15 +200,6 @@ class VectorPyOp(AggOp):
             ir = self.inner.py_update(ir, e, ts, part)
         return ir
 
-    def py_delete(self, ir, v, ts, part):
-        if v is None:
-            return ir
-        for e in v:
-            if e is None or (isinstance(e, float) and np.isnan(e)):
-                continue
-            ir = self.inner.py_delete(ir, e, ts, part)
-        return ir
-
     def py_merge(self, a, b, part):
         return self.inner.py_merge(a, b, part)
 
@@ -236,18 +230,6 @@ class MapPyOp(AggOp):
                 continue
             k = str(mk)
             ir[k] = self.inner.py_update(ir.get(k), mv, ts, part)
-        return ir
-
-    def py_delete(self, ir, v, ts, part):
-        if v is None:
-            return ir
-        if ir is None:
-            ir = {}
-        for mk, mv in v:
-            if mv is None or (isinstance(mv, float) and np.isnan(mv)):
-                continue
-            k = str(mk)
-            ir[k] = self.inner.py_delete(ir.get(k), mv, ts, part)
         return ir
 
     def py_merge(self, a, b, part):

@@ -59,6 +59,8 @@ def _prepare_parts(conf: GroupByConf, in_schema: pa.Schema):
     ``synth`` maps synth column name → (bucket_col, value_col); ``out_names``
     is the user-facing output name per part (bucketed parts keep their
     ``*_by_bucket`` name); ``schema`` has the synth map fields appended."""
+    from ..aggregators.row import _MAP_OPS
+
     parts, synth, out_names = [], {}, []
     fields = list(in_schema)
     for p in conf.parts():
@@ -66,6 +68,16 @@ def _prepare_parts(conf: GroupByConf, in_schema: pa.Schema):
             parts.append(p)
             out_names.append(p.output_name)
             continue
+        if p.operation not in _MAP_OPS:
+            # fail BEFORE the map rewrite so the error names the user's
+            # bucket, not the internal synthesized map column
+            raise NotImplementedError(
+                f"bucketed {p.operation.name} over "
+                f"{p.input_column!r} (bucket {p.bucket!r}) is not supported "
+                "in the upload/serve/mutation paths — bucketed parts ride "
+                "the map rewrite, which covers "
+                "SUM/COUNT/AVERAGE/VARIANCE/SKEW/KURTOSIS/MIN/MAX/"
+                "UNIQUE_COUNT")
         col = f"_bmap__{p.bucket}__{p.input_column}"
         rp = _dc_replace(p, input_column=col, bucket=None)
         out_names.append(p.output_name)

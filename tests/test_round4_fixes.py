@@ -647,3 +647,89 @@ def test_salted_map_input_parity(ray_session):
                            salt_shards=6).to_pandas()
     assert len(salted) == len(plain) > 0
     _cmp_frames(salted, plain, ["user_id", "ts"])
+
+
+def test_salted_tie_break_nan_parity(ray_session):
+    """Null/NaN tie-break values at equal timestamps must not crash the
+    cross-shard SaltedMerge and must resolve nulls-last, identically to the
+    plain path (code-review finding: raw (ts, tb) tuple comparisons raised
+    TypeError on None and misordered on NaN)."""
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(53)
+    n = 4000
+    key = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 4, size=n))
+    ts = BASE + rng.integers(0, 200, size=n) * 3_600_000  # heavy ts ties
+    tb = rng.permutation(n).astype(np.float64)
+    # AT MOST ONE missing tie-break per (key, ts) collision group: with two
+    # NaNs tied at the same max ts, the winner among them is arrival-order-
+    # dependent in the PLAIN path too (lexsort stability), so no exchange
+    # can reproduce it — the contract needs tbs present-or-singly-missing
+    df_tmp = pd.DataFrame({"k": key, "t": ts})
+    first_in_group = ~df_tmp.duplicated(["k", "t"])
+    nan_mask = (rng.random(n) < 0.4) & first_in_group.to_numpy()
+    tb[nan_mask] = np.nan
+    ev = pd.DataFrame({
+        "user_id": key.astype(np.int64),
+        "ts": ts.astype(np.int64),
+        "event_id": tb,
+        "value": np.round(rng.normal(10, 3, size=n), 3),
+    })
+    q = pd.DataFrame({
+        "user_id": np.where(rng.random(300) < 0.7, 0,
+                            rng.integers(1, 4, size=300)).astype(np.int64),
+        "ts": (BASE + rng.integers(1, 201, size=300) * 3_600_000).astype(np.int64),
+    })
+    conf = GroupByConf(
+        name="nantb", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "last", [window(7, "d")]),
+                      agg("value", "first", [window(7, "d")]),
+                      agg("value", "last_k", [window(7, "d")], k=3)),
+        tie_break_column="event_id",
+    )
+    plain = temporal_join(rd.from_pandas(q), rd.from_pandas(ev), conf,
+                          num_partitions=4, hot_keys=None).to_pandas()
+    salted = temporal_join(rd.from_pandas(q), rd.from_pandas(ev), conf,
+                           num_partitions=4, hot_keys=[0],
+                           salt_shards=8).to_pandas()
+    assert len(salted) == len(plain) > 0
+    _cmp_frames(salted, plain, ["user_id", "ts"])
+
+
+def test_mutations_moments_large_magnitude_stability(ray_session):
+    """VARIANCE/SKEW/KURTOSIS are shift-invariant, so the replay over
+    values shifted by +1.7e12 (epoch-millis magnitude) must match the
+    unshifted run. The raw about-0 power-sum replay cancelled
+    catastrophically here (code-review finding); the pivot-shifted
+    accumulation restores the old reverse-Welford stability."""
+    from chronon_ray.pipelines.mutations import temporal_entities_join
+
+    snap, mut, q = _cdc_fixture(seed=67)
+    SHIFT = 1.7e12
+    snap2 = snap.assign(value=snap["value"] + SHIFT)
+    mut2 = mut.assign(value=mut["value"] + SHIFT)
+    conf = GroupByConf(
+        name="mom", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "variance", [UNBOUNDED]),
+                      agg("value", "skew", [UNBOUNDED]),
+                      agg("value", "kurtosis", [UNBOUNDED])),
+    )
+    base = temporal_entities_join(
+        rd.from_pandas(q), rd.from_pandas(snap), rd.from_pandas(mut),
+        conf, num_partitions=4).to_pandas().sort_values(
+            ["user_id", "ts"]).reset_index(drop=True)
+    shifted = temporal_entities_join(
+        rd.from_pandas(q), rd.from_pandas(snap2), rd.from_pandas(mut2),
+        conf, num_partitions=4).to_pandas().sort_values(
+            ["user_id", "ts"]).reset_index(drop=True)
+    assert len(base) == len(shifted) > 0
+    for c in ["value_variance", "value_skew", "value_kurtosis"]:
+        a = base[c].astype(float)
+        b = shifted[c].astype(float)
+        na, nb = a.isna(), b.isna()
+        assert (na == nb).all(), c
+        # residual ~1e-4 relative is the float64 REPRESENTATION error of
+        # 1.7e12-magnitude inputs (LSB ~2.4e-4), unavoidable by any
+        # algorithm; the pre-fix cancellation errors were O(1)-O(100)
+        np.testing.assert_allclose(b[~nb], a[~na], rtol=5e-3, atol=5e-3,
+                                   err_msg=c)
