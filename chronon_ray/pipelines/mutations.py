@@ -628,6 +628,10 @@ def temporal_entities_join(
     left_cols = list(q_schema.names)
     agg = RowAggregator(parts, s_schema)
     w_bound = [bp for bp in agg.bound if not bp.part.window.unbounded]
+    # single-part aggregators for the nested masked re-partials in
+    # snap_partials (full partial_frame would recompute all parts per part)
+    one_agg = {bp.name: RowAggregator([bp.part], s_schema)
+               for bp in w_bound if bp.is_map or bp.explode}
     input_cols = sorted({p.input_column for p in parts})
     # all three tagged branches MUST hash the same key representation —
     # canonicalize to the query schema's key types before partitioning
@@ -682,8 +686,8 @@ def temporal_entities_join(
                 if coll.any():
                     if nested:
                         sub = batch.filter(pa.array(coll))
-                        res = agg.partial_frame(sub, codes[coll],
-                                                len(uniq)).set_index("g")
+                        res = one_agg[name].partial_frame(
+                            sub, codes[coll], len(uniq)).set_index("g")
                     else:
                         dfc = pd.DataFrame({"g": codes[coll], "v": v[coll]})
                         res = op.partial(dfc, len(uniq), p).set_index("g")
@@ -701,7 +705,8 @@ def temporal_entities_join(
                                               return_inverse=True)
                     if nested:
                         sub = batch.filter(pa.array(tail))
-                        rest = agg.partial_frame(sub, pcodes, len(puniq))
+                        rest = one_agg[name].partial_frame(sub, pcodes,
+                                                           len(puniq))
                     else:
                         dft = pd.DataFrame({"g": pcodes, "v": v[tail]})
                         rest = op.partial(dft, len(puniq), p)

@@ -177,6 +177,10 @@ def groupby_upload(
                                     batch_format="pyarrow")
     agg = RowAggregator(parts, schema)
     windowed = [bp for bp in agg.bound if not bp.part.window.unbounded]
+    # single-part aggregators for the per-part masked re-partials below:
+    # the full agg.partial_frame would recompute EVERY part's IRs per
+    # windowed part (O(parts^2) work) just to keep one part's columns
+    one_agg = {bp.name: RowAggregator([bp.part], schema) for bp in windowed}
 
     def partials(tbl: pa.Table) -> pa.Table:
         tbl = tbl.filter(pc.less(pc.cast(tbl["ts"], pa.int64()),
@@ -203,8 +207,8 @@ def groupby_upload(
                 irf[irc] = None
             if coll.any():
                 sub = tbl.filter(pa.array(coll))
-                subf = agg.partial_frame(sub, codes[coll],
-                                         len(uniq)).set_index("g")
+                subf = one_agg[name].partial_frame(
+                    sub, codes[coll], len(uniq)).set_index("g")
                 for irc in ircs:
                     irf.loc[subf.index, irc] = subf[irc]
             tail_col = pd.Series([None] * len(irf), index=irf.index,
@@ -215,7 +219,7 @@ def groupby_upload(
                 pairs = np.stack([gt, hs], axis=1)
                 puniq, pcodes = np.unique(pairs, axis=0, return_inverse=True)
                 sub = tbl.filter(pa.array(tail))
-                subf = agg.partial_frame(sub, pcodes, len(puniq))
+                subf = one_agg[name].partial_frame(sub, pcodes, len(puniq))
                 per_g: dict[int, dict] = {}
                 for _, prow in subf.iterrows():
                     gg, hopstart = puniq[int(prow["g"])]
