@@ -257,6 +257,25 @@ def run_bench() -> dict:
                      batch_size=64, concurrency=(1, 8)).count()
     times["image_decode"] = round(time.perf_counter() - t0, 3)
 
+    # decode-DOMINATED hi-res fixture (128 × 512×512 PNG, ~100 MB): the
+    # small-image entry above is actor-pool-floor-bound once the native
+    # libpng/libjpeg tier engages; this one actually measures decode.
+    # (pure-python tier on the same fixture: ~20 s — see BASELINE.md r4)
+    media_hi = rd.from_arrow(
+        synth_media_table(128, side=512, formats=("png",))) \
+        .repartition(16).materialize()
+    t0 = time.perf_counter()
+    media_hi.map_batches(DecodeImageStage,
+                         fn_constructor_kwargs={"fake": False,
+                                                "out_h": 64, "out_w": 64},
+                         batch_format="pyarrow", batch_size=8,
+                         concurrency=(1, 8)) \
+        .map_batches(ImageFeatureStage,
+                     fn_constructor_kwargs={"h": 64, "w": 64},
+                     batch_format="pyarrow", batch_size=8,
+                     concurrency=(1, 8)).count()
+    times["image_decode_hires"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "token_backfill_wall_sec (as-of join + windowed GroupBy over "
                   "pre-tokenized sequences)",

@@ -22,6 +22,12 @@ Decode support matrix (no PIL/libav/soundfile in this container):
   with ``fake=False`` they raise NotImplementedError where the real
   library call belongs.
 
+PNG/JPEG additionally have a NATIVE throughput tier (native_decode.py: a
+compiled libjpeg/libpng shim, built on first use from the system compiler
+and libraries) selected per-actor via ``DecodeImageStage(decoder=...)`` —
+"auto" upgrades when the node can build it; the pure-python decoders above
+remain the parity oracle either way.
+
 Actor-pool stages with small batch sizes: large binary rows mean a batch ×
 concurrency must fit the worker heap — callers should pass
 ``batch_size=32..256`` and ``concurrency`` sized to the node.
@@ -308,12 +314,31 @@ class DecodeImageStage:
 
     Real decode + nearest-neighbor resize for bmp/ppm; compressed formats
     use the deterministic fake when ``fake=True``, else raise where the
-    PIL/turbojpeg call belongs."""
+    PIL/turbojpeg call belongs.
+
+    ``decoder`` selects the PNG/JPEG tier: "auto" (default) uses the
+    compiled libjpeg/libpng shim when this node can build it (see
+    native_decode.py — the 100-TB throughput tier) and falls back to the
+    pure-python oracle decoders otherwise; "native" requires the shim;
+    "python" pins the oracle tier.  The tier choice happens ONCE per actor
+    in ``__init__`` (actor-pool stage), never per batch."""
 
     def __init__(self, out_h: int = 32, out_w: int = 32, fake: bool = True,
-                 payload_col: str = "payload", meta_col: str = "meta"):
+                 payload_col: str = "payload", meta_col: str = "meta",
+                 decoder: str = "auto"):
         self.out_h, self.out_w, self.fake = out_h, out_w, fake
         self.payload_col, self.meta_col = payload_col, meta_col
+        if decoder not in ("auto", "native", "python"):
+            raise ValueError(f"decoder {decoder!r}")
+        self._native = None
+        if decoder in ("auto", "native"):
+            from . import native_decode
+            if native_decode.available():
+                self._native = native_decode
+            elif decoder == "native":
+                raise RuntimeError(
+                    "native decode tier unavailable on this node "
+                    "(needs cc + libjpeg/libpng)")
 
     def _decode_one(self, payload: bytes, fmt) -> np.ndarray:
         if fmt == "bmp" or (fmt is None and payload[:2] == b"BM"):
@@ -321,9 +346,14 @@ class DecodeImageStage:
         if fmt == "ppm" or (fmt is None and payload[:2] == b"P6"):
             return resize_nearest(decode_ppm(payload), self.out_h, self.out_w)
         if fmt == "png" or (fmt is None and payload[:8] == _PNG_SIG):
-            return resize_nearest(decode_png(payload), self.out_h, self.out_w)
+            dec = (self._native.decode_png_native if self._native
+                   else decode_png)
+            return resize_nearest(dec(payload), self.out_h, self.out_w)
         if fmt in ("jpeg", "jpg") or (fmt is None
                                       and payload[:2] == b"\xFF\xD8"):
+            if self._native is not None:
+                return resize_nearest(self._native.decode_jpeg_native(payload),
+                                      self.out_h, self.out_w)
             from .jpeg import decode_jpeg_baseline
             return resize_nearest(decode_jpeg_baseline(payload),
                                   self.out_h, self.out_w)
@@ -457,17 +487,26 @@ class VideoFrameSampleStage:
 
 
 def synth_media_table(n: int, seed: int = 42,
-                      modality: str = "image") -> pa.Table:
+                      modality: str = "image",
+                      side: Optional[int] = None,
+                      formats: tuple = ("bmp", "ppm", "png", "jpeg")) \
+        -> pa.Table:
     """Deterministic REAL media table: BMP images / PCM16 WAV audio /
     rawvideo clips with correct metadata (payloads decodable by the real
-    kernels above)."""
+    kernels above).  ``side`` pins a fixed image size (default: random
+    8-48 px); ``formats`` restricts the image-format cycle — e.g.
+    ``side=512, formats=("png",)`` builds a decode-dominated hi-res
+    fixture without paying the pure-python JPEG *encode* cost."""
     rng = np.random.Generator(np.random.PCG64(seed))
     payloads, meta = [], []
     for i in range(n):
         if modality == "image":
-            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            if side is not None:
+                h = w = int(side)
+            else:
+                h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            fmt = ("bmp", "ppm", "png", "jpeg")[i % 4]
+            fmt = formats[i % len(formats)]
             if fmt == "jpeg":
                 from .jpeg import encode_jpeg_baseline
                 p = encode_jpeg_baseline(

@@ -1,0 +1,120 @@
+"""Native decode tier (compiled libjpeg/libpng shim) vs the pure-python
+oracle decoders.  PNG must be BIT-EXACT (both are lossless decoders of the
+same stream); JPEG is pinned to a small bounded error (decoders legitimately
+differ by a few levels — IDCT rounding / fixed- vs float-point color
+convert), with replication upsampling matched on both sides."""
+
+import numpy as np
+import pytest
+import ray
+
+from chronon_ray.functions import native_decode as nd
+from chronon_ray.functions.jpeg import (decode_jpeg_baseline,
+                                        encode_jpeg_baseline)
+from chronon_ray.functions.multimodal import (DecodeImageStage, decode_png,
+                                              encode_png, synth_media_table)
+
+pytestmark = pytest.mark.skipif(
+    not nd.available(), reason="native decode tier unavailable on this node")
+
+
+def test_png_native_bit_exact_all_filters():
+    rng = np.random.Generator(np.random.PCG64(11))
+    for f in range(5):
+        for h, w in ((1, 1), (3, 17), (40, 31)):
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            buf = encode_png(pix, filter_type=f)
+            np.testing.assert_array_equal(nd.decode_png_native(buf),
+                                          decode_png(buf))
+
+
+def test_png_native_gray_and_rgba():
+    import struct
+    import zlib
+
+    from chronon_ray.functions.multimodal import _PNG_SIG, _png_chunk
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    # gray (colortype 0): replicated to RGB, same as the python tier
+    g = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[r].tobytes() for r in range(9))
+    buf = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 0, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(nd.decode_png_native(buf), decode_png(buf))
+    # RGBA (colortype 6): alpha DROPPED, never composited
+    a = rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(5))
+    buf = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 6, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(nd.decode_png_native(buf), a[:, :, :3])
+
+
+def test_jpeg_native_parity_bounded():
+    rng = np.random.Generator(np.random.PCG64(13))
+    worst = 0
+    for sub in ("444", "420"):
+        for q in (75, 90):
+            pix = rng.integers(0, 256, size=(33, 29, 3), dtype=np.uint8)
+            buf = encode_jpeg_baseline(pix, quality=q, subsample=sub)
+            a = nd.decode_jpeg_native(buf).astype(np.int16)
+            b = decode_jpeg_baseline(buf).astype(np.int16)
+            assert a.shape == b.shape
+            d = np.abs(a - b)
+            worst = max(worst, int(d.max()))
+            # libjpeg clamps IDCT samples to 8-bit BEFORE color convert,
+            # the python tier converts unclamped floats — isolated pixels
+            # on saturated noise can differ by ~a dozen levels, so pin the
+            # tail mass and RMS rather than a tight max.
+            assert d.max() <= 24, (sub, q, int(d.max()))
+            assert (d > 4).mean() < 0.005, (sub, q)
+            assert np.sqrt((d.astype(np.float64) ** 2).mean()) < 2.0
+    # observed ceiling is 11 (one pixel); 24 is slack for other builds
+    assert worst <= 24
+
+
+def test_jpeg_native_grayscale_and_restart():
+    rng = np.random.Generator(np.random.PCG64(14))
+    g = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    pix = np.repeat(g[:, :, None], 3, axis=2)
+    buf = encode_jpeg_baseline(pix, quality=90)  # gray-ish input, 444
+    a = nd.decode_jpeg_native(buf).astype(np.int16)
+    b = decode_jpeg_baseline(buf).astype(np.int16)
+    assert np.abs(a - b).max() <= 8
+    # restart markers (DRI/RSTn)
+    pix = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    buf = encode_jpeg_baseline(pix, quality=85, subsample="420",
+                               restart_interval=2)
+    a = nd.decode_jpeg_native(buf).astype(np.int16)
+    b = decode_jpeg_baseline(buf).astype(np.int16)
+    assert np.abs(a - b).max() <= 8
+
+
+def test_native_rejects_garbage():
+    with pytest.raises(ValueError):
+        nd.decode_jpeg_native(b"\xff\xd8 not a real jpeg")
+    with pytest.raises(ValueError):
+        nd.decode_png_native(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_stage_tiers_agree_on_fixture_corpus(ray_session):
+    """DecodeImageStage(decoder='native') vs 'python' over the mixed
+    bmp/ppm/png/jpeg fixture: identical except a bounded JPEG delta."""
+    tbl = synth_media_table(48)
+    ds = ray.data.from_arrow(tbl)
+    kw = dict(out_h=16, out_w=16, fake=False)
+    nat = ds.map_batches(DecodeImageStage(decoder="native", **kw),
+                         batch_format="pyarrow", batch_size=16).to_pandas()
+    pyt = ds.map_batches(DecodeImageStage(decoder="python", **kw),
+                         batch_format="pyarrow", batch_size=16).to_pandas()
+    fmts = [m["format"] for m in tbl["meta"].to_pylist()]
+    for i, fmt in enumerate(fmts):
+        a = np.asarray(nat["pixels"].iloc[i], dtype=np.int16)
+        b = np.asarray(pyt["pixels"].iloc[i], dtype=np.int16)
+        if fmt == "jpeg":
+            assert np.abs(a - b).max() <= 8, (i, fmt)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f"{i} {fmt}")
