@@ -730,11 +730,12 @@ def q_dedup_spans(sf_dir: str):
 
 
 def q_semdedup(sf_dir: str):
-    """SemDeDup (cluster-then-cosine semantic dedup) — rows-only check:
-    k-means clustering is not SQL-expressible. Every input vector gets one
-    decision row (keep / dup_of), so the row count is the corpus size;
-    planted-duplicate recall and greedy-chain semantics are covered in
-    pytest (test_functions.test_semdedup)."""
+    """SemDeDup (cluster-then-cosine semantic dedup), deterministic mode:
+    k-means seeds from the first k id-sorted sample rows so the whole run —
+    assignment, per-cluster greedy keep/drop chain, dup_of attribution — is
+    engine-reproducible and the DuckDB oracle (recursive CTE carrying the
+    kept-id list) replays it bit-for-bit. Planted-duplicate recall is
+    additionally covered in pytest (test_functions.test_semdedup)."""
     import ray.data as rd
 
     from chronon_ray.functions.dedup import semdedup
@@ -742,8 +743,10 @@ def q_semdedup(sf_dir: str):
     _ctx()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = semdedup(emb, "embedding", "vec_id", threshold=0.4,
-                   n_clusters=8).to_pandas()
+                   n_clusters=8, deterministic=True).to_pandas()
     out["keep"] = out["keep"].astype(bool)
+    # DuckDB renders nullable BIGINT as float64 — match the dtype kind
+    out["dup_of"] = out["dup_of"].astype(np.float64)
     return out[["vec_id", "cluster", "keep", "dup_of"]] \
         .sort_values("vec_id").reset_index(drop=True)
 
@@ -2539,7 +2542,116 @@ def oracle_sql() -> dict[str, str]:
         "token_unique": _token_unique_oracle_sql(),
         "shuffle_export": _shuffle_export_oracle_sql(),
         "training_export": _training_export_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
     }
+
+
+def _semdedup_oracle_sql(dim: int = 64, k: int = 8, iters: int = 8,
+                         threshold: float = 0.4) -> str:
+    """Bit-exact DuckDB replay of deterministic semdedup (q_semdedup):
+    float64-normalized embeddings, k-means seeded from the first k id-sorted
+    rows (`iters` Lloyd rounds, argmax ties -> lowest cluster, empty
+    clusters keep their centroid), then the per-cluster greedy chain in
+    vec_id order — drop a row iff its max cosine against the KEPT earlier
+    rows reaches `threshold`; dup_of = that argmax (ties -> lowest rn).
+
+    The greedy is a recursive CTE carrying one state row per cluster per
+    step: (cluster, i, kept-ids list). UNION ALL recursion only feeds back
+    the previous iteration's rows, so the accumulated keep-set must live IN
+    the row. `assigned` is MATERIALIZED — otherwise the whole k-means chain
+    re-evaluates on every recursive step."""
+    parts = [f"""
+with recursive
+ne as materialized (
+    select vec_id,
+           list_transform(
+               list_transform(embedding, x -> cast(x as double)),
+               x -> x / greatest(
+                   sqrt(list_dot_product(
+                       list_transform(embedding, y -> cast(y as double)),
+                       list_transform(embedding, y -> cast(y as double)))),
+                   1e-12)) as e
+    from embeddings
+),
+cent0 as (
+    select row_number() over (order by vec_id) - 1 as cl, e as c
+    from ne order by vec_id limit {k}
+)"""]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+asg{i} as (
+    select vec_id, e, cl from (
+        select ne.vec_id, ne.e, p.cl,
+               row_number() over (
+                   partition by ne.vec_id
+                   order by list_dot_product(ne.e, p.c) desc, p.cl asc) as rn
+        from ne cross join {prev} p)
+    where rn = 1
+),
+newc{i} as (
+    select cl, list(v order by idx) as c from (
+        select cl, i.i as idx, avg(e[i.i]) as v
+        from asg{i}, range(1, {dim + 1}) i(i)
+        group by cl, i.i)
+    group by cl
+),
+cent{i} as (
+    select p.cl,
+           case when n.c is null then p.c
+                else list_transform(n.c, x -> x / greatest(
+                    sqrt(list_dot_product(n.c, n.c)), 1e-12))
+           end as c
+    from {prev} p left join newc{i} n using (cl)
+)""")
+        prev = f"cent{i}"
+    parts.append(f""",
+assigned as materialized (
+    select vec_id, e, cl as cluster,
+           row_number() over (partition by cl order by vec_id) as rn
+    from (
+        select ne.vec_id, ne.e, p.cl,
+               row_number() over (
+                   partition by ne.vec_id
+                   order by list_dot_product(ne.e, p.c) desc, p.cl asc) as rnk
+        from ne cross join {prev} p)
+    where rnk = 1
+),
+greedy as (
+    select cluster, 1 as i, [vec_id] as kept
+    from assigned where rn = 1
+    union all
+    select s.cluster, s.i + 1,
+           case when (
+               select max(list_dot_product(a.e, k.e))
+               from assigned k
+               where k.cluster = s.cluster
+                 and list_contains(s.kept, k.vec_id)
+           ) >= {threshold}
+           then s.kept else list_append(s.kept, a.vec_id) end
+    from greedy s
+    join assigned a on a.cluster = s.cluster and a.rn = s.i + 1
+),
+final_kept as (
+    select cluster, kept
+    from greedy
+    qualify row_number() over (partition by cluster order by i desc) = 1
+),
+labeled as materialized (
+    select a.vec_id, a.cluster, a.rn, a.e,
+           list_contains(f.kept, a.vec_id) as keep
+    from assigned a join final_kept f using (cluster)
+)
+select l.vec_id, l.cluster, l.keep,
+       case when l.keep then cast(null as bigint) else (
+           select k.vec_id
+           from labeled k
+           where k.cluster = l.cluster and k.keep and k.rn < l.rn
+           order by list_dot_product(l.e, k.e) desc, k.rn asc
+           limit 1) end as dup_of
+from labeled l
+order by vec_id""")
+    return "".join(parts)
 
 
 def _training_export_oracle_sql() -> str:

@@ -1439,6 +1439,7 @@ def semdedup(
     n_clusters: int = 16,
     sample_limit: int = 20_000,
     target_cluster_rows: int = 4096,
+    deterministic: bool = False,
 ) -> ray.data.Dataset:
     """Semantic dedup (Abbas et al. 2023, SemDeDup): k-means-cluster the
     embedding space, then inside each cluster drop every point whose cosine
@@ -1456,6 +1457,12 @@ def semdedup(
 
     Output: (vec_id, cluster, keep, dup_of) — dup_of is the kept point
     that evicted this one (highest cosine among kept hits), null if kept.
+
+    ``deterministic=True`` makes the whole run engine-reproducible (the
+    driver's SQL oracle replays it): the centroid sample is sorted by
+    `id_col`, k-means seeds from the first `n_clusters` rows instead of a
+    random draw, and all float work runs in float64 — no behavioral change
+    beyond the seeding when the sample covers the corpus.
     """
     from .knn import _kmeans, _normalize
 
@@ -1465,8 +1472,10 @@ def semdedup(
     n_clusters = max(n_clusters,
                      -(-n_rows // max(target_cluster_rows, 1)))
     sample = embeddings.limit(sample_limit).to_pandas()
-    m = _normalize(np.stack(sample[emb_col].to_numpy()))
-    cent = _kmeans(m, n_clusters)
+    if deterministic:
+        sample = sample.sort_values(id_col, kind="mergesort")
+    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    cent = _kmeans(m, n_clusters, init="first" if deterministic else "random")
     ref = ray.put(cent)
 
     class Assign:
@@ -1476,7 +1485,8 @@ def semdedup(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._c is None:
                 self._c = ray.get(ref)
-            emb = _normalize(np.stack(batch[emb_col].to_pandas().to_numpy()))
+            emb = _normalize(np.stack(batch[emb_col].to_pandas().to_numpy())
+                             .astype(np.float64))
             cl = (emb @ self._c.T).argmax(axis=1)
             return batch.append_column("_cluster",
                                        pa.array(cl.astype(np.int64)))
@@ -1486,7 +1496,7 @@ def semdedup(
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        X = _normalize(np.stack(pdf[emb_col].to_numpy()))
+        X = _normalize(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
         n = len(X)
         G = X @ X.T
         keep = np.ones(n, dtype=bool)

@@ -110,10 +110,16 @@ def brute_force_knn(
 
 
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 8,
-            seed: int = 11) -> np.ndarray:
-    rng = np.random.Generator(np.random.PCG64(seed))
-    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
-    cent = sample[idx].copy()
+            seed: int = 11, init: str = "random") -> np.ndarray:
+    if init == "first":
+        # deterministic seeding: the first k sample rows (callers that need
+        # cross-engine reproducibility sort the sample by id first)
+        cent = sample[:min(n_clusters, len(sample))].copy()
+    else:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                         replace=False)
+        cent = sample[idx].copy()
     for _ in range(iters):
         d = sample @ cent.T
         assign = d.argmax(axis=1)
