@@ -1160,21 +1160,27 @@ def q_decontaminate(sf_dir: str):
 
 
 def q_pq_knn(sf_dir: str):
-    """Product-quantization ANN tier (ADC scan over m=16 uint8 codes per
-    vector) — rows-only check: kmeans codebooks are not SQL-expressible;
-    recall-vs-brute-force is pinned in pytest (test_pq_knn_recall)."""
+    """Product-quantization ANN tier (ADC gather-sum over m=16 uint8 codes
+    per vector), deterministic mode: each sub-codebook is an exact subvector
+    slice of the first-256 id-sorted normalized embeddings (Lloyd refinement
+    off), so encode + ADC replay bit-for-bit in the DuckDB oracle. The
+    refined (Lloyd) regime's recall is pinned in pytest
+    (test_pq_knn_recall)."""
     import ray.data as rd
 
     from chronon_ray.functions.knn import build_pq, pq_knn
 
     _ctx()
     corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pdf = corpus.limit(10).to_pandas()
-    qm = np.stack(pdf["embedding"].to_numpy())
-    qids = pdf["vec_id"].to_numpy()
-    books, coded = build_pq(corpus, m=16)
+    head = corpus.filter(expr="vec_id < 10").to_pandas() \
+        .sort_values("vec_id")
+    qm = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].to_numpy()
+    books, coded = build_pq(corpus, m=16, deterministic=True)
     out = pq_knn(coded, books, qids, qm, k=5).to_pandas()
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank"]] \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def q_hnsw_knn(sf_dir: str):
@@ -2543,7 +2549,74 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_export": _shuffle_export_oracle_sql(),
         "training_export": _training_export_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "pq_knn": _pq_knn_oracle_sql(),
     }
+
+
+def _pq_knn_oracle_sql(dim: int = 64, m: int = 16, n_codes: int = 256,
+                       k: int = 5, nq: int = 10) -> str:
+    """Bit-exact DuckDB replay of deterministic PQ/ADC (q_pq_knn):
+    float64-normalized embeddings; sub-codebook j = the j-th length-dsub
+    slice of the first `n_codes` id-sorted normalized vectors (Lloyd off);
+    encode = argmin over codes of -2·x·c + ‖c‖² (ties → lowest code, the
+    numpy argmin convention); ADC score = Σ_j q_subj · cent[code_j], summed
+    in ascending-j order to match the engine's sequential accumulate; final
+    rank = (score desc, neighbor_id asc), exactly _FinalTopK's total order.
+    Margins are ~1e-7 on the fixture data — nine decades above fp noise —
+    so cross-engine bit-exactness holds (verified empirically)."""
+    dsub = dim // m
+    return f"""
+with
+ne as materialized (
+    select vec_id,
+           list_transform(
+               list_transform(embedding, x -> cast(x as double)),
+               x -> x / greatest(
+                   sqrt(list_dot_product(
+                       list_transform(embedding, y -> cast(y as double)),
+                       list_transform(embedding, y -> cast(y as double)))),
+                   1e-12)) as e
+    from embeddings
+),
+sub as materialized (
+    select vec_id, j.j,
+           list_slice(e, j.j * {dsub} + 1, j.j * {dsub} + {dsub}) as s
+    from ne cross join range(0, {m}) j(j)
+),
+cb as materialized (
+    select f.code, s.j, s.s as c
+    from (select vec_id, row_number() over (order by vec_id) - 1 as code
+          from ne order by vec_id limit {n_codes}) f
+    join sub s using (vec_id)
+),
+enc as materialized (
+    select vec_id, j, code from (
+        select v.vec_id, b.j, b.code,
+               row_number() over (
+                   partition by v.vec_id, b.j
+                   order by -2 * list_dot_product(v.s, b.c)
+                            + list_dot_product(b.c, b.c) asc,
+                            b.code asc) as rn
+        from sub v join cb b using (j))
+    where rn = 1
+),
+scores as materialized (
+    select q.vec_id as query_id, e.vec_id as neighbor_id,
+           list_sum(list(list_dot_product(q.s, b.c) order by e.j)) as score
+    from enc e
+    join cb b on b.j = e.j and b.code = e.code
+    join (select vec_id, j, s from sub where vec_id < {nq}) q on q.j = e.j
+    group by q.vec_id, e.vec_id
+)
+select query_id, neighbor_id, rank from (
+    select query_id, neighbor_id,
+           row_number() over (
+               partition by query_id
+               order by score desc, neighbor_id asc) as rank
+    from scores)
+where rank <= {k}
+order by query_id, rank
+"""
 
 
 def _semdedup_oracle_sql(dim: int = 64, k: int = 8, iters: int = 8,

@@ -408,13 +408,18 @@ def hnsw_knn(
 
 
 def _pq_kmeans(sample: np.ndarray, n_codes: int, iters: int = 10,
-               seed: int = 13) -> np.ndarray:
+               seed: int = 13, init: str = "random") -> np.ndarray:
     """Euclidean k-means for a PQ sub-codebook (cosine kmeans above is for
     unit vectors; subvectors are not unit)."""
-    rng = np.random.Generator(np.random.PCG64(seed))
-    idx = rng.choice(len(sample), size=min(n_codes, len(sample)),
-                     replace=False)
-    cent = sample[idx].copy()
+    if init == "first":
+        # deterministic seeding: the first k sample rows (callers that need
+        # cross-engine reproducibility sort the sample by id first)
+        cent = sample[:min(n_codes, len(sample))].copy()
+    else:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        idx = rng.choice(len(sample), size=min(n_codes, len(sample)),
+                         replace=False)
+        cent = sample[idx].copy()
     for _ in range(iters):
         # ||x-c||^2 argmin == (-2 x.c + ||c||^2) argmin — avoids the
         # (n, k, dsub) difference tensor
@@ -429,7 +434,7 @@ def _pq_kmeans(sample: np.ndarray, n_codes: int, iters: int = 10,
 
 def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
              id_col: str = "vec_id", m: int = 8, n_codes: int = 256,
-             sample_limit: int = 20_000):
+             sample_limit: int = 20_000, deterministic: bool = False):
     """Product-quantize the corpus: split the (normalized) embedding into m
     subspaces, learn a `n_codes`-entry codebook per subspace from a bounded
     sample, and encode every vector as m uint8 codes (~m bytes/vec vs
@@ -437,14 +442,29 @@ def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
     (m, n_codes, dsub), coded_ds with a `code` list<uint8> column).
 
     Scale shape: codebooks are driver-learned on the sample and broadcast;
-    encoding is a zero-shuffle streaming map."""
+    encoding is a zero-shuffle streaming map.
+
+    ``deterministic=True`` makes the whole build engine-reproducible (the
+    driver's SQL oracle replays it): the sample is sorted by `id_col`, all
+    float work runs in float64, and each sub-codebook is seeded from the
+    first `n_codes` sample subvectors with Lloyd refinement OFF — the
+    codebook is then an exact slice of the input table, so encode + ADC are
+    SQL-expressible. The refined (Lloyd) regime stays recall-pinned in
+    pytest."""
     sample = corpus.limit(sample_limit).to_pandas()
-    x = _normalize(np.stack(sample[emb_col].to_numpy()))
+    if deterministic:
+        sample = sample.sort_values(id_col, kind="mergesort")
+    x = np.stack(sample[emb_col].to_numpy())
+    if deterministic:
+        x = x.astype(np.float64)
+    x = _normalize(x)
     dim = x.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m
     books = np.stack([
-        _pq_kmeans(x[:, j * dsub:(j + 1) * dsub], n_codes, seed=13 + j)
+        _pq_kmeans(x[:, j * dsub:(j + 1) * dsub], n_codes, seed=13 + j,
+                   iters=0 if deterministic else 10,
+                   init="first" if deterministic else "random")
         for j in range(m)])
     ref = ray.put(books)
 
@@ -455,7 +475,10 @@ def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._b is None:
                 self._b = ray.get(ref)
-            emb = _normalize(np.stack(batch[emb_col].to_pandas().to_numpy()))
+            emb = np.stack(batch[emb_col].to_pandas().to_numpy())
+            if deterministic:
+                emb = emb.astype(np.float64)
+            emb = _normalize(emb)
             n = len(emb)
             codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
