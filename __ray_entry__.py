@@ -2563,7 +2563,10 @@ def _pq_knn_oracle_sql(dim: int = 64, m: int = 16, n_codes: int = 256,
     in ascending-j order to match the engine's sequential accumulate; final
     rank = (score desc, neighbor_id asc), exactly _FinalTopK's total order.
     Margins are ~1e-7 on the fixture data — nine decades above fp noise —
-    so cross-engine bit-exactness holds (verified empirically)."""
+    so cross-engine bit-exactness holds (verified empirically). Size-robust:
+    both sides take the global first `n_codes` id-sorted vectors as the
+    codebook (the engine sorts before its sample limit), so this holds for
+    any corpus with ≥ n_codes rows, not just the small fixtures."""
     dsub = dim // m
     return f"""
 with
@@ -2632,7 +2635,14 @@ def _semdedup_oracle_sql(dim: int = 64, k: int = 8, iters: int = 8,
     step: (cluster, i, kept-ids list). UNION ALL recursion only feeds back
     the previous iteration's rows, so the accumulated keep-set must live IN
     the row. `assigned` is MATERIALIZED — otherwise the whole k-means chain
-    re-evaluates on every recursive step."""
+    re-evaluates on every recursive step.
+
+    Precondition: the embeddings table must fit within semdedup's
+    sample_limit (20k default) — this SQL runs Lloyd over ALL rows, while
+    the engine learns centroids on the (globally id-first) bounded sample;
+    they coincide only when the sample covers the corpus. Holds for every
+    sf fixture (sf0.1 has 5k vectors); q_semdedup pins n_clusters=8 to
+    match the hardcoded k here (deterministic mode never auto-bumps k)."""
     parts = [f"""
 with recursive
 ne as materialized (

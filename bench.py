@@ -250,7 +250,8 @@ def run_bench() -> dict:
         .repartition(ncpu).materialize()
     t0 = time.perf_counter()
     media.map_batches(DecodeImageStage,
-                      fn_constructor_kwargs={"fake": False},
+                      fn_constructor_kwargs={"fake": False,
+                                             "decoder": "auto"},
                       batch_format="pyarrow", batch_size=64,
                       concurrency=(1, 8)) \
         .map_batches(ImageFeatureStage, batch_format="pyarrow",
@@ -267,6 +268,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     media_hi.map_batches(DecodeImageStage,
                          fn_constructor_kwargs={"fake": False,
+                                                "decoder": "auto",
                                                 "out_h": 64, "out_w": 64},
                          batch_format="pyarrow", batch_size=8,
                          concurrency=(1, 8)) \

@@ -1459,22 +1459,32 @@ def semdedup(
     that evicted this one (highest cosine among kept hits), null if kept.
 
     ``deterministic=True`` makes the whole run engine-reproducible (the
-    driver's SQL oracle replays it): the centroid sample is sorted by
-    `id_col`, k-means seeds from the first `n_clusters` rows instead of a
-    random draw, and all float work runs in float64 — no behavioral change
-    beyond the seeding when the sample covers the corpus.
+    driver's SQL oracle replays it): the centroid sample is the GLOBALLY
+    first `sample_limit` rows by `id_col` (sort-then-limit, not whatever
+    rows Ray's limit() happens to return), k-means seeds from the first
+    `n_clusters` of them instead of a random draw, all float work runs in
+    float64, and `n_clusters` is honored verbatim (no auto-bump — the
+    oracle hardcodes k). Oracle precondition: the corpus must fit within
+    `sample_limit`, since the SQL replays Lloyd over ALL rows.
+    The deterministic=False default path is byte-identical to before this
+    mode existed (float32 inputs stay float32).
     """
     from .knn import _kmeans, _normalize
 
-    # keep per-cluster pairwise work bounded: one map_groups task holds one
-    # cluster, so n_clusters must grow with the corpus (the paper's regime)
-    n_rows = embeddings.count()
-    n_clusters = max(n_clusters,
-                     -(-n_rows // max(target_cluster_rows, 1)))
-    sample = embeddings.limit(sample_limit).to_pandas()
     if deterministic:
-        sample = sample.sort_values(id_col, kind="mergesort")
-    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+        sample = embeddings.sort(id_col).limit(sample_limit).to_pandas()
+    else:
+        # keep per-cluster pairwise work bounded: one map_groups task holds
+        # one cluster, so n_clusters must grow with the corpus (the paper's
+        # regime)
+        n_rows = embeddings.count()
+        n_clusters = max(n_clusters,
+                         -(-n_rows // max(target_cluster_rows, 1)))
+        sample = embeddings.limit(sample_limit).to_pandas()
+    m = np.stack(sample[emb_col].to_numpy())
+    if deterministic:
+        m = m.astype(np.float64)
+    m = _normalize(m)
     cent = _kmeans(m, n_clusters, init="first" if deterministic else "random")
     ref = ray.put(cent)
 
@@ -1485,8 +1495,10 @@ def semdedup(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._c is None:
                 self._c = ray.get(ref)
-            emb = _normalize(np.stack(batch[emb_col].to_pandas().to_numpy())
-                             .astype(np.float64))
+            emb = np.stack(batch[emb_col].to_pandas().to_numpy())
+            if deterministic:
+                emb = emb.astype(np.float64)
+            emb = _normalize(emb)
             cl = (emb @ self._c.T).argmax(axis=1)
             return batch.append_column("_cluster",
                                        pa.array(cl.astype(np.int64)))
@@ -1496,7 +1508,10 @@ def semdedup(
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        X = _normalize(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+        X = np.stack(pdf[emb_col].to_numpy())
+        if deterministic:
+            X = X.astype(np.float64)
+        X = _normalize(X)
         n = len(X)
         G = X @ X.T
         keep = np.ones(n, dtype=bool)

@@ -445,15 +445,20 @@ def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
     encoding is a zero-shuffle streaming map.
 
     ``deterministic=True`` makes the whole build engine-reproducible (the
-    driver's SQL oracle replays it): the sample is sorted by `id_col`, all
-    float work runs in float64, and each sub-codebook is seeded from the
-    first `n_codes` sample subvectors with Lloyd refinement OFF — the
-    codebook is then an exact slice of the input table, so encode + ADC are
+    driver's SQL oracle replays it): the sample is the GLOBALLY first
+    `sample_limit` rows by `id_col` (sort-then-limit — a bare limit() would
+    make the codebook depend on Ray's block layout for corpora larger than
+    the sample), all float work runs in float64, and each sub-codebook is
+    seeded from the first `n_codes` sample subvectors with Lloyd refinement
+    OFF — the codebook is then an exact slice of the input table (the
+    global first `n_codes` ids, any corpus size), so encode + ADC are
     SQL-expressible. The refined (Lloyd) regime stays recall-pinned in
     pytest."""
-    sample = corpus.limit(sample_limit).to_pandas()
     if deterministic:
-        sample = sample.sort_values(id_col, kind="mergesort")
+        sample = corpus.sort(id_col).limit(sample_limit).to_pandas()
+        sample = sample.sort_values(id_col, kind="mergesort")  # belt+braces
+    else:
+        sample = corpus.limit(sample_limit).to_pandas()
     x = np.stack(sample[emb_col].to_numpy())
     if deterministic:
         x = x.astype(np.float64)

@@ -25,8 +25,9 @@ Decode support matrix (no PIL/libav/soundfile in this container):
 PNG/JPEG additionally have a NATIVE throughput tier (native_decode.py: a
 compiled libjpeg/libpng shim, built on first use from the system compiler
 and libraries) selected per-actor via ``DecodeImageStage(decoder=...)`` —
-"auto" upgrades when the node can build it; the pure-python decoders above
-remain the parity oracle either way.
+"auto" upgrades when the node can build it (opt-in: the default stays the
+bit-reproducible python tier); the pure-python decoders above remain the
+parity oracle either way.
 
 Actor-pool stages with small batch sizes: large binary rows mean a batch ×
 concurrency must fit the worker heap — callers should pass
@@ -316,16 +317,21 @@ class DecodeImageStage:
     use the deterministic fake when ``fake=True``, else raise where the
     PIL/turbojpeg call belongs.
 
-    ``decoder`` selects the PNG/JPEG tier: "auto" (default) uses the
-    compiled libjpeg/libpng shim when this node can build it (see
-    native_decode.py — the 100-TB throughput tier) and falls back to the
-    pure-python oracle decoders otherwise; "native" requires the shim;
-    "python" pins the oracle tier.  The tier choice happens ONCE per actor
-    in ``__init__`` (actor-pool stage), never per batch."""
+    ``decoder`` selects the PNG/JPEG tier: "python" (default) pins the
+    pure-python oracle decoders — bit-reproducible everywhere; "auto" uses
+    the compiled libjpeg/libpng shim when this node can build it (see
+    native_decode.py — the 100-TB throughput tier, ~90× per image) and
+    falls back to pure-python otherwise; "native" requires the shim.
+    The default is the oracle tier ON PURPOSE: on a heterogeneous cluster
+    "auto" makes pixel output depend on which node's actor decoded the row
+    (JPEG decoders legitimately differ by a few levels), so the fast tier
+    is an explicit opt-in where throughput matters more than bit-stability
+    (the bench's decode entries opt in).  The tier choice happens ONCE per
+    actor in ``__init__`` (actor-pool stage), never per batch."""
 
     def __init__(self, out_h: int = 32, out_w: int = 32, fake: bool = True,
                  payload_col: str = "payload", meta_col: str = "meta",
-                 decoder: str = "auto"):
+                 decoder: str = "python"):
         self.out_h, self.out_w, self.fake = out_h, out_w, fake
         self.payload_col, self.meta_col = payload_col, meta_col
         if decoder not in ("auto", "native", "python"):

@@ -54,29 +54,19 @@ static void cr_error_exit(j_common_ptr cinfo) {
     struct cr_jerr *e = (struct cr_jerr *)cinfo->err;
     longjmp(e->jb, 1);
 }
+/* silence output but KEEP the warning count — libjpeg's default
+   emit_message increments num_warnings at msg_level -1 (corrupt data),
+   and cr_jpeg_decode turns a nonzero count into a hard failure. */
 static void cr_emit_message(j_common_ptr cinfo, int msg_level) {
-    (void)cinfo; (void)msg_level;
+    if (msg_level < 0) cinfo->err->num_warnings++;
 }
 static void cr_output_message(j_common_ptr cinfo) { (void)cinfo; }
 
-int cr_jpeg_dims(const unsigned char *buf, size_t len, int *w, int *h) {
-    struct jpeg_decompress_struct cinfo;
-    struct cr_jerr jerr;
-    cinfo.err = jpeg_std_error(&jerr.mgr);
-    jerr.mgr.error_exit = cr_error_exit;
-    jerr.mgr.emit_message = cr_emit_message;
-    jerr.mgr.output_message = cr_output_message;
-    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return 1; }
-    jpeg_create_decompress(&cinfo);
-    jpeg_mem_src(&cinfo, buf, (unsigned long)len);
-    jpeg_read_header(&cinfo, TRUE);
-    *w = (int)cinfo.image_width;
-    *h = (int)cinfo.image_height;
-    jpeg_destroy_decompress(&cinfo);
-    return 0;
-}
-
-/* RGB24 out; replication upsampling to match the pure-python tier. */
+/* RGB24 out; replication upsampling to match the pure-python tier.
+   Any libjpeg warning (truncated stream, corrupt entropy data, bad
+   markers) is treated as FATAL (rc=4): libjpeg's default recovery pads
+   the image with garbage scanlines, which at pipeline scale is silent
+   data corruption — we want corrupt payloads to fail loudly instead. */
 int cr_jpeg_decode(const unsigned char *buf, size_t len,
                    unsigned char *out, size_t cap, int *w, int *h) {
     struct jpeg_decompress_struct cinfo;
@@ -111,17 +101,7 @@ int cr_jpeg_decode(const unsigned char *buf, size_t len,
     *h = (int)cinfo.output_height;
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
-    return 0;
-}
-
-int cr_png_dims(const unsigned char *buf, size_t len, int *w, int *h) {
-    png_image img;
-    memset(&img, 0, sizeof img);
-    img.version = PNG_IMAGE_VERSION;
-    if (!png_image_begin_read_from_memory(&img, buf, len)) return 1;
-    *w = (int)img.width;
-    *h = (int)img.height;
-    png_image_free(&img);
+    if (jerr.mgr.num_warnings != 0) return 4;
     return 0;
 }
 
@@ -145,10 +125,23 @@ int cr_png_decode(const unsigned char *buf, size_t len,
 }
 """
 
-_CACHE_DIR = os.environ.get("CHRONON_NATIVE_CACHE", "/tmp/chronon_ray_native")
+# Per-uid cache dir: the .so path is content-hashed from public source, so
+# a shared world-writable dir would let another local user pre-plant a
+# malicious library at the predictable path. The dir is created 0700 and
+# both it and the cached .so are ownership-checked before any dlopen.
+_CACHE_DIR = os.environ.get(
+    "CHRONON_NATIVE_CACHE", f"/tmp/chronon_ray_native_uid{os.getuid()}")
 
 _lib = None
 _tried = False
+
+
+def _owned_by_us(path: str) -> bool:
+    try:
+        st = os.stat(path, follow_symlinks=False)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid()
 
 
 def _build() -> str | None:
@@ -157,11 +150,15 @@ def _build() -> str | None:
     tag = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
     so_path = os.path.join(_CACHE_DIR, f"crdecode_{tag}.so")
     if os.path.exists(so_path):
-        return so_path
+        if _owned_by_us(_CACHE_DIR) and _owned_by_us(so_path):
+            return so_path
+        return None  # pre-planted by someone else — refuse to load
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
         return None
-    os.makedirs(_CACHE_DIR, exist_ok=True)
+    os.makedirs(_CACHE_DIR, mode=0o700, exist_ok=True)
+    if not _owned_by_us(_CACHE_DIR):
+        return None
     with tempfile.TemporaryDirectory(dir=_CACHE_DIR) as td:
         src = os.path.join(td, "crdecode.c")
         with open(src, "w") as f:
@@ -214,10 +211,6 @@ def _load():
         if so_path is None:
             return None
         lib = ctypes.CDLL(so_path)
-        for name in ("cr_jpeg_dims", "cr_png_dims"):
-            fn = getattr(lib, name)
-            fn.restype = c_int
-            fn.argtypes = [c_char_p, c_size_t, POINTER(c_int), POINTER(c_int)]
         for name in ("cr_jpeg_decode", "cr_png_decode"):
             fn = getattr(lib, name)
             fn.restype = c_int
@@ -237,30 +230,71 @@ def available() -> bool:
     return _load() is not None
 
 
+# Header dims are parsed in PYTHON (a few-byte marker walk) so the C side
+# parses each stream exactly once — the earlier design called a C dims
+# entry point whose jpeg_read_header / png_image_begin_read work was then
+# repeated inside the decode call.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(buf: bytes) -> tuple[int, int]:
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(buf[pos:pos + 2], "big")
+        if marker in _SOF_MARKERS and pos + 7 <= n:
+            h = int.from_bytes(buf[pos + 3:pos + 5], "big")
+            w = int.from_bytes(buf[pos + 5:pos + 7], "big")
+            return h, w
+        pos += ln
+    raise ValueError("libjpeg: cannot parse JPEG header")
+
+
+def _png_dims(buf: bytes) -> tuple[int, int]:
+    if len(buf) < 24 or buf[:8] != _PNG_SIG or buf[12:16] != b"IHDR":
+        raise ValueError("libpng: cannot parse PNG header")
+    w = int.from_bytes(buf[16:20], "big")
+    h = int.from_bytes(buf[20:24], "big")
+    return h, w
+
+
 def _decode_jpeg(lib, buf: bytes) -> np.ndarray:
+    hh, ww = _jpeg_dims(buf)
     w, h = c_int(), c_int()
-    if lib.cr_jpeg_dims(buf, len(buf), byref(w), byref(h)):
-        raise ValueError("libjpeg: cannot parse JPEG header")
-    out = np.empty(h.value * w.value * 3, dtype=np.uint8)
+    out = np.empty(hh * ww * 3, dtype=np.uint8)
     rc = lib.cr_jpeg_decode(buf, len(buf),
                             out.ctypes.data_as(POINTER(c_ubyte)), out.size,
                             byref(w), byref(h))
     if rc:
         raise ValueError(f"libjpeg: decode failed (rc={rc})")
-    return out.reshape(h.value, w.value, 3)
+    # the C side re-checks output dims against the buffer cap (rc=2), so a
+    # python/libjpeg dims disagreement can never overflow — just re-shape
+    return out[:h.value * w.value * 3].reshape(h.value, w.value, 3)
 
 
 def _decode_png(lib, buf: bytes) -> np.ndarray:
+    hh, ww = _png_dims(buf)
     w, h = c_int(), c_int()
-    if lib.cr_png_dims(buf, len(buf), byref(w), byref(h)):
-        raise ValueError("libpng: cannot parse PNG header")
-    out = np.empty(h.value * w.value * 4, dtype=np.uint8)
+    out = np.empty(hh * ww * 4, dtype=np.uint8)
     rc = lib.cr_png_decode(buf, len(buf),
                            out.ctypes.data_as(POINTER(c_ubyte)), out.size,
                            byref(w), byref(h))
     if rc:
         raise ValueError(f"libpng: decode failed (rc={rc})")
-    rgba = out.reshape(h.value, w.value, 4)
+    rgba = out[:h.value * w.value * 4].reshape(h.value, w.value, 4)
     return np.ascontiguousarray(rgba[:, :, :3])
 
 

@@ -93,11 +93,45 @@ def test_jpeg_native_grayscale_and_restart():
     assert np.abs(a - b).max() <= 8
 
 
+def test_jpeg_native_true_grayscale():
+    """A REAL 1-component grayscale JPEG (not gray-valued RGB): exercises
+    libjpeg's JCS_GRAYSCALE→JCS_RGB expansion and the output_components
+    guard against the python tier's Y-stacking."""
+    rng = np.random.Generator(np.random.PCG64(15))
+    for h, w in ((8, 8), (25, 17)):
+        g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        buf = encode_jpeg_baseline(g, quality=90)  # 1-component SOF0
+        a = nd.decode_jpeg_native(buf).astype(np.int16)
+        b = decode_jpeg_baseline(buf).astype(np.int16)
+        assert a.shape == b.shape == (h, w, 3)
+        # gray→RGB replicates the Y plane on both sides; only IDCT
+        # rounding differs (no chroma, no color convert)
+        assert np.abs(a - b).max() <= 2
+        # channel replication must hold exactly on the native side too
+        np.testing.assert_array_equal(a[:, :, 0], a[:, :, 1])
+        np.testing.assert_array_equal(a[:, :, 0], a[:, :, 2])
+
+
 def test_native_rejects_garbage():
     with pytest.raises(ValueError):
         nd.decode_jpeg_native(b"\xff\xd8 not a real jpeg")
     with pytest.raises(ValueError):
         nd.decode_png_native(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_native_rejects_truncated_jpeg():
+    """libjpeg's default recovery pads truncated streams with garbage
+    scanlines and only WARNS; the shim must turn that warning into a
+    loud failure (silent corruption guard), matching the python tier."""
+    rng = np.random.Generator(np.random.PCG64(16))
+    pix = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    buf = encode_jpeg_baseline(pix, quality=90, subsample="420")
+    for frac in (0.5, 0.9):
+        cut = buf[:int(len(buf) * frac)]
+        with pytest.raises(Exception):
+            decode_jpeg_baseline(cut)  # python tier fails loudly
+        with pytest.raises(ValueError):
+            nd.decode_jpeg_native(cut)  # native must too (rc=4 path)
 
 
 def test_stage_tiers_agree_on_fixture_corpus(ray_session):
