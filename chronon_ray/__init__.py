@@ -20,6 +20,26 @@ class _DropSchemaHashWarning(_logging.Filter):
 _logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
     _DropSchemaHashWarning())
 
+
+class _DropEmptyBundleSchemaWarning(_logging.Filter):
+    """Ray's streaming executor warns "Operator produced a RefBundle with a
+    different schema than the previous one" whenever a groupby partition
+    comes back EMPTY (the empty block carries no schema — 'new schema: .'),
+    which is routine for hash-partitioned reduces with more partitions than
+    groups (e.g. the kNN per-query top-k). Only that benign empty-new-schema
+    shape is dropped; a real schema mismatch (both schemas non-empty) still
+    surfaces."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        msg = record.getMessage()
+        return not ("Operator produced a RefBundle with a different schema"
+                    in msg and "new schema: ." in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state").addFilter(
+    _DropEmptyBundleSchemaWarning())
+
 from .api import (  # noqa: F401,E402
     Accuracy,
     BootstrapPart,

@@ -1472,7 +1472,13 @@ def semdedup(
     from .knn import _kmeans, _normalize
 
     if deterministic:
-        sample = embeddings.sort(id_col).limit(sample_limit).to_pandas()
+        # global first-`sample_limit` by id; skip the all-to-all sort when
+        # the corpus already fits the sample (count() is metadata-only)
+        if embeddings.count() <= sample_limit:
+            sample = embeddings.to_pandas()
+        else:
+            sample = embeddings.sort(id_col).limit(sample_limit).to_pandas()
+        sample = sample.sort_values(id_col, kind="mergesort")
     else:
         # keep per-cluster pairwise work bounded: one map_groups task holds
         # one cluster, so n_clusters must grow with the corpus (the paper's
@@ -1500,8 +1506,11 @@ def semdedup(
                 emb = emb.astype(np.float64)
             emb = _normalize(emb)
             cl = (emb @ self._c.T).argmax(axis=1)
-            return batch.append_column("_cluster",
-                                       pa.array(cl.astype(np.int64)))
+            # metadata stripped: parquet's `pandas` blob breaks hash(schema)
+            # in Ray's sort-reduce workers (noisy, unfilterable from here)
+            return batch.append_column(
+                "_cluster", pa.array(cl.astype(np.int64))) \
+                .replace_schema_metadata(None)
 
     assigned = embeddings.map_batches(Assign, batch_format="pyarrow",
                                       concurrency=2)

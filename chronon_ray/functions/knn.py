@@ -82,8 +82,12 @@ def _per_query_topk(cands: ray.data.Dataset, k: int,
     def addp(t: pa.Table) -> pa.Table:
         q = t["query_id"].to_pandas()
         h = pd.util.hash_pandas_object(q, index=False).to_numpy()
+        # drop parquet's `pandas` schema metadata: it makes hash(schema)
+        # fail inside Ray's sort-reduce (worker-side "Failed to hash the
+        # schemas" warning we cannot filter from here)
         return t.append_column(
-            "_part", pa.array((h % num_partitions).astype(np.int64)))
+            "_part", pa.array((h % num_partitions).astype(np.int64))) \
+            .replace_schema_metadata(None)
 
     addp.__name__ = "add_qpart"
     return cands.map_batches(addp, batch_format="pyarrow") \
@@ -158,7 +162,10 @@ def build_ivf(corpus: ray.data.Dataset, emb_col: str = "embedding",
             ids = batch[id_col].to_pandas()
             sub = (pd.util.hash_pandas_object(ids, index=False).to_numpy()
                    % np.uint64(max(sub_shards, 1))).astype(np.int64)
-            return batch.append_column("_sub", pa.array(sub))
+            # metadata stripped: parquet's `pandas` blob breaks hash(schema)
+            # in Ray's sort-reduce workers (noisy, unfilterable from here)
+            return batch.append_column("_sub", pa.array(sub)) \
+                .replace_schema_metadata(None)
 
     assigned = corpus.map_batches(Assign, batch_format="pyarrow", concurrency=2)
     return cent, assigned
@@ -359,7 +366,8 @@ def hnsw_knn(
         ids = t[id_col].to_pandas()
         h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
         return t.append_column("_shard",
-                               pa.array((h % nsh).astype(np.int64)))
+                               pa.array((h % nsh).astype(np.int64))) \
+            .replace_schema_metadata(None)
 
     add_shard.__name__ = "add_shard"
 
@@ -455,8 +463,14 @@ def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
     SQL-expressible. The refined (Lloyd) regime stays recall-pinned in
     pytest."""
     if deterministic:
-        sample = corpus.sort(id_col).limit(sample_limit).to_pandas()
-        sample = sample.sort_values(id_col, kind="mergesort")  # belt+braces
+        # global first-`sample_limit` by id. When the corpus already fits
+        # the sample (count() is metadata-only on parquet) skip the
+        # all-to-all sort — same rows, one exchange less.
+        if corpus.count() <= sample_limit:
+            sample = corpus.to_pandas()
+        else:
+            sample = corpus.sort(id_col).limit(sample_limit).to_pandas()
+        sample = sample.sort_values(id_col, kind="mergesort")
     else:
         sample = corpus.limit(sample_limit).to_pandas()
     x = np.stack(sample[emb_col].to_numpy())
