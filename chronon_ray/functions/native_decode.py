@@ -249,6 +249,9 @@ def _jpeg_dims(buf: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = buf[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

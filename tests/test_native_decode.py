@@ -112,6 +112,18 @@ def test_jpeg_native_true_grayscale():
         np.testing.assert_array_equal(a[:, :, 0], a[:, :, 2])
 
 
+def test_jpeg_native_fill_bytes_before_marker():
+    """0xFF fill bytes before a marker are legal JPEG; the python-side dims
+    walk must skip them like libjpeg does."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    pix = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    buf = encode_jpeg_baseline(pix, quality=90)
+    i = buf.find(b"\xff\xc0")
+    padded = buf[:i] + b"\xff\xff\xff" + buf[i:]
+    assert nd._jpeg_dims(padded) == (16, 12)
+    assert nd.decode_jpeg_native(padded).shape == (16, 12, 3)
+
+
 def test_native_rejects_garbage():
     with pytest.raises(ValueError):
         nd.decode_jpeg_native(b"\xff\xd8 not a real jpeg")
