@@ -498,10 +498,16 @@ class RowAggregator:
                 elif irc == "hist":
                     # str keys: the IR map is map<string,int64>; int-valued
                     # histogram inputs count under their string form
-                    # (reference outputs Map[String, Long])
+                    # (reference outputs Map[String, Long]). Groups whose
+                    # inputs were all null carry a NaN IR — a float NaN is
+                    # NOT a recognized Arrow null for a map type, so map it
+                    # to None explicitly (same guard as the uniq branch).
                     col = df[full].map(
                         lambda d: sorted((str(k), v) for k, v in d.items())
-                        if isinstance(d, dict) else d
+                        if isinstance(d, dict)
+                        else (None if d is None
+                              or (isinstance(d, float) and np.isnan(d))
+                              else d)
                     )
                     arrays[full] = pa.array(col.tolist(), type=fields[0].type)
                 elif irc == "uniq":
