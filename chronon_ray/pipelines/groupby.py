@@ -115,8 +115,11 @@ class PartialAgg:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         key_cols = batch.select(self.keys).to_pandas()
-        # drop rows where ALL keys are null (reference GroupBy.scala:510-512)
-        valid = ~key_cols.isna().all(axis=1)
+        # drop rows where ALL conf keys are null (reference
+        # GroupBy.scala:510-512) — judged over part_keys, i.e. the conf key
+        # columns: in the bucketed pipeline self.keys additionally carries
+        # the bucket column, which must NOT rescue a null-keyed row
+        valid = ~key_cols[self.part_keys].isna().all(axis=1)
         if not valid.all():
             batch = batch.filter(pa.array(valid.to_numpy()))
             key_cols = key_cols[valid.to_numpy()].reset_index(drop=True)
@@ -131,8 +134,12 @@ class PartialAgg:
         sel = irf["g"].to_numpy()
         key_arrays = {}
         for k in self.keys:
+            # from_pandas: factorize renders a null key as float NaN in its
+            # uniques, which must serialize as an Arrow null (a partially-
+            # null multi-key or null-key-in-bucketed group is kept)
             key_arrays[k] = pa.array(kdf[k].to_numpy(dtype=object)[sel],
-                                     type=batch.schema.field(k).type)
+                                     type=batch.schema.field(k).type,
+                                     from_pandas=True)
         part_hash = stable_key_hash(kdf.iloc[sel], self.part_keys) % self.num_partitions
         key_arrays["_part"] = pa.array(part_hash.astype(np.int64))
         return self.agg.ir_frame_to_arrow(irf, key_arrays)
@@ -169,7 +176,8 @@ class MergeFinalize:
         if self.pivot_bucket is None:
             for k in self.keys:
                 out_cols[k] = pa.array(kdf[k].to_numpy(dtype=object)[sel],
-                                       type=self.input_schema.field(k).type)
+                                       type=self.input_schema.field(k).type,
+                                       from_pandas=True)
             for f in self.agg.output_fields():
                 out_cols[f.name] = pa.array(fin[f.name].tolist(), type=f.type)
             return pa.table(out_cols)
@@ -196,7 +204,9 @@ class MergeFinalize:
                 entries.sort(key=lambda t: str(t[0]))
                 maps[f.name].append(entries if entries else None)
         for k in self.out_keys:
-            out_cols[k] = pa.array(out_rows[k], type=self.input_schema.field(k).type)
+            out_cols[k] = pa.array(out_rows[k],
+                                   type=self.input_schema.field(k).type,
+                                   from_pandas=True)
         for f in self.agg.output_fields():
             # bucketed output name carries the _by_ suffix
             out_cols[f.name] = pa.array(maps[f.name], type=pa.map_(pa.string(), f.type))
