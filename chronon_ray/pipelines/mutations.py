@@ -63,6 +63,21 @@ _SUPPORTED = {Operation.SUM, Operation.COUNT, Operation.AVERAGE,
 _MOM_K = {Operation.SUM: 1, Operation.COUNT: 0, Operation.AVERAGE: 1,
           Operation.VARIANCE: 2, Operation.SKEW: 3, Operation.KURTOSIS: 4}
 
+#: central-moment IRs (n, mean, m2, ...) cannot represent a zero-mass
+#: signed state (n == 0 with nonzero sums — e.g. a same-day UPDATE of a
+#: row whose original mass lives in a tail hop), so the CDC replay hands
+#: these parts to the tail-merge step as raw power sums ("PS markers")
+#: and the IR conversion happens only after the query's tail hops fold in.
+_MOMENT_OPS = {Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS}
+
+
+def _is_ps(x) -> bool:
+    return isinstance(x, tuple) and len(x) == 3 and x[0] == "__ps__"
+
+
+def _ir_from_ps_single(op: Operation, S: np.ndarray, pivot: float = 0.0):
+    return _irs_from_ps(op, S[None, :], np.ones(1, dtype=bool), pivot)[0]
+
 
 def _ps_from_ir(op: Operation, ir, K: int, pivot: float = 0.0) -> np.ndarray:
     """Scalar py IR → power sums S_0..S_K about ``pivot`` (exact identities;
@@ -360,14 +375,21 @@ class _EntityPartition:
                 applied = m.any(axis=1)
                 if pr["kind"] == "num":
                     K = pr["K"]
-                    Sb = _ps_from_ir(p.operation, base, K,
-                                     pr.get("pivot", 0.0))
+                    piv = pr.get("pivot", 0.0)
+                    Sb = _ps_from_ir(p.operation, base, K, piv)
                     S = np.empty((len(qts_c), K + 1))
                     for k in range(K + 1):
                         S[:, k] = Sb[k] + sm @ pr["P"][k]
                     has = applied | (base is not None)
-                    out[name].extend(_irs_from_ps(p.operation, S, has,
-                                                  pr.get("pivot", 0.0)))
+                    if p.operation in _MOMENT_OPS:
+                        # PS marker: tail hops must fold in BEFORE the
+                        # central-moment IR conversion (see _MOMENT_OPS)
+                        out[name].extend(
+                            ("__ps__", S[i].tolist(), piv) if has[i]
+                            else None for i in range(len(qts_c)))
+                    else:
+                        out[name].extend(_irs_from_ps(p.operation, S, has,
+                                                      piv))
                 elif pr["kind"] == "hist":
                     D = sm @ pr["E"]  # (cq × nv) signed counts
                     vals = pr["vals"]
@@ -405,6 +427,7 @@ class _EntityPartition:
                     S = np.empty((len(qts_c), nmk, K + 1))
                     for k in range(K + 1):
                         S[:, :, k] = Sb[None, :, k] + sm @ pr["E"][k]
+                    piv = pr.get("pivot", 0.0)
                     for i in range(len(qts_c)):
                         if not applied[i] and base is None:
                             out[name].append(None)
@@ -412,13 +435,19 @@ class _EntityPartition:
                         d = dict(base_only)
                         hask = A[i] | in_base
                         if hask.any():
-                            irs = _irs_from_ps(iop, S[i][hask],
-                                               np.ones(int(hask.sum()),
-                                                       dtype=bool),
-                                               pr.get("pivot", 0.0))
-                            for j, ki in enumerate(np.flatnonzero(hask)):
-                                if irs[j] is not None:
-                                    d[mkeys[ki]] = irs[j]
+                            if iop in _MOMENT_OPS:
+                                # PS markers per map key (see _MOMENT_OPS)
+                                for ki in np.flatnonzero(hask):
+                                    d[mkeys[ki]] = ("__ps__",
+                                                    S[i, ki].tolist(), piv)
+                            else:
+                                irs = _irs_from_ps(iop, S[i][hask],
+                                                   np.ones(int(hask.sum()),
+                                                           dtype=bool),
+                                                   piv)
+                                for j, ki in enumerate(np.flatnonzero(hask)):
+                                    if irs[j] is not None:
+                                        d[mkeys[ki]] = irs[j]
                         out[name].append(d if (d or base is not None
                                                or applied[i]) else None)
         return out
@@ -497,19 +526,66 @@ class _EntityPartition:
         def feats_for(cur: dict, tails: dict, qts: int, batch_end: int) -> list:
             """Finalized value per part for one query instant (tail-hop merge
             + finalize). Non-mutating: py_merge for the deletable set always
-            returns fresh IRs."""
+            returns fresh IRs.
+
+            The CDC replay hands moment-family parts over as raw power-sum
+            markers (see _MOMENT_OPS): the query's tail hops fold into the
+            sums FIRST, and the central-moment IR conversion happens only on
+            the complete window mass — a zero-mass replay intermediate (a
+            same-day update of a tail-resident row) is unrepresentable as
+            (n, mean, m2, ...)."""
             vals = []
             for pi, bp in enumerate(self.bound):
                 p = bp.part
                 ir = cur[bp.name]
                 wop = self.wops[pi]
+                included = []
                 if not p.window.unbounded:
                     hop = tail_hop_millis(p.window)
                     qtail = round_ts(qts - p.window.millis, hop)
                     cut = batch_end - p.window.millis + TAIL_BUFFER_MS
-                    for hopstart, hir in tails.get(bp.name, {}).items():
-                        if hopstart >= qtail and cut > hopstart:
-                            ir = hir if ir is None else wop.py_merge(ir, hir, p)
+                    included = [hir for hopstart, hir
+                                in tails.get(bp.name, {}).items()
+                                if hopstart >= qtail and cut > hopstart]
+                if _is_ps(ir):
+                    K = _MOM_K[p.operation]
+                    S = np.asarray(ir[1], dtype=np.float64)
+                    for hir in included:
+                        S = S + _ps_from_ir(p.operation, hir, K, ir[2])
+                    ir = _ir_from_ps_single(p.operation, S, ir[2])
+                elif bp.is_map and isinstance(ir, dict) \
+                        and any(_is_ps(v) for v in ir.values()):
+                    inner = OPS[p.operation]
+                    K = _MOM_K[p.operation]
+                    d = dict(ir)
+                    for hir in included:  # hop IR: {map_key: inner_ir}
+                        for mk, hv in hir.items():
+                            cv = d.get(mk)
+                            if _is_ps(cv):
+                                d[mk] = ("__ps__",
+                                         (np.asarray(cv[1])
+                                          + _ps_from_ir(p.operation, hv, K,
+                                                        cv[2])).tolist(),
+                                         cv[2])
+                            elif cv is None:
+                                d[mk] = inner.py_clone(hv, p) \
+                                    if hasattr(inner, "py_clone") else hv
+                            else:
+                                d[mk] = inner.py_merge(cv, hv, p)
+                    for mk in list(d):
+                        if _is_ps(d[mk]):
+                            v = _ir_from_ps_single(
+                                p.operation,
+                                np.asarray(d[mk][1], dtype=np.float64),
+                                d[mk][2])
+                            if v is None:
+                                del d[mk]  # zero-mass key: drop the entry
+                            else:
+                                d[mk] = v
+                    ir = d if d else None
+                else:
+                    for hir in included:
+                        ir = hir if ir is None else wop.py_merge(ir, hir, p)
                 val = None
                 if ir is not None:
                     if p.operation == Operation.COUNT \

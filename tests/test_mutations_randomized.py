@@ -224,6 +224,217 @@ def _close(a, b, rtol=1e-7, atol=1e-9):
     return abs(fa - fb) <= atol + rtol * abs(fb)
 
 
+# ---------------------------------------------------------------- windowed
+
+
+def _gen_windowed(seed):
+    """Like _gen but every row carries an event `ts` (creation time), and
+    mutations carry the mutated row's event ts (before rows: the OLD row's
+    ts) — the sound CDC configuration for windowed parts."""
+    rng = np.random.Generator(np.random.PCG64(seed + 9000))
+    keys = [f"k{i}" for i in range(int(rng.integers(3, 6)))]
+    state = {k: {} for k in keys}
+    seq = 0
+    for k in keys:
+        for _ in range(int(rng.integers(1, 5))):
+            r = _new_row(rng)
+            r["ts"] = D0 + int(rng.integers(0, MS_DAY))  # created day 0
+            state[k][f"i{seq}"] = r
+            seq += 1
+    snap_rows, mut_rows = [], []
+    for d in range(3):
+        ds = pd.Timestamp((D0 // MS_DAY + d) * MS_DAY,
+                          unit="ms").strftime("%Y-%m-%d")
+        for k in keys:
+            for r in state[k].values():
+                snap_rows.append((k, ds, r))
+        day_start = D0 + (d + 1) * MS_DAY
+        for k in keys:
+            t = day_start
+            for _ in range(int(rng.integers(0, 4))):
+                t = t + int(rng.integers(1, MS_DAY // 4))
+                kind = rng.choice(["update", "insert", "delete"])
+                if kind == "update" and state[k]:
+                    item = str(rng.choice(sorted(state[k])))
+                    new = _new_row(rng)
+                    new["ts"] = t  # updated row's event time
+                    mut_rows.append((k, t, True, state[k][item]))
+                    mut_rows.append((k, t, False, new))
+                    state[k][item] = new
+                elif kind == "delete" and state[k]:
+                    item = str(rng.choice(sorted(state[k])))
+                    mut_rows.append((k, t, True, state[k].pop(item)))
+                else:
+                    r = _new_row(rng)
+                    r["ts"] = t
+                    state[k][f"i{seq}"] = r
+                    seq += 1
+                    mut_rows.append((k, t, False, r))
+    q_rows = []
+    for d in (1, 2):
+        day_start = D0 + d * MS_DAY
+        for k in keys:
+            for _ in range(3):
+                q_rows.append((k, day_start + int(rng.integers(0, MS_DAY))))
+            q_rows.append((k, day_start))
+            q_rows.append((k, day_start + 12 * 3_600_000))  # hop boundary
+    return snap_rows, mut_rows, q_rows
+
+
+def _win_tables(snap_rows, mut_rows, q_rows):
+    snapshots, mutations, queries = _to_tables(snap_rows, mut_rows, q_rows)
+    snapshots = snapshots.append_column(
+        "ts", pa.array([r[2]["ts"] for r in snap_rows], type=pa.int64()))
+    mutations = mutations.append_column(
+        "ts", pa.array([r[3]["ts"] for r in mut_rows], type=pa.int64()))
+    return snapshots, mutations, queries
+
+
+def _oracle_windowed(snap_rows, mut_rows, k, t, win_ms, hop_ms):
+    """Signed-row window aggregate: membership = qtail <= row.ts < t for
+    mutation rows (mutation_ts < t to apply at all), and row.ts >= qtail
+    for prev-day snapshot rows (their ts is < EOD <= t by construction);
+    qtail = round(t - W, hop). Unbounded when win_ms is None."""
+    day = t // MS_DAY
+    prev_ds = pd.Timestamp((day - 1) * MS_DAY,
+                           unit="ms").strftime("%Y-%m-%d")
+    day_start = day * MS_DAY
+    qtail = None if win_ms is None else ((t - win_ms) // hop_ms) * hop_ms
+    signed = []
+    for (ek, ds, p) in snap_rows:
+        if ek == k and ds == prev_ds and (
+                qtail is None or p["ts"] >= qtail):
+            signed.append((p, 1))
+    for (ek, mts, before, p) in mut_rows:
+        if ek == k and day_start <= mts < t and (
+                qtail is None or (qtail <= p["ts"] < t)):
+            signed.append((p, -1 if before else 1))
+    vals, hist = [], {}
+    touched = False
+    for p, s in signed:
+        if p["amount"] is not None:
+            touched = True
+            if s > 0:
+                vals.append(p["amount"])
+            else:
+                # a delete's membership is judged on the OLD row's event
+                # ts, so its counterpart is always in vals by now
+                vals.remove(p["amount"])
+        if p["level"] is not None:
+            hk = str(p["level"])
+            hist[hk] = hist.get(hk, 0) + s
+    x = np.asarray(vals, dtype=np.float64)
+    n = len(x)
+    out = {"sum": float(x.sum()) if touched else None,
+           "count": n if touched else None,
+           "average": float(x.mean()) if n else float("nan")}
+    if n:
+        m = x.mean()
+        out["variance"] = float(((x - m) ** 2).sum()) / n
+    else:
+        out["variance"] = float("nan")
+    out["histogram"] = {hk: c for hk, c in hist.items() if c != 0}
+    return out
+
+
+@pytest.mark.parametrize("seed", [111, 222, 333, 444])
+def test_windowed_temporal_entities_randomized(ray_session, seed):
+    from chronon_ray.api import window as W
+
+    snap_rows, mut_rows, q_rows = _gen_windowed(seed)
+    snapshots, mutations, queries = _win_tables(snap_rows, mut_rows, q_rows)
+    HOUR = 3_600_000
+    wins = [("1d", W(1, "d"), MS_DAY, HOUR),
+            ("12h", W(12, "h"), 12 * HOUR, HOUR),
+            ("3d", W(3, "d"), 3 * MS_DAY, HOUR)]
+    aggs = [agg("amount", "sum"), agg("amount", "count")]
+    checks = [("amount_sum", "sum", None, None),
+              ("amount_count", "count", None, None)]
+    for wn, w, ms, hop in wins:
+        aggs += [agg("amount", "sum", [w]), agg("amount", "average", [w]),
+                 agg("amount", "variance", [w]),
+                 agg("level", "histogram", [w])]
+        checks += [(f"amount_sum_{wn}", "sum", ms, hop),
+                   (f"amount_average_{wn}", "average", ms, hop),
+                   (f"amount_variance_{wn}", "variance", ms, hop),
+                   (f"level_histogram_{wn}", "histogram", ms, hop)]
+    conf = GroupByConf(name=f"wrand{seed}", sources=(),
+                       key_columns=("entity_id",),
+                       aggregations=tuple(aggs))
+    out = temporal_entities_join(rd.from_arrow(queries),
+                                 rd.from_arrow(snapshots),
+                                 rd.from_arrow(mutations), conf,
+                                 num_partitions=4).to_pandas()
+    assert len(out) == len(q_rows)
+    for _, row in out.iterrows():
+        k_, t_ = row["entity_id"], int(row["ts"])
+        for (name, op, ms, hop) in checks:
+            exp = _oracle_windowed(snap_rows, mut_rows, k_, t_, ms, hop)
+            ctx = (seed, name, k_, t_)
+            if op == "histogram":
+                got = {hk: int(v)
+                       for hk, v in _mapcol(row[name]).items()
+                       if int(v) != 0}
+                assert got == exp["histogram"], (ctx, got, exp["histogram"])
+            elif op == "count":
+                if exp["count"] is None:
+                    assert pd.isna(row[name]), ctx
+                else:
+                    assert int(row[name]) == exp["count"], (ctx, row[name],
+                                                            exp["count"])
+            else:
+                assert _close(row[name], exp[op],
+                              rtol=1e-6, atol=1e-7), (ctx, row[name],
+                                                      exp[op])
+
+
+def test_windowed_delete_of_tail_resident_row(ray_session):
+    """Regression (found by the randomized scenarios): the CDC replay used
+    to apply deletions to the collapsed base BEFORE the query's tail hops
+    merged, so deleting/updating a row whose mass lives in a tail hop
+    produced a zero-or-negative-mass moment intermediate that the
+    (n, mean, m2) IR clamped away — the stale tail row silently survived
+    (variance 0.0 instead of null here)."""
+    from chronon_ray.api import window as W
+
+    HOUR = 3_600_000
+    day1 = D0 + MS_DAY
+    snap = pa.table({
+        "entity_id": ["a"],
+        "ds": ["2024-01-01"],
+        "ts": pa.array([D0 + 15 * HOUR], type=pa.int64()),  # tail-resident
+        "amount": pa.array([56.0]),
+    })
+    mut = pa.table({
+        "entity_id": ["a", "a", "a"],
+        "mutation_ts": pa.array([day1 + 3 * HOUR, day1 + 4 * HOUR,
+                                 day1 + 9 * HOUR], type=pa.int64()),
+        "is_before": [True, False, True],
+        "ts": pa.array([D0 + 15 * HOUR, day1 + 4 * HOUR, day1 + 4 * HOUR],
+                       type=pa.int64()),
+        "amount": pa.array([56.0, 74.0, 74.0]),
+    })
+    q = pa.table({"entity_id": ["a", "a"],
+                  "ts": pa.array([day1 + 12 * HOUR, day1 + 5 * HOUR],
+                                 type=pa.int64())})
+    conf = GroupByConf(name="tailres", sources=(),
+                       key_columns=("entity_id",),
+                       aggregations=(agg("amount", "variance",
+                                         [W(1, "d")]),
+                                     agg("amount", "sum", [W(1, "d")])))
+    out = temporal_entities_join(rd.from_arrow(q), rd.from_arrow(snap),
+                                 rd.from_arrow(mut), conf,
+                                 num_partitions=2).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    # at day1+5h: the 56 was deleted (3h), 74 inserted (4h) → state {74}
+    assert out.loc[0, "amount_sum_1d"] == 74.0
+    assert out.loc[0, "amount_variance_1d"] == 0.0
+    # at day1+12h: 74 deleted too (9h) → window state EMPTY → null
+    assert pd.isna(out.loc[1, "amount_sum_1d"]) or \
+        out.loc[1, "amount_sum_1d"] == 0.0
+    assert pd.isna(out.loc[1, "amount_variance_1d"])
+
+
 def test_snapshot_histogram_all_null_group(ray_session):
     """Regression (found by the randomized scenarios): a group whose
     histogram inputs are ALL null carries a NaN IR, which crashed the IR
