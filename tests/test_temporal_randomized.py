@@ -154,6 +154,60 @@ def _norm(v):
     return v
 
 
+@pytest.mark.parametrize("seed", [8, 18, 28])
+def test_temporal_join_exact_windows_randomized(ray_session, seed):
+    """exact_windows=True drops the sawtooth hop rounding: membership is
+    the per-event exact [q.ts - W, q.ts). Same brute-force oracle, exact
+    tail."""
+    rng = np.random.default_rng(seed)
+    ev = _events(rng, n=int(rng.integers(1000, 2000)),
+                 keys=int(rng.integers(5, 15)), days=20)
+    windows = {"7d": window(7, "d"), "1d": window(1, "d"),
+               "12h": window(12, "h")}
+    picks = [str(x) for x in rng.choice(_OPS, size=5, replace=False)]
+    parts, aggs = [], []
+    for op in picks:
+        wn = str(rng.choice(list(windows)))
+        win = windows[wn]
+        kw = {"k": 3} if op.endswith("_k") else {}
+        aggs.append(agg("value", op, [win], **kw))
+        opname = f"{op[:-2]}3" if op.endswith("_k") else op
+        parts.append((f"value_{opname}_{wn}", op, "value", win))
+    wn = str(rng.choice(list(windows)))
+    aggs.append(agg("item", "histogram", [windows[wn]]))
+    parts.append((f"item_histogram_{wn}", "histogram", "item",
+                  windows[wn]))
+    conf = GroupByConf(name=f"tjx{seed}", sources=(),
+                       key_columns=("user_id",), aggregations=tuple(aggs))
+    nq = 150
+    q = pd.DataFrame({
+        "user_id": rng.choice(ev["user_id"].unique(),
+                              size=nq).astype(np.int64),
+        "ts": (BASE + rng.integers(DAY, 20 * DAY,
+                                   size=nq)).astype(np.int64)})
+    out = temporal_join(rd.from_pandas(q), _to_ds(ev), conf,
+                        num_partitions=4, exact_windows=True).to_pandas()
+    assert len(out) == nq
+    by_key = dict(tuple(ev.groupby("user_id", sort=False)))
+    empty = ev.iloc[0:0]
+    for _, row in out.iterrows():
+        k_, t_ = row["user_id"], int(row["ts"])
+        ev_k = by_key.get(k_, empty)
+        for (name, op, col, win) in parts:
+            ts = ev_k["ts"].to_numpy()
+            sub = ev_k[(ts >= t_ - win.millis) & (ts < t_)]  # exact tail
+            exp = _norm(_oracle(sub, op, col))
+            got = _norm(row[name])
+            if isinstance(exp, float) and isinstance(got, float):
+                loose = op in ("variance", "skew", "kurtosis")
+                assert math.isclose(got, exp,
+                                    rel_tol=1e-4 if loose else 1e-6,
+                                    abs_tol=1e-6 if loose else 1e-8), \
+                    (seed, name, k_, t_, got, exp)
+            else:
+                assert got == exp, (seed, name, k_, t_, got, exp)
+
+
 @pytest.mark.parametrize("seed", [7, 17, 27, 37, 47, 57])
 def test_temporal_join_randomized_vs_bruteforce(ray_session, seed):
     rng = np.random.default_rng(seed)
