@@ -288,7 +288,7 @@ def groupby_upload(
                     slot[hopstart] = hir if prev is None \
                         else wop.py_merge(prev, hir, p)
             tails_out[col] = [
-                pickle.dumps(acc[g]) if g in acc else None
+                pickle.dumps(acc[g]) if acc.get(g) else None  # {} → None
                 for g in merged.index
             ]
         key_arrays = {
@@ -351,7 +351,11 @@ class _ServePartition:
 
     @staticmethod
     def _fin(wop, p: AggregationPart, ir):
-        if ir is None:
+        # an empty dict IR (map/bucketed/histogram) means "no mass" in the
+        # event-serve path (events never delete) — the direct join emits
+        # null there, so serve must too (roll merges can surface {} where
+        # a fresh upload has None)
+        if ir is None or (isinstance(ir, dict) and not ir):
             return None
         if p.operation == Operation.COUNT and isinstance(ir, int) \
                 and ir == 0:
@@ -529,21 +533,38 @@ def serve_with_events(
     conf: GroupByConf,
     batch_end_ts: int,
     num_partitions: Optional[int] = None,
-    full_hops: bool = False,
+    full_hops: Optional[bool] = None,
 ) -> ray.data.Dataset:
     """Lambda merge: FinalBatchIr checkpoint + head events in
     [batch_end_ts, query ts) → PITC features for queries in
     [batch_end_ts, batch_end_ts + tail buffer). Bit-equal to running
     temporal_join over the full event history (tested).
 
-    ``full_hops=True`` serves a rolling-layout checkpoint (see
-    groupby_upload); the 2-day horizon cap is lifted (head events must
-    still cover [batch_end_ts, max query ts))."""
+    ``full_hops`` selects the checkpoint layout: rolling (full-hops) lifts
+    the 2-day horizon cap (head events must still cover [batch_end_ts,
+    max query ts)). Default None AUTO-DETECTS from the checkpoint's
+    ``_full_hops`` column — serving a rolling checkpoint with the
+    collapsed-mode tail cut would silently drop every hop older than the
+    tail buffer, so an explicit flag that contradicts the checkpoint
+    fails loudly instead."""
     from ..util import auto_partitions, dataset_schema
 
     keys = list(conf.key_columns)
     ev_schema = dataset_schema(head_events)
     q_schema = dataset_schema(queries)
+    layout_schema = dataset_schema(ir_table)
+    table_fh = None
+    if "_full_hops" in layout_schema.names:
+        flag = ir_table.select_columns(["_full_hops"]).limit(1).take(1)
+        if flag:
+            table_fh = bool(flag[0]["_full_hops"])
+    if full_hops is None:
+        full_hops = bool(table_fh)
+    elif table_fh is not None and full_hops != table_fh:
+        raise ValueError(
+            f"serve_with_events(full_hops={full_hops}) contradicts the "
+            f"checkpoint layout (_full_hops={table_fh}); pass full_hops="
+            f"None to auto-detect")
     if num_partitions is None:
         num_partitions = auto_partitions(head_events)
     parts, synth, out_names, ev_schema = _prepare_parts(conf, ev_schema)
@@ -731,7 +752,7 @@ def roll_checkpoint(
                     slot[hopstart] = hir if prev is None \
                         else wop.py_merge(prev, hir, p)
             tails_out[col] = [
-                pickle.dumps(acc[g]) if g in acc else None
+                pickle.dumps(acc[g]) if acc.get(g) else None  # {} → None
                 for g in merged.index
             ]
         ir_schema = dataset_schema(ir_table)

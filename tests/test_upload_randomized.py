@@ -113,6 +113,62 @@ def _norm(v):
     return v
 
 
+@pytest.mark.parametrize("seed", [81, 82, 83])
+def test_rolling_checkpoint_randomized(ray_session, seed):
+    """Full-hops checkpoint rolled forward day-by-day + served must equal
+    the direct full-history join at every day — randomized op bundles
+    (windows, lists, maps, buckets) over random event streams."""
+    from chronon_ray.pipelines.upload import roll_checkpoint
+
+    rng = np.random.default_rng(seed)
+    ev = _events(rng, n=int(rng.integers(1500, 2500)),
+                 keys=int(rng.integers(6, 15)), days=24)
+    picks = rng.choice(len(_OP_POOL), size=5, replace=False)
+    aggs = []
+    for i in picks:
+        w = _WINDOW_POOL[int(rng.integers(0, len(_WINDOW_POOL)))]()
+        aggs.append(_OP_POOL[i](w))
+    conf = GroupByConf(name=f"roll{seed}", sources=(),
+                       key_columns=("user_id",), aggregations=tuple(aggs))
+    from chronon_ray.pipelines.upload import groupby_upload
+    end0 = ((BASE // DAY) + 20) * DAY
+    ir = groupby_upload(_to_ds(ev[ev["ts"] < end0]), conf, end0,
+                        num_partitions=4, full_hops=True)
+    for d in range(1, 4):  # roll three days forward
+        end = end0 + d * DAY
+        ir = roll_checkpoint(ir, _to_ds(ev), conf, end - DAY, end,
+                             num_partitions=4)
+        nq = 120
+        qts = end + rng.integers(0, DAY, size=nq)
+        q = pd.DataFrame({
+            "user_id": rng.integers(0, ev["user_id"].max() + 1,
+                                    size=nq).astype(np.int64),
+            "ts": qts.astype(np.int64)})
+        head = _to_ds(ev[ev["ts"] >= end])
+        served = serve_with_events(ir, head, rd.from_pandas(q), conf,
+                                   end, num_partitions=4).to_pandas()
+        direct = temporal_join(rd.from_pandas(q), _to_ds(ev), conf,
+                               num_partitions=4).to_pandas()
+        sort = ["user_id", "ts"]
+        a = served.sort_values(sort).reset_index(drop=True)
+        b = direct.sort_values(sort).reset_index(drop=True)
+        assert len(a) == len(b) == nq, (seed, d)
+        for c in b.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av, bv = av.astype(float), bv.astype(float)
+                na, nb = av.isna(), bv.isna()
+                assert (na == nb).all(), (seed, d, c)
+                np.testing.assert_allclose(av[~na], bv[~nb], rtol=1e-9,
+                                           atol=1e-9,
+                                           err_msg=f"{seed}:d{d}:{c}")
+            elif av.dtype == object or bv.dtype == object:
+                for i, (x, y) in enumerate(zip(av, bv)):
+                    assert _norm(x) == _norm(y), (seed, d, c, i, x, y)
+            else:
+                assert (av.fillna(-1) == bv.fillna(-1)).all(), (seed, d, c)
+
+
 @pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66])
 def test_serve_equals_direct_randomized(ray_session, seed):
     rng = np.random.default_rng(seed)
