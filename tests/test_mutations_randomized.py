@@ -388,6 +388,110 @@ def test_windowed_temporal_entities_randomized(ray_session, seed):
                                                       exp[op])
 
 
+def _oracle_windowed_map(snap_rows, mut_rows, k, t, win_ms, hop_ms,
+                         field, inner):
+    """Per-map-key (or per-bucket) signed window aggregate. field='metrics'
+    explodes the map column; field='store' buckets `amount` by store.
+    inner ∈ {sum, variance}. Conventions: sum keeps a key once it
+    contributed in-window (zero-net stays, value 0.0); variance drops
+    zero-mass keys (unrepresentable moment IR → null → entry dropped)."""
+    day = t // MS_DAY
+    prev_ds = pd.Timestamp((day - 1) * MS_DAY,
+                           unit="ms").strftime("%Y-%m-%d")
+    day_start = day * MS_DAY
+    qtail = ((t - win_ms) // hop_ms) * hop_ms
+    signed = []
+    for (ek, ds, p) in snap_rows:
+        if ek == k and ds == prev_ds and p["ts"] >= qtail:
+            signed.append((p, 1))
+    for (ek, mts, before, p) in mut_rows:
+        if ek == k and day_start <= mts < t and qtail <= p["ts"] < t:
+            signed.append((p, -1 if before else 1))
+    per_key: dict = {}
+    for p, s in signed:
+        if field == "metrics":
+            if p["metrics"] is None:
+                continue
+            items = p["metrics"].items()
+        else:
+            if p["amount"] is None:
+                continue
+            items = [(p["store"], p["amount"])]
+        for mk, mv in items:
+            per_key.setdefault(mk, []).append((mv, s))
+    out = {}
+    for mk, contrib in per_key.items():
+        if inner == "sum":
+            out[mk] = float(sum(v * s for v, s in contrib))
+        else:  # variance: net multiset (deletes match inserts)
+            vals = []
+            for v, s in contrib:
+                if s > 0:
+                    vals.append(v)
+                else:
+                    vals.remove(v)
+            if vals:
+                x = np.asarray(vals, dtype=np.float64)
+                out[mk] = float(((x - x.mean()) ** 2).sum()) / len(x)
+            # zero-mass key: dropped
+    return out
+
+
+@pytest.mark.parametrize("seed", [611, 622, 633])
+def test_windowed_map_and_bucketed_randomized(ray_session, seed):
+    """Windowed map-input and bucketed parts through the CDC replay —
+    including VARIANCE inner ops, which travel as per-key power-sum
+    markers through the tail merge."""
+    from chronon_ray.api import window as W
+
+    snap_rows, mut_rows, q_rows = _gen_windowed(seed)
+    snapshots, mutations, queries = _win_tables(snap_rows, mut_rows, q_rows)
+    HOUR = 3_600_000
+    conf = GroupByConf(
+        name=f"wmap{seed}", sources=(), key_columns=("entity_id",),
+        aggregations=(agg("metrics", "sum", [W(1, "d")]),
+                      agg("metrics", "variance", [W(1, "d")]),
+                      agg("amount", "sum", [W(12, "h")],
+                          buckets=("store",)),
+                      agg("amount", "variance", [W(1, "d")],
+                          buckets=("store",))))
+    out = temporal_entities_join(rd.from_arrow(queries),
+                                 rd.from_arrow(snapshots),
+                                 rd.from_arrow(mutations), conf,
+                                 num_partitions=4).to_pandas()
+    assert len(out) == len(q_rows)
+    checks = [("metrics_sum_1d", "metrics", "sum", MS_DAY),
+              ("metrics_variance_1d", "metrics", "variance", MS_DAY),
+              ("amount_sum_12h_by_store", "store", "sum", 12 * HOUR),
+              ("amount_variance_1d_by_store", "store", "variance", MS_DAY)]
+    for _, row in out.iterrows():
+        k_, t_ = row["entity_id"], int(row["ts"])
+        for (name, field, inner, ms) in checks:
+            exp = _oracle_windowed_map(snap_rows, mut_rows, k_, t_,
+                                       ms, HOUR, field, inner)
+            got = {mk: v for mk, v in _mapcol(row[name]).items()
+                   if v is not None}
+            ctx = (seed, name, k_, t_)
+            if inner == "sum":
+                # zero-net keys: engine may keep (0.0) or drop depending
+                # on path — compare only nonzero mass, then check zeros
+                gnz = {mk: v for mk, v in got.items() if abs(v) > 1e-9}
+                enz = {mk: v for mk, v in exp.items() if abs(v) > 1e-9}
+                assert set(gnz) == set(enz), (ctx, got, exp)
+                for mk in enz:
+                    assert _close(gnz[mk], enz[mk],
+                                  rtol=1e-6, atol=1e-7), (ctx, mk)
+                for mk, v in got.items():
+                    if mk not in exp:
+                        assert abs(v) <= 1e-9, (ctx, mk, v)
+            else:
+                assert set(got) == set(exp), (ctx, got, exp)
+                for mk in exp:
+                    assert _close(got[mk], exp[mk],
+                                  rtol=1e-6, atol=1e-7), (ctx, mk,
+                                                          got[mk], exp[mk])
+
+
 def test_windowed_delete_of_tail_resident_row(ray_session):
     """Regression (found by the randomized scenarios): the CDC replay used
     to apply deletions to the collapsed base BEFORE the query's tail hops
