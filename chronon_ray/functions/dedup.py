@@ -1472,13 +1472,22 @@ def semdedup(
     from .knn import _kmeans, _normalize
 
     if deterministic:
-        # global first-`sample_limit` by id; skip the all-to-all sort when
-        # the corpus already fits the sample (count() is metadata-only)
-        if embeddings.count() <= sample_limit:
-            sample = embeddings.to_pandas()
-        else:
-            sample = embeddings.sort(id_col).limit(sample_limit).to_pandas()
-        sample = sample.sort_values(id_col, kind="mergesort")
+        # materialize once: count() is metadata-only on parquet but would
+        # EXECUTE a transformed pipeline, and to_pandas/assign would then
+        # re-execute it
+        embeddings = embeddings.materialize()
+        if embeddings.count() > sample_limit:
+            # the SQL oracle replays Lloyd over ALL rows, and the
+            # auto-bump is off in this mode — oversized corpora would
+            # silently diverge from the oracle AND run unbounded
+            # per-cluster pairwise work. Fail loudly instead.
+            raise ValueError(
+                f"semdedup(deterministic=True) requires the corpus "
+                f"(rows={embeddings.count()}) to fit sample_limit="
+                f"{sample_limit}; raise sample_limit or use the "
+                f"non-deterministic mode for large corpora")
+        sample = embeddings.to_pandas().sort_values(id_col,
+                                                    kind="mergesort")
     else:
         # keep per-cluster pairwise work bounded: one map_groups task holds
         # one cluster, so n_clusters must grow with the corpus (the paper's

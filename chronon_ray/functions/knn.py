@@ -463,9 +463,11 @@ def build_pq(corpus: ray.data.Dataset, emb_col: str = "embedding",
     SQL-expressible. The refined (Lloyd) regime stays recall-pinned in
     pytest."""
     if deterministic:
-        # global first-`sample_limit` by id. When the corpus already fits
-        # the sample (count() is metadata-only on parquet) skip the
-        # all-to-all sort — same rows, one exchange less.
+        # materialize once: count() is metadata-only on parquet but would
+        # EXECUTE a transformed pipeline, and the sample pull + Encode
+        # scan would then re-execute it. Global first-`sample_limit` by
+        # id; skip the all-to-all sort when the corpus fits the sample.
+        corpus = corpus.materialize()
         if corpus.count() <= sample_limit:
             sample = corpus.to_pandas()
         else:

@@ -255,7 +255,11 @@ def _jpeg_dims(buf: bytes) -> tuple[int, int]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:
+        if marker in (0xD9, 0xDA):
+            # EOI, or SOS with no SOF seen: stop — walking into
+            # entropy-coded data can misread garbage dims (up to
+            # 65535×65535 → a multi-GB allocation before the C-side cap
+            # check would catch it)
             break
         ln = int.from_bytes(buf[pos:pos + 2], "big")
         if marker in _SOF_MARKERS and pos + 7 <= n:

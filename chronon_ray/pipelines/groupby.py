@@ -140,7 +140,14 @@ class PartialAgg:
             key_arrays[k] = pa.array(kdf[k].to_numpy(dtype=object)[sel],
                                      type=batch.schema.field(k).type,
                                      from_pandas=True)
-        part_hash = stable_key_hash(kdf.iloc[sel], self.part_keys) % self.num_partitions
+        # hash the CANONICAL Arrow representation, never the pandas frame:
+        # to_pandas float-promotes an int key column whenever the batch has
+        # any null, and hash(5.0) != hash(5) would split one key's partials
+        # across partitions → duplicate output rows per key
+        key_tbl = pa.table({k: key_arrays[k] for k in self.part_keys})
+        types = {k: batch.schema.field(k).type for k in self.part_keys}
+        part_hash = canon_key_hash(key_tbl, self.part_keys, types,
+                                   self.num_partitions)
         key_arrays["_part"] = pa.array(part_hash.astype(np.int64))
         return self.agg.ir_frame_to_arrow(irf, key_arrays)
 

@@ -325,7 +325,7 @@ class _ServePartition:
     partials — reference MapColumnAggregator / VectorDispatcher)."""
 
     def __init__(self, keys, parts, schema: pa.Schema, left_cols,
-                 batch_end_ts: int, full_hops: bool = False,
+                 batch_end_ts: int, full_hops: Optional[bool] = None,
                  left_fields: Optional[list[pa.Field]] = None,
                  out_names: Optional[list[str]] = None):
         self.__name__ = type(self).__name__
@@ -375,9 +375,30 @@ class _ServePartition:
             arrays.update({f.name: pa.array([], type=f.type)
                            for f in self.out_fields})
             return pa.table(arrays)
+        # resolve the checkpoint layout from this partition's IR rows:
+        # serving a rolling checkpoint with the collapsed-mode tail cut
+        # silently drops every hop older than the tail buffer, so an
+        # explicit flag that contradicts the rows fails loudly. With no IR
+        # rows in the partition the layout is moot (no tails to trim) —
+        # fh=None skips the horizon check and the cut is never consulted.
+        table_fh = None
+        if "_full_hops" in pdf.columns and len(irs):
+            v = irs["_full_hops"].dropna()
+            if len(v):
+                table_fh = bool(v.iloc[0])
+        if self.full_hops is None:
+            fh = table_fh
+        else:
+            if table_fh is not None and table_fh != self.full_hops:
+                raise ValueError(
+                    f"serve_with_events(full_hops={self.full_hops}) "
+                    f"contradicts the checkpoint layout "
+                    f"(_full_hops={table_fh}); pass full_hops=None to "
+                    f"auto-detect")
+            fh = self.full_hops
         qts_all = queries["ts"].astype(np.int64)
         if (qts_all < self.batch_end).any() or (
-                not self.full_hops
+                fh is False
                 and (qts_all >= self.batch_end + TAIL_BUFFER_MS).any()):
             raise ValueError(
                 "serve_with_events queries must lie in [batch_end_ts, "
@@ -468,7 +489,7 @@ class _ServePartition:
                     qts = int(qts_arr[qi])
                     qtail = round_ts(qts - W, hop)
                     qhop = round_ts(qts, hop)
-                    cut = qts + 1 if self.full_hops \
+                    cut = qts + 1 if fh \
                         else self.batch_end - W + TAIL_BUFFER_MS
                     acc = base.get(name)
                     for hopstart, hir in ptails:
@@ -552,19 +573,9 @@ def serve_with_events(
     keys = list(conf.key_columns)
     ev_schema = dataset_schema(head_events)
     q_schema = dataset_schema(queries)
-    layout_schema = dataset_schema(ir_table)
-    table_fh = None
-    if "_full_hops" in layout_schema.names:
-        flag = ir_table.select_columns(["_full_hops"]).limit(1).take(1)
-        if flag:
-            table_fh = bool(flag[0]["_full_hops"])
-    if full_hops is None:
-        full_hops = bool(table_fh)
-    elif table_fh is not None and full_hops != table_fh:
-        raise ValueError(
-            f"serve_with_events(full_hops={full_hops}) contradicts the "
-            f"checkpoint layout (_full_hops={table_fh}); pass full_hops="
-            f"None to auto-detect")
+    # full_hops=None auto-detects INSIDE each partition from the tagged IR
+    # rows' _full_hops column — a driver-side take(1) here would execute
+    # the (lazy, uncached) checkpoint pipeline a second time
     if num_partitions is None:
         num_partitions = auto_partitions(head_events)
     parts, synth, out_names, ev_schema = _prepare_parts(conf, ev_schema)
@@ -588,8 +599,8 @@ def serve_with_events(
         _addf(pa.field(k, q_schema.field(k).type))
     _addf(pa.field("ts", pa.int64()))
     for f in ir_schema:
-        if f.name not in ("_batch_end_ts", "_full_hops", "_part"):
-            _addf(f)
+        if f.name not in ("_batch_end_ts", "_part"):
+            _addf(f)  # _full_hops rides along for in-partition detection
     for c in input_cols:
         _addf(pa.field(c, ev_schema.field(c).type))
     for c in left_cols:
@@ -630,8 +641,7 @@ def serve_with_events(
         return f
 
     ir_cols = [f.name for f in ir_schema
-               if f.name not in (*keys, "_batch_end_ts", "_full_hops",
-                                 "_part")]
+               if f.name not in (*keys, "_batch_end_ts", "_part")]
     tagged_ir = ir_table.map_batches(tag(0, None, ir_cols),
                                      batch_format="pyarrow")
     tagged_ev = head_events.map_batches(tag(1, "ts", input_cols),

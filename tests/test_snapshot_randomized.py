@@ -162,6 +162,26 @@ def test_snapshot_null_key_contract(ray_session):
     assert _norm(key[(None, "q")]["value_sum_by_store"]) == {"s2": 4.0}
 
 
+def test_snapshot_int_key_null_block_partition_stability(ray_session):
+    """Regression: to_pandas float-promotes an int key column whenever a
+    block contains any null key, and hash(5.0) != hash(5) split one key's
+    partials across partitions — aggregate_snapshot emitted duplicate rows
+    per key with partial sums. The partition hash must come from the
+    canonicalized Arrow keys."""
+    t1 = pa.table({"user_id": pa.array([5, 5, 7], type=pa.int64()),
+                   "value": pa.array([1.0, 2.0, 3.0])})
+    t2 = pa.table({"user_id": pa.array([5, None, 7], type=pa.int64()),
+                   "value": pa.array([10.0, 99.0, 30.0])})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    conf = GroupByConf(name="pk", sources=(), key_columns=("user_id",),
+                       aggregations=(agg("value", "sum"),))
+    out = aggregate_snapshot(ds, conf, num_partitions=200).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert len(out) == 2, out
+    assert out.loc[0, "user_id"] == 5 and out.loc[0, "value_sum"] == 13.0
+    assert out.loc[1, "user_id"] == 7 and out.loc[1, "value_sum"] == 33.0
+
+
 @pytest.mark.parametrize("seed", [3, 13, 23, 33, 43])
 def test_snapshot_randomized_vs_bruteforce(ray_session, seed):
     rng = np.random.default_rng(seed)
