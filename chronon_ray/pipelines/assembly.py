@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .groupby import stable_key_hash
+from .groupby import block_part_hash, stable_key_hash
 
 DEFAULT_NUM_PARTITIONS = 200
 
@@ -68,8 +68,13 @@ class _TagPad:
                 cols[f.name] = batch[f.name]
             else:
                 cols[f.name] = pa.nulls(n, type=f.type)
-        kdf = batch.select(self.keys).to_pandas()
-        part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
+        # hash the UNION key types: every source must land the same key in
+        # the same partition even when their declared dtypes differ or a
+        # null-bearing block would float-promote in pandas
+        ktypes = {f.name: f.type for f in self.union_fields
+                  if f.name in self.keys}
+        part = block_part_hash(batch, self.keys, self.num_partitions,
+                               types_by_name=ktypes)
         cols["_part"] = pa.array(part)
         cols["_src"] = pa.array(np.full(n, self.src, dtype=np.int8))
         return pa.table(cols)

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .groupby import stable_key_hash
+from .groupby import block_part_hash, stable_key_hash
 
 DEFAULT_NUM_PARTITIONS = 200
 
@@ -28,8 +28,9 @@ class _AddPart:
         self.num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kdf = batch.select(self.keys).to_pandas()
-        part = (stable_key_hash(kdf, self.keys) % self.num_partitions).astype(np.int64)
+        # canonical block hash: a null-bearing block must not split a key
+        # across partitions (sessions/lag chains would compute per shard)
+        part = block_part_hash(batch, self.keys, self.num_partitions)
         return batch.append_column("_part", pa.array(part))
 
 

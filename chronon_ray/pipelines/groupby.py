@@ -69,6 +69,18 @@ def canon_key_hash(t: pa.Table, keys, types_by_name,
     return (stable_key_hash(kdf, keys) % num_partitions).astype(np.int64)
 
 
+def block_part_hash(t: pa.Table, keys, num_partitions: int,
+                    types_by_name=None) -> np.ndarray:
+    """Partition ids from a raw Arrow block, canonicalized so the SAME key
+    hashes identically in EVERY block: to_pandas float-promotes an int key
+    column whenever the block carries any null, and hash(5.0) != hash(5)
+    would split one key's rows across partitions (duplicate groups, missed
+    joins, bloom false negatives). Pass ``types_by_name`` when blocks from
+    multiple sources may disagree on declared key dtypes."""
+    types = types_by_name or {k: t.schema.field(k).type for k in keys}
+    return canon_key_hash(t, keys, types, num_partitions)
+
+
 def left_field_type(left_fields, name: str):
     for f in left_fields:
         if f.name == name:

@@ -28,7 +28,7 @@ from ..api import Accuracy, EventSource, GroupByConf, JoinConf, TQuery
 from ..sources import scan_source
 from ..util import dataset_schema
 from .assembly import key_partitioned_join
-from .groupby import stable_key_hash
+from .groupby import block_part_hash, stable_key_hash
 from .temporal import temporal_join
 
 MILLIS_DAY = 86_400_000
@@ -85,16 +85,24 @@ def distinct_rows(ds: ray.data.Dataset, cols: Sequence[str],
     """Distinct over `cols`: per-batch unique → hash shuffle → per-partition
     unique. Only the already-deduped rows cross the exchange."""
     cols = list(cols)
+    col_schema = pa.schema([dataset_schema(ds).field(c) for c in cols])
 
     def local(batch: pa.Table) -> pa.Table:
-        pdf = batch.select(cols).to_pandas().drop_duplicates()
-        part = (stable_key_hash(pdf, cols) % num_partitions).astype(np.int64)
-        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        sub = batch.select(cols)
+        pdf = sub.to_pandas().drop_duplicates()
+        # rebuild with the DECLARED schema: a null-bearing block's pandas
+        # float promotion would otherwise hash (and emit) a different key
+        # representation than null-free blocks — splitting one key's rows
+        # across partitions so the global dedup misses duplicates
+        t = pa.Table.from_pandas(pdf, schema=col_schema,
+                                 preserve_index=False)
+        part = block_part_hash(t, cols, num_partitions)
         return t.append_column("_part", pa.array(part))
 
     def global_(pdf: pd.DataFrame) -> pa.Table:
         out = pdf.drop_duplicates(cols)[cols]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=col_schema,
+                                    preserve_index=False)
 
     global_.__name__ = "distinct_merge"
     return ds.map_batches(local, batch_format="pyarrow") \
@@ -623,8 +631,9 @@ def latest_label_view(
         else versions[0]
 
     def tag(t: pa.Table) -> pa.Table:
-        kdf = t.select(ident).to_pandas()
-        part = (stable_key_hash(kdf, ident) % num_partitions).astype(np.int64)
+        # canonical block hash: a null-bearing block must not split an
+        # identity across partitions (keep_latest would emit duplicates)
+        part = block_part_hash(t, ident, num_partitions)
         return t.append_column("_part", pa.array(part))
 
     def keep_latest(pdf: pd.DataFrame) -> pd.DataFrame:

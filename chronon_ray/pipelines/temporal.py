@@ -1083,7 +1083,9 @@ def temporal_join(
         # left once: count() (bit sizing), the bitmap build, and the join
         # itself would otherwise each re-execute a lazy left pipeline.
         left_ds = left_ds.materialize()
-        right_ds = _bloom_filter_events(left_ds, right_ds, keys)
+        right_ds = _bloom_filter_events(
+            left_ds, right_ds, keys,
+            {k: left_schema.field(k).type for k in keys})
     elif broadcast_left_keys:
         # small-left mode: the left key set is broadcast and events of other
         # keys never enter the shuffle (reference small-mode semi-join —
@@ -1159,16 +1161,21 @@ def temporal_join(
     return unioned.groupby("_part").map_groups(proc, batch_format="pyarrow")
 
 
-def _bloom_hashes(t: pa.Table, keys: list, n_bits: int):
-    """(h1, h2) double-hash bases per row from the stable key hash."""
-    kdf = t.select(keys).to_pandas()
+def _bloom_hashes(t: pa.Table, keys: list, n_bits: int, key_types: dict):
+    """(h1, h2) double-hash bases per row from the CANONICAL key hash —
+    build and probe must hash identical representations: a null-bearing
+    block float-promotes int keys in pandas (hash(5.0) != hash(5)), and a
+    left/right dtype mismatch would likewise turn into bloom false
+    NEGATIVES that silently drop matching events."""
+    kdf = _canon_key_table(t, keys, key_types).to_pandas()
     h = stable_key_hash(kdf, keys).astype(np.uint64)
     h1 = h % np.uint64(n_bits)
     h2 = ((h >> np.uint64(33)) | np.uint64(1)) % np.uint64(n_bits)
     return h1, h2
 
 
-def _bloom_filter_events(left_ds, right_ds, keys, bits_per_key: int = 12,
+def _bloom_filter_events(left_ds, right_ds, keys, key_types: dict,
+                         bits_per_key: int = 12,
                          n_hashes: int = 6):
     """Semi-join filter on the event stream via a bloom filter of the left
     key set. Distributed build: each left block emits one fixed-size bitmap
@@ -1183,7 +1190,7 @@ def _bloom_filter_events(left_ds, right_ds, keys, bits_per_key: int = 12,
     def block_bitmap(t: pa.Table) -> pa.Table:
         bm = np.zeros(n_words, dtype=np.uint64)
         if len(t):
-            h1, h2 = _bloom_hashes(t, keys, n_bits)
+            h1, h2 = _bloom_hashes(t, keys, n_bits, key_types)
             for i in range(n_hashes):
                 pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
                 np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
@@ -1207,7 +1214,7 @@ def _bloom_filter_events(left_ds, right_ds, keys, bits_per_key: int = 12,
                 self._bits = _ray.get(bits_ref)
             if len(t) == 0:
                 return t
-            h1, h2 = _bloom_hashes(t, keys, n_bits)
+            h1, h2 = _bloom_hashes(t, keys, n_bits, key_types)
             mask = np.ones(len(t), dtype=bool)
             for i in range(n_hashes):
                 pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
