@@ -31,6 +31,22 @@ import ray.data
 
 from ..util import auto_partitions
 
+
+def _canon_content_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """Block-stable row hash of `cols`: canonicalized so the SAME content
+    hashes identically in every block — to_pandas float-promotes an int
+    column whenever the block carries a null, and hash(5.0) != hash(5)
+    would split one content value across partitions (duplicates would
+    survive a per-partition dedup). Strings/floats pass through unchanged,
+    so hashes for null-free text content match the historical values."""
+    from ..pipelines.groupby import canon_key_table, stable_key_hash
+
+    cols = list(cols)
+    types = {c: t.schema.field(c).type for c in cols}
+    kdf = canon_key_table(t, cols, types).to_pandas()
+    return stable_key_hash(kdf, cols)
+
+
 # --------------------------------------------------------------- exact
 
 
@@ -46,8 +62,7 @@ def exact_dedup(
         num_partitions = auto_partitions(ds)
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        pdf = batch.select(list(on)).to_pandas()
-        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        h = _canon_content_hash(batch, on)
         batch = batch.append_column("_h", pa.array(h.astype(np.int64)))
         return batch.append_column(
             "_part", pa.array((h % num_partitions).astype(np.int64)))
@@ -414,8 +429,7 @@ def _partition_by_hash(ds: ray.data.Dataset, cols: list[str],
     """Append ``_part`` = stable row-hash of `cols` % num_partitions."""
 
     def addp(t: pa.Table) -> pa.Table:
-        pdf = t.select(cols).to_pandas()
-        h = pd.util.hash_pandas_object(pdf, index=False).to_numpy()
+        h = _canon_content_hash(t, cols)
         return t.append_column(
             "_part", pa.array((h % num_partitions).astype(np.int64)))
 
@@ -1597,8 +1611,14 @@ def incremental_exact_dedup(
     doc_types = {n: arrow_type_of(t) for n, t in zip(sch.names, sch.types)}
 
     def tag_new(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(pdf[list(on)],
-                                       index=False).to_numpy()
+        # canonical content hash (see _canon_content_hash): these hashes
+        # persist in the dedup state across days, so null-promoted blocks
+        # must not mint a second hash for the same content
+        sub = pa.Table.from_pandas(
+            pdf[list(on)],
+            schema=pa.schema([pa.field(c, doc_types[c]) for c in on]),
+            preserve_index=False)
+        h = _canon_content_hash(sub, on)
         out = pdf.copy()
         out["_h"] = h.astype(np.int64)
         out["_kind"] = np.int8(0)
