@@ -33,18 +33,38 @@ from ..util import auto_partitions
 
 
 def _canon_content_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
-    """Block-stable row hash of `cols`: canonicalized so the SAME content
-    hashes identically in every block — to_pandas float-promotes an int
-    column whenever the block carries a null, and hash(5.0) != hash(5)
-    would split one content value across partitions (duplicates would
-    survive a per-partition dedup). Strings/floats pass through unchanged,
-    so hashes for null-free text content match the historical values."""
-    from ..pipelines.groupby import canon_key_table, stable_key_hash
+    """Block-stable, null-DISTINCT row hash of `cols`: the SAME content
+    must hash identically in every block (to_pandas float-promotes int —
+    and object-promotes bool — columns whenever the block carries a null,
+    and hash(5.0) != hash(5) would let duplicates survive a hash-equality
+    dedup), while NULL must never collide with any real value (these
+    hashes gate content EQUALITY, and in incremental dedup they persist
+    into day-over-day state — a sentinel fill would silently drop a
+    distinct document). Int/bool columns therefore hash as
+    (zero-filled values, is-null flags); the companion flag column is
+    emitted even for null-free blocks so both block kinds agree.
+    String/float columns pass through unchanged, so hashes for text
+    content match the values stored by earlier runs."""
+    import pyarrow.compute as pc
 
-    cols = list(cols)
-    types = {c: t.schema.field(c).type for c in cols}
-    kdf = canon_key_table(t, cols, types).to_pandas()
-    return stable_key_hash(kdf, cols)
+    frame: dict = {}
+    order: list = []
+    for c in cols:
+        a = t[c]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if pa.types.is_integer(a.type) or pa.types.is_boolean(a.type):
+            fill = False if pa.types.is_boolean(a.type) \
+                else pa.scalar(0, type=a.type)
+            frame[c] = pc.fill_null(a, fill).to_pandas()
+            nc = f"{c}\0isnull"
+            frame[nc] = pc.is_null(a).to_pandas()
+            order.extend([c, nc])
+        else:
+            frame[c] = a.to_pandas()
+            order.append(c)
+    pdf = pd.DataFrame(frame)
+    return pd.util.hash_pandas_object(pdf[order], index=False).to_numpy()
 
 
 # --------------------------------------------------------------- exact

@@ -58,6 +58,12 @@ def canon_key_table(t: pa.Table, keys, types_by_name) -> pa.Table:
         if pa.types.is_integer(c.type) and c.null_count:
             sent = np.iinfo(c.type.to_pandas_dtype()).min + 1
             c = pc.fill_null(c, pa.scalar(sent, type=c.type))
+        elif pa.types.is_boolean(c.type) and c.null_count:
+            # bool-with-null promotes to object dtype in pandas and
+            # hash(True as object) != hash(True as bool) — fill so every
+            # block hashes the same dtype (null routes like False; a
+            # routing collision is harmless)
+            c = pc.fill_null(c, False)
         cols[k] = c
     return pa.table(cols)
 

@@ -630,10 +630,19 @@ def latest_label_view(
     unioned = versions[0].union(*versions[1:]) if len(versions) > 1 \
         else versions[0]
 
+    # hash UNIFIED identity types: independently-persisted versions may
+    # disagree on declared dtypes for the same column (e.g. one written
+    # from a null-padded pandas frame as double) — without this, the same
+    # identity lands in different partitions and keep_latest never
+    # compares the versions
+    ident_types = {c: dataset_schema(versions[0]).field(c).type
+                   for c in ident}
+
     def tag(t: pa.Table) -> pa.Table:
         # canonical block hash: a null-bearing block must not split an
         # identity across partitions (keep_latest would emit duplicates)
-        part = block_part_hash(t, ident, num_partitions)
+        part = block_part_hash(t, ident, num_partitions,
+                               types_by_name=ident_types)
         return t.append_column("_part", pa.array(part))
 
     def keep_latest(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -382,10 +382,17 @@ class _ServePartition:
         # rows in the partition the layout is moot (no tails to trim) —
         # fh=None skips the horizon check and the cut is never consulted.
         table_fh = None
-        if "_full_hops" in pdf.columns and len(irs):
-            v = irs["_full_hops"].dropna()
-            if len(v):
-                table_fh = bool(v.iloc[0])
+        if len(irs):
+            if "_full_hops" in pdf.columns:
+                v = irs["_full_hops"].dropna()
+                if len(v):
+                    table_fh = bool(v.iloc[0])
+            if table_fh is None:
+                # IR rows present but no layout column: a pre-rolling
+                # checkpoint — always collapsed. fh must resolve to False
+                # here (None would skip the horizon guard AND take the
+                # collapsed cut silently).
+                table_fh = False
         if self.full_hops is None:
             fh = table_fh
         else:
@@ -699,6 +706,10 @@ def roll_checkpoint(
                             conf, new_end_ts, num_partitions=num_partitions,
                             full_hops=True)
 
+    # materialize once: the flag take(1) below and the strip/union consumer
+    # would otherwise each execute a lazy checkpoint pipeline (in the
+    # day-over-day rolling loop that is the whole previous day's roll)
+    ir_table = ir_table.materialize()
     schema = dataset_schema(ir_table)
     if "_full_hops" in schema.names:
         # rolling a collapsed checkpoint would merge windowed IRs that can

@@ -198,6 +198,41 @@ def test_distinct_rows_null_block_partition_stability(ray_session):
     assert nonnull == [5, 7] and out["k"].isna().sum() == 1, out
 
 
+def test_exact_dedup_null_content_is_distinct(ray_session):
+    """Content-equality hashes must be block-stable AND null-distinct: a
+    sentinel fill would make (x, NULL) collide with (x, sentinel) and
+    silently drop a distinct document; pandas promotion would split one
+    value across partitions. Rows differing only in int-null vs value
+    must BOTH survive."""
+    from chronon_ray.functions.dedup import exact_dedup
+
+    t1 = pa.table({"text": ["x", "x", "y"],
+                   "cat": pa.array([1, None, 1], type=pa.int64()),
+                   "doc_id": pa.array([1, 2, 3], type=pa.int64())})
+    t2 = pa.table({"text": ["x", "x"],
+                   "cat": pa.array([1, None], type=pa.int64()),
+                   "doc_id": pa.array([4, 5], type=pa.int64())})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = exact_dedup(ds, on=("text", "cat"), id_col="doc_id",
+                      num_partitions=64).to_pandas()
+    got = sorted(out["doc_id"].tolist())
+    # ('x',1)→min id 1; ('x',NULL)→min id 2; ('y',1)→3
+    assert got == [1, 2, 3], out.to_string()
+
+
+def test_distinct_rows_bool_null_block_stability(ray_session):
+    """Bool-with-null blocks promote to object dtype in pandas and
+    hash(True as object) != hash(True as bool) — True must not split
+    across partitions."""
+    from chronon_ray.pipelines.joins import distinct_rows
+
+    t1 = pa.table({"flag": pa.array([True, False, True])})
+    t2 = pa.table({"flag": pa.array([True, None, False])})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = distinct_rows(ds, ["flag"], num_partitions=64).to_pandas()
+    assert len(out) == 3, out  # True, False, null — no dup survives
+
+
 def test_bloom_tier_null_block_no_false_negatives(ray_session):
     """Regression: the bloom semi-join hashed raw pandas frames, so a
     null-bearing LEFT block built its bitmap from float-promoted key
