@@ -19,6 +19,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+def _read_parquet(*args, **kwargs):
+    """read_parquet with schema-metadata strip — keeps Ray Data's
+    schema-dedup fast path working (pandas-written parquet carries
+    metadata that makes pa.Schema unhashable)."""
+    from chronon_ray.sources import read_parquet
+
+    return read_parquet(*args, **kwargs)
+
+
 GAP_MS = 30 * 60 * 1000
 MS_1D = 86_400_000
 MS_7D = 7 * 86_400_000
@@ -320,7 +329,7 @@ def q_profile_table(sf_dir: str):
 
     _ctx()
     import ray.data as rd
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "value"])
     out = profile_table(ev)
     out["min_val"] = out["min_val"].round(6)
@@ -472,9 +481,9 @@ def q_snapshot_join(sf_dir: str):
     from chronon_ray.pipelines.assembly import key_partitioned_join
 
     _ctx()
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_acctbal"])
     cust = cust.map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_name", "c_acctbal"]),
@@ -490,7 +499,7 @@ def q_dedup_exact_docs(sf_dir: str):
     from chronon_ray.functions.dedup import exact_dedup
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_parquet(f"{sf_dir}/documents.parquet")
     out = exact_dedup(docs, on=["text"], id_col="doc_id", num_partitions=32) \
         .to_pandas()
     return out[["doc_id"]]
@@ -502,7 +511,7 @@ def q_token_counts(sf_dir: str):
     from chronon_ray.functions.text import TokenCountStage
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(TokenCountStage(), batch_format="pandas").to_pandas()
     return out[["doc_id", "n_tokens_ws"]]
 
@@ -530,7 +539,7 @@ def q_knn_top5(sf_dir: str):
     from chronon_ray.functions.knn import brute_force_knn
 
     _ctx()
-    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = _read_parquet(f"{sf_dir}/embeddings.parquet")
     head = corpus.filter(expr="vec_id < 10").to_pandas()
     qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
     qids = head["vec_id"].to_numpy()
@@ -556,8 +565,8 @@ def q_token_unique(sf_dir: str):
 
     _ctx()
     paths = ensure_fixture(_token_scale(sf_dir))
-    ev = rd.read_parquet(paths["events_file"])
-    left = rd.read_parquet(paths["queries_file"], columns=["doc_id", "ts"])
+    ev = _read_parquet(paths["events_file"])
+    left = _read_parquet(paths["queries_file"], columns=["doc_id", "ts"])
     left = exact_dedup(left, on=["doc_id", "ts"], id_col="doc_id",
                        num_partitions=16)
     conf = GroupByConf(
@@ -588,8 +597,8 @@ def q_token_backfill(sf_dir: str):
 
     _ctx()
     paths = ensure_fixture(_token_scale(sf_dir))
-    ev = rd.read_parquet(paths["events_file"])
-    left = rd.read_parquet(paths["queries_file"])
+    ev = _read_parquet(paths["events_file"])
+    left = _read_parquet(paths["queries_file"])
     conf = GroupByConf(
         name="token_backfill", sources=(), key_columns=("doc_id",),
         aggregations=(
@@ -650,7 +659,7 @@ def q_minhash_pairs(sf_dir: str):
     from chronon_ray.functions.dedup import ngram_jaccard_pairs
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_parquet(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5,
                                threshold=0.8, num_partitions=32)
 
@@ -661,7 +670,7 @@ def q_simhash_pairs(sf_dir: str):
     from chronon_ray.functions.dedup import simhash_pairs
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_parquet(f"{sf_dir}/documents.parquet")
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
@@ -674,7 +683,7 @@ def q_shuffle_export(sf_dir: str):
     from chronon_ray.functions.sampling import shuffle_export
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     out = shuffle_export(docs, "doc_id", n_shards=8, seed=5).to_pandas()
     return out[["doc_id", "shard", "pos"]] \
@@ -692,7 +701,7 @@ def q_incremental_dedup(sf_dir: str):
     from chronon_ray.functions.dedup import incremental_exact_dedup
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def day(parity):
@@ -722,7 +731,7 @@ def q_dedup_spans(sf_dir: str):
     from chronon_ray.functions.dedup import remove_dup_spans
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = remove_dup_spans(docs, "text", "doc_id", L=20).to_pandas()
     return out[["doc_id", "text", "n_chars_removed"]] \
@@ -741,7 +750,7 @@ def q_semdedup(sf_dir: str):
     from chronon_ray.functions.dedup import semdedup
 
     _ctx()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     out = semdedup(emb, "embedding", "vec_id", threshold=0.4,
                    n_clusters=8, deterministic=True).to_pandas()
     out["keep"] = out["keep"].astype(bool)
@@ -759,7 +768,7 @@ def q_embedding_neardup(sf_dir: str):
     from chronon_ray.functions.dedup import embedding_neardup_pairs
 
     _ctx()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     out = embedding_neardup_pairs(emb, "embedding", "vec_id",
                                   threshold=0.95).to_pandas()
     if len(out) == 0:
@@ -782,7 +791,7 @@ def q_perplexity(sf_dir: str):
     from chronon_ray.functions.text import perplexity_score
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = perplexity_score(docs).to_pandas()
     out["avg_nll"] = out["avg_nll"].round(4)
@@ -799,7 +808,7 @@ def q_chunk_documents(sf_dir: str):
     from chronon_ray.functions.text import chunk_documents
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = chunk_documents(docs, chunk_chars=512, stride=384).to_pandas()
     for c in ("chunk_idx", "start", "end"):
@@ -819,7 +828,7 @@ def q_tfidf_top_terms(sf_dir: str):
     from chronon_ray.functions.text import tfidf_top_terms
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = tfidf_top_terms(docs, k=5).to_pandas()
     return out[["doc_id", "term", "tf", "df", "rank"]]
@@ -835,7 +844,7 @@ def q_classifier_score(sf_dir: str):
     from chronon_ray.functions.text import score_documents
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = score_documents(docs, concurrency=4).to_pandas()
     return out[["doc_id", "n_words", "score_int", "label"]]
@@ -849,7 +858,7 @@ def q_text_quality(sf_dir: str):
     from chronon_ray.functions.text import QualityScoreStage
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = docs.map_batches(QualityScoreStage(), batch_format="pandas") \
         .to_pandas()
@@ -868,7 +877,7 @@ def q_text_signals(sf_dir: str):
     from chronon_ray.functions.text import FingerprintStage, LangIdStage
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = docs.map_batches(LangIdStage(), batch_format="pandas") \
         .map_batches(FingerprintStage(), batch_format="pandas").to_pandas()
@@ -884,7 +893,7 @@ def q_repetition_signals(sf_dir: str):
     from chronon_ray.functions.text import RepetitionSignalsStage
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = docs.map_batches(RepetitionSignalsStage(),
                            batch_format="pandas").to_pandas()
@@ -906,7 +915,7 @@ def q_char_dup_ngrams(sf_dir: str):
     from chronon_ray.functions.dedup import char_dup_ngram_stats
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = char_dup_ngram_stats(docs, "text", "doc_id", L=20,
                                num_partitions=32).to_pandas()
@@ -924,7 +933,7 @@ def q_dup_ngrams(sf_dir: str):
     from chronon_ray.functions.dedup import dup_ngram_stats
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = dup_ngram_stats(docs, "text", "doc_id", n=5,
                           num_partitions=32).to_pandas()
@@ -943,7 +952,7 @@ def q_pack_sequences(sf_dir: str):
     from chronon_ray.functions.packing import pack_sequences
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = pack_sequences(docs, "text", "doc_id", seq_len=512,
                          n_buckets=32).to_pandas()
@@ -1009,7 +1018,7 @@ def q_stratified_sample(sf_dir: str):
     from chronon_ray.functions.sampling import stratified_sample
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
     out = stratified_sample(docs, "doc_id", "lang",
                             fractions={"en": 0.5, "zh": 0.25},
@@ -1025,7 +1034,7 @@ def q_mixture_sample(sf_dir: str):
     from chronon_ray.functions.sampling import budget_sample
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source", "n_chars"])
     out = budget_sample(docs, "doc_id", "source", "n_chars",
                         default_budget=4000, seed=11).to_pandas()
@@ -1043,7 +1052,7 @@ def q_ivf_knn(sf_dir: str):
     from chronon_ray.functions.knn import build_ivf, ivf_knn
 
     _ctx()
-    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = _read_parquet(f"{sf_dir}/embeddings.parquet")
     head = corpus.filter(expr="vec_id < 10").to_pandas()
     qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
     cent, assigned = build_ivf(corpus, n_clusters=8, sub_shards=4)
@@ -1062,7 +1071,7 @@ def q_curate(sf_dir: str):
     from chronon_ray.pipelines.curation import curate_documents
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def bench_subset(t):
@@ -1091,7 +1100,7 @@ def q_training_export(sf_dir: str):
     from chronon_ray.pipelines.curation import training_export
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def bench_subset(t):
@@ -1121,7 +1130,7 @@ def q_pii_scrub(sf_dir: str):
     from chronon_ray.functions.scrub import PIIScrubStage
 
     _ctx()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_parquet(f"{sf_dir}/documents.parquet")
 
     def augment(pdf):
         ids = pdf["doc_id"].astype(str)
@@ -1145,7 +1154,7 @@ def q_decontaminate(sf_dir: str):
     from chronon_ray.functions.decontaminate import decontaminate
 
     _ctx()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_parquet(f"{sf_dir}/documents.parquet")
 
     def bench_subset(t):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -1171,7 +1180,7 @@ def q_pq_knn(sf_dir: str):
     from chronon_ray.functions.knn import build_pq, pq_knn
 
     _ctx()
-    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = _read_parquet(f"{sf_dir}/embeddings.parquet")
     head = corpus.filter(expr="vec_id < 10").to_pandas() \
         .sort_values("vec_id")
     qm = np.stack(head["embedding"].to_numpy())
@@ -1193,7 +1202,7 @@ def q_hnsw_knn(sf_dir: str):
     from chronon_ray.functions.knn import hnsw_knn
 
     _ctx()
-    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = _read_parquet(f"{sf_dir}/embeddings.parquet")
     head = corpus.filter(expr="vec_id < 10").to_pandas()
     qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
     out = hnsw_knn(corpus, head["vec_id"].to_numpy(), qm, k=5, n_shards=4,
@@ -1457,7 +1466,7 @@ def q_backfill_join(sf_dir: str):
         raise AssertionError("backfill_join resume plan recomputed work")
 
     files = sorted(glob.glob(os.path.join(out_dir, "ds=*", "*.parquet")))
-    out = rd.read_parquet(files).to_pandas()
+    out = _read_parquet(files).to_pandas()
     out["ds"] = pd.to_datetime(out["ts"], unit="ms").dt.strftime("%Y-%m-%d")
     out["p2_gb_cnt_value_count"] = out["p2_gb_cnt_value_count"] \
         .fillna(0).astype(np.int64)

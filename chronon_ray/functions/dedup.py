@@ -91,7 +91,8 @@ def exact_dedup(
         pdf = pdf.sort_values([*on, id_col], kind="stable")
         out = pdf.drop_duplicates(list(on), keep="first")
         out = out.drop(columns=["_h", "_part"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     keep_first.__name__ = "keep_first"
     tagged = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -449,6 +450,10 @@ def _partition_by_hash(ds: ray.data.Dataset, cols: list[str],
     """Append ``_part`` = stable row-hash of `cols` % num_partitions."""
 
     def addp(t: pa.Table) -> pa.Table:
+        # pandas-origin blocks arrive with pandas schema metadata (via
+        # Ray's from_pandas conversion) — strip it so the downstream sort
+        # exchange unifies hashable schemas (schema-dedup fast path)
+        t = t.replace_schema_metadata(None) if t.schema.metadata else t
         h = _canon_content_hash(t, cols)
         return t.append_column(
             "_part", pa.array((h % num_partitions).astype(np.int64)))
@@ -1630,29 +1635,28 @@ def incremental_exact_dedup(
     doc_cols = sch.names
     doc_types = {n: arrow_type_of(t) for n, t in zip(sch.names, sch.types)}
 
-    def tag_new(pdf: pd.DataFrame) -> pd.DataFrame:
+    def tag_new(t: pa.Table) -> pa.Table:
         # canonical content hash (see _canon_content_hash): these hashes
         # persist in the dedup state across days, so null-promoted blocks
-        # must not mint a second hash for the same content
-        sub = pa.Table.from_pandas(
-            pdf[list(on)],
-            schema=pa.schema([pa.field(c, doc_types[c]) for c in on]),
-            preserve_index=False)
-        h = _canon_content_hash(sub, on)
-        out = pdf.copy()
-        out["_h"] = h.astype(np.int64)
-        out["_kind"] = np.int8(0)
-        return out
+        # must not mint a second hash for the same content. Pure-Arrow
+        # stage: a pandas block would re-acquire unhashable pandas schema
+        # metadata at the sort exchange, defeating Ray's schema-dedup.
+        t = t.replace_schema_metadata(None)
+        h = _canon_content_hash(t, on)
+        n = len(t)
+        t = t.append_column("_h", pa.array(h.astype(np.int64)))
+        return t.append_column("_kind", pa.array(np.zeros(n, dtype=np.int8)))
 
     tag_new.__name__ = "tag_new_docs"
-    tagged_new = new_docs.map_batches(tag_new, batch_format="pandas")
+    tagged_new = new_docs.map_batches(tag_new, batch_format="pyarrow")
 
     committed = completed_partitions(state_dir, config_hash) \
         if os.path.isdir(state_dir) else []
     committed = [d for d in committed if d != ds_value]
     parts = [tagged_new]
     if committed:
-        hist = ray.data.read_parquet(
+        from ..sources import read_parquet as _read_parquet
+        hist = _read_parquet(
             [f"{state_dir}/ds={d}" for d in committed], columns=["_h"])
 
         def tag_hist(t: pa.Table) -> pa.Table:

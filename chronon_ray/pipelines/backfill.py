@@ -25,7 +25,7 @@ from typing import Callable, Optional
 import ray.data
 
 from ..api import GroupByConf, UNBOUNDED
-from ..sources import list_partitions, scan_table
+from ..sources import list_partitions, read_parquet as _read_parquet, scan_table
 from ..state.lineage import archive_mismatched, completed_partitions, write_partitioned
 from ..state.partitions import PartitionRange, shift_ds, unfilled_ranges
 
@@ -318,7 +318,7 @@ def backfill_join(
                                      if f.endswith(".parquet"))
                 if not files:
                     continue
-                fd = rd.read_parquet(files)
+                fd = _read_parquet(files)
                 fd = fd.map_batches(
                     lambda t: t.drop_columns(
                         [c for c in ("ds",) if c in t.column_names]),
@@ -395,11 +395,11 @@ def backfill_incremental(
     def _ensure_checkpoint(ds: str):
         """Checkpoint AT midnight of `ds` (covers events < ds)."""
         if _ck_ok(ds):
-            return rd.read_parquet(_ck_dir(ds)), "cached"
+            return _read_parquet(_ck_dir(ds)), "cached"
         prev = shift_ds(ds, -1)
         end_ms = _midnight_ms(ds)
         if _ck_ok(prev):
-            old = rd.read_parquet(_ck_dir(prev))
+            old = _read_parquet(_ck_dir(prev))
             ck = roll_checkpoint(old, _events_range(prev, prev), conf,
                                  end_ms - 86_400_000, end_ms,
                                  num_partitions=num_partitions)
@@ -420,7 +420,7 @@ def backfill_incremental(
 
             shutil.rmtree(_ck_dir(ds))
         os.rename(tmp, _ck_dir(ds))
-        return rd.read_parquet(_ck_dir(ds)), how
+        return _read_parquet(_ck_dir(ds)), how
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     summary = {"days": len(days), "partitions_written": [], "archived":

@@ -175,7 +175,8 @@ class _SessionStats:
         out = out.rename(columns={"min": "session_start", "max": "session_end",
                                   "size": "n_events"})
         out["n_events"] = out["n_events"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
 
 def session_stats(

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..api import Accuracy, EventSource, GroupByConf, JoinConf, TQuery
-from ..sources import scan_source
+from ..sources import read_parquet as _read_parquet, scan_source
 from ..util import dataset_schema
 from .assembly import key_partitioned_join
 from .groupby import block_part_hash, stable_key_hash
@@ -96,13 +96,14 @@ def distinct_rows(ds: ray.data.Dataset, cols: Sequence[str],
         # across partitions so the global dedup misses duplicates
         t = pa.Table.from_pandas(pdf, schema=col_schema,
                                  preserve_index=False)
+        t = t.replace_schema_metadata(None)
         part = block_part_hash(t, cols, num_partitions)
         return t.append_column("_part", pa.array(part))
 
     def global_(pdf: pd.DataFrame) -> pa.Table:
         out = pdf.drop_duplicates(cols)[cols]
         return pa.Table.from_pandas(out, schema=col_schema,
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     global_.__name__ = "distinct_merge"
     return ds.map_batches(local, batch_format="pyarrow") \
@@ -521,7 +522,7 @@ def compute_join_bootstrapped(
 
     booted = left
     for bp in jc.bootstrap_parts:
-        bds = bp.table if isinstance(bp.table, ray.data.Dataset) else             ray.data.read_parquet(bp.table)
+        bds = bp.table if isinstance(bp.table, ray.data.Dataset) else             _read_parquet(bp.table)
         h = hashlib.md5(repr(bp).encode()).hexdigest()[:12]
         booted = bootstrap_join(booted, bds,
                                 row_ids=list(bp.row_ids or jc.row_ids),

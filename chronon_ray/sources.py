@@ -28,6 +28,23 @@ DS_COL = "ds"
 MILLIS_DAY = 86_400_000
 
 
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Parquet written by pandas
+    carries a `pandas` metadata blob that makes `hash(pa.Schema)` raise in
+    this pyarrow version, which defeats Ray Data's schema-dedup fast path
+    on EVERY block unify (and spams 'Failed to hash the schemas' from sort
+    reduce workers where no driver-side logging filter can reach)."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet(*args, **kwargs) -> ray.data.Dataset:
+    """`ray.data.read_parquet` + schema-metadata strip (fuses with the
+    read task; ~free). Use this everywhere instead of the raw reader so
+    downstream exchanges unify hashable schemas."""
+    return ray.data.read_parquet(*args, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow")
+
+
 def partition_paths(
     table: str,
     start: Optional[str] = None,
@@ -75,6 +92,7 @@ class _Render:
         self.synthesize_eod_ts = synthesize_eod_ts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _strip_schema_metadata(batch)
         q = self.query
         if getattr(q, "setups", ()):
             from .expr import ensure_setups
