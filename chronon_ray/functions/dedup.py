@@ -1656,8 +1656,18 @@ def incremental_exact_dedup(
     parts = [tagged_new]
     if committed:
         from ..sources import read_parquet as _read_parquet
-        hist = _read_parquet(
-            [f"{state_dir}/ds={d}" for d in committed], columns=["_h"])
+
+        # expand to concrete files: ray.data.read_parquet accepts a single
+        # directory but FAILS on a multi-element list of directories
+        # ("Cannot open for reading: path ... is a directory"), so two or
+        # more committed days would crash; file paths also skip the
+        # manifest explicitly
+        files = []
+        for d in committed:
+            p = f"{state_dir}/ds={d}"
+            files.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+        hist = _read_parquet(files, columns=["_h"])
 
         def tag_hist(t: pa.Table) -> pa.Table:
             n = len(t)
