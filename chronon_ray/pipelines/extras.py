@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .groupby import block_part_hash, stable_key_hash
@@ -170,13 +171,23 @@ class _SessionStats:
         with_sess = self.inner(tbl.append_column("_part", pa.nulls(len(tbl), pa.int64()))) \
             if "_part" not in tbl.column_names else self.inner(tbl)
         pdf = with_sess.select([*self.keys, self.order_col, "session_id"]).to_pandas()
-        gb = pdf.groupby([*self.keys, "session_id"], sort=True)
+        # dropna=False: SQL GROUP BY convention — the null key forms its
+        # own group (matches the snapshot GroupBy and the DuckDB oracles)
+        gb = pdf.groupby([*self.keys, "session_id"], sort=True, dropna=False)
         out = gb[self.order_col].agg(["min", "max", "size"]).reset_index()
         out = out.rename(columns={"min": "session_start", "max": "session_end",
                                   "size": "n_events"})
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return pa.Table.from_pandas(
-            out, preserve_index=False).replace_schema_metadata(None)
+        # emit key columns with the INPUT arrow types: an all-null-key
+        # partition would otherwise infer pa.null() and fail the block
+        # concat against string-keyed partitions
+        arrays = {k: pa.array(out[k], type=tbl.schema.field(k).type,
+                              from_pandas=True) for k in self.keys}
+        arrays["session_id"] = pa.array(out["session_id"].to_numpy(np.int64))
+        for c in ("session_start", "session_end"):
+            arrays[c] = pa.array(out[c], type=tbl.schema.field(self.order_col).type,
+                                 from_pandas=True)
+        arrays["n_events"] = pa.array(out["n_events"].to_numpy(np.int64))
+        return pa.table(arrays)
 
 
 def session_stats(
@@ -281,26 +292,40 @@ def _q_label(q: float) -> str:
 
 
 class _GroupQuantiles:
-    def __init__(self, keys, value_col, qs):
+    def __init__(self, keys, value_col, qs, key_types):
         self.__name__ = type(self).__name__
         self.keys, self.value_col, self.qs = list(keys), value_col, list(qs)
+        self.key_types = key_types
 
-    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _emit(self, out: "pd.DataFrame") -> pa.Table:
+        # declared key types: an all-null-key partition would otherwise
+        # infer pa.null() and fail block concat against typed partitions
+        arrays = {k: pa.array(out[k], type=self.key_types[k],
+                              from_pandas=True) for k in self.keys}
+        arrays["n"] = pa.array(out["n"], type=pa.int64(), from_pandas=True)
+        for q in self.qs:
+            lbl = _q_label(q)
+            arrays[lbl] = pa.array(out[lbl], type=pa.float64(),
+                                   from_pandas=True)
+        return pa.table(arrays)
+
+    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf[pdf[self.value_col].notna()]
         if not len(pdf):
             cols = {k: pd.Series(dtype=object) for k in self.keys}
+            cols["n"] = pd.Series(dtype=np.int64)
             for q in self.qs:
                 cols[_q_label(q)] = pd.Series(dtype=np.float64)
-            cols["n"] = pd.Series(dtype=np.int64)
-            return pd.DataFrame(cols)
-        g = pdf.groupby(self.keys, sort=False)[self.value_col]
+            return self._emit(pd.DataFrame(cols))
+        # dropna=False: the null key is a group (SQL GROUP BY convention)
+        g = pdf.groupby(self.keys, sort=False, dropna=False)[self.value_col]
         out = g.agg(n="size").reset_index()
         for q in self.qs:
             # linear interpolation == numpy default == DuckDB quantile_cont
             out[_q_label(q)] = g.quantile(q, interpolation="linear") \
                 .to_numpy(dtype=np.float64)
         out["n"] = out["n"].astype(np.int64)
-        return out
+        return self._emit(out)
 
 
 def group_quantiles(
@@ -315,10 +340,15 @@ def group_quantiles(
     APPROX_PERCENTILE KLL sketch: one hash exchange co-locates each key's
     values, one vectorized pass per partition. Use the sketch when values
     per key exceed a task's memory; use this when exactness is required."""
+    from ..util import dataset_schema
+
+    sch = dataset_schema(ds)
+    key_types = {k: sch.field(k).type for k in keys}
     tagged = ds.map_batches(_AddPart(keys, num_partitions),
                             batch_format="pyarrow")
     return tagged.groupby("_part").map_groups(
-        _GroupQuantiles(keys, value_col, qs), batch_format="pandas")
+        _GroupQuantiles(keys, value_col, qs, key_types),
+        batch_format="pandas")
 
 
 class _RangeJoinPartition:
@@ -417,7 +447,16 @@ def range_join(
     ltypes = {n: arrow_type_of(t) for n, t in zip(lsch.names, lsch.types)}
     rtypes = {n: arrow_type_of(t) for n, t in zip(rsch.names, rsch.types)}
 
+    def _drop_null_keys(t: pa.Table) -> pa.Table:
+        # SQL inner-join equality: NULL never matches — prune null-keyed
+        # rows BEFORE the exchange (they'd cross the shuffle for nothing)
+        for k in keys:
+            if t[k].null_count:
+                t = t.filter(pc.is_valid(t[k]))
+        return t
+
     def tag_left(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t)
         n = len(t)
         t = t.select([c for c in t.column_names
                       if c in set([*keys, ts_col, *left_cols])])
@@ -429,6 +468,7 @@ def range_join(
     tag_left.__name__ = "tag_range_left"
 
     def tag_right(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t)
         n = len(t)
         for c in [*left_cols, ts_col]:
             if c not in t.column_names:

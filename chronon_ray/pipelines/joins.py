@@ -648,7 +648,11 @@ def latest_label_view(
 
     def keep_latest(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("label_ds", kind="stable")
-        out = pdf.groupby(ident, sort=False, as_index=False).tail(1)
+        # dropna=False: a null-keyed feature identity is still an identity
+        # — the default pandas groupby would silently drop the row from
+        # the latest view entirely
+        out = pdf.groupby(ident, sort=False, as_index=False,
+                          dropna=False).tail(1)
         return out.drop(columns=["_part"])
 
     keep_latest.__name__ = "keep_latest"

@@ -600,7 +600,10 @@ class _EntityPartition:
         # the mutation prefix sweep is shared
         q = queries.copy()
         q["_day"] = (q["ts"].astype(np.int64) // MILLIS_DAY)
-        for kv, grp in q.groupby([*self.keys, "_day"], sort=False):
+        # dropna=False: null-keyed query rows are left-outer rows — they
+        # come out with null features, never silently vanish
+        for kv, grp in q.groupby([*self.keys, "_day"], sort=False,
+                                 dropna=False):
             kv = tuple(kv) if isinstance(kv, tuple) else (kv,)
             key_vals, day = kv[:-1], int(kv[-1])
             day_ds = pd.Timestamp(day * MILLIS_DAY, unit="ms").strftime("%Y-%m-%d")
@@ -854,6 +857,21 @@ def temporal_entities_join(
                 cols[f.name] = pa.nulls(len(t), type=f.type)
         return pa.table(cols)
 
+    def _drop_null_keys(t: pa.Table) -> pa.Table:
+        # reference removeNulls (GroupBy.scala:181): null-key snapshot /
+        # mutation rows are data-side noise and must never pair with a
+        # null-key QUERY row (left-outer: those stay, with null features)
+        mask = None
+        for k in keys:
+            if k in t.column_names:
+                m = pc.is_valid(t[k])
+                mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask) if mask is not None else t
+
+    snapshots = snapshots.map_batches(_drop_null_keys,
+                                      batch_format="pyarrow")
+    mutations = mutations.map_batches(_drop_null_keys,
+                                      batch_format="pyarrow")
     snap_ds = snapshots.map_batches(
         lambda t: _pad(snap_partials(t)), batch_format="pyarrow")
 
