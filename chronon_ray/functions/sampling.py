@@ -129,9 +129,22 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
     # final filter don't recompute the upstream pipeline
     ranked = ds.map_batches(add_rank, batch_format="pyarrow").materialize()
 
-    # tiny aggregate: (group, rank-bucket) weight sums -> driver
-    tot = ranked.groupby([group_col, "_rb"]).sum(weight_col).to_pandas()
-    wcol = f"sum({weight_col})"
+    # tiny aggregate: (group, rank-bucket) weight sums → per-block partial
+    # (combiner) then a driver-side combine of the small partial stream.
+    # NOT Ray-native groupby: its sort comparator crashes on a null-bearing
+    # group column ('<' between None and str), and the null group is a
+    # legitimate stratum here.
+    def bucket_partial(t: pa.Table) -> pd.DataFrame:
+        pdf = t.select([group_col, "_rb", weight_col]).to_pandas()
+        return pdf.groupby([group_col, "_rb"], dropna=False, sort=False,
+                           as_index=False)[weight_col].sum()
+
+    bucket_partial.__name__ = "bucket_partial"
+    parts_df = ranked.map_batches(bucket_partial,
+                                  batch_format="pyarrow").to_pandas()
+    tot = parts_df.groupby([group_col, "_rb"], dropna=False, sort=False,
+                           as_index=False)[weight_col].sum()
+    wcol = weight_col
     plan: dict = {}
     # dropna=False: a null group is its own stratum and draws the default
     # budget (matching the documented SQL `partition by g` semantics, where
@@ -179,7 +192,17 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
             below = np.array([p[0] for p in per], dtype=np.int64)[codes]
             bnd = np.array([p[1] for p in per], dtype=np.int64)[codes]
             mask = (rb == bnd) if self.boundary else (rb < below)
-            return t.filter(pa.array(mask))
+            t = t.filter(pa.array(mask))
+            if self.boundary:
+                # null-safe group key for the boundary exchange (Ray-native
+                # groupby cannot sort a null-bearing column)
+                gk = np.array(["\x00<null>" if u is None
+                               or (isinstance(u, float) and np.isnan(u))
+                               else f"g:{u}" for u in uniq], dtype=object)
+                kept = codes[np.asarray(mask)]
+                t = t.append_column("_gk", pa.array(gk[kept].tolist(),
+                                                    type=pa.string()))
+            return t
 
     accepted = ranked.map_batches(_Classify(plan_ref, boundary=False),
                                   batch_format="pyarrow") \
@@ -202,12 +225,12 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
                 .reset_index(drop=True)
             w = pdf[weight_col].to_numpy(dtype=np.int64)
             cum_excl = base + np.concatenate([[0], np.cumsum(w)[:-1]])
-            return pdf[cum_excl < budget].drop(columns=["_h", "_rb"])
+            return pdf[cum_excl < budget].drop(columns=["_h", "_rb", "_gk"])
 
     boundary = ranked.map_batches(_Classify(plan_ref, boundary=True),
                                   batch_format="pyarrow") \
-        .groupby(group_col).map_groups(_ExactScan(plan_ref),
-                                       batch_format="pandas")
+        .groupby("_gk").map_groups(_ExactScan(plan_ref),
+                                   batch_format="pandas")
     return accepted.union(boundary)
 
 
