@@ -32,7 +32,8 @@ import ray.data
 from ..util import auto_partitions
 
 
-def _canon_content_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
+def _canon_content_hash(t: pa.Table, cols: Sequence[str],
+                        types_by_name: Optional[dict] = None) -> np.ndarray:
     """Block-stable, null-DISTINCT row hash of `cols`: the SAME content
     must hash identically in every block (to_pandas float-promotes int —
     and object-promotes bool — columns whenever the block carries a null,
@@ -44,7 +45,13 @@ def _canon_content_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
     (zero-filled values, is-null flags); the companion flag column is
     emitted even for null-free blocks so both block kinds agree.
     String/float columns pass through unchanged, so hashes for text
-    content match the values stored by earlier runs."""
+    content match the values stored by earlier runs.
+
+    ``types_by_name``: the dataset-level UNIFIED types. Individual blocks
+    may declare different dtypes for the same logical column (a pandas
+    round trip promotes nullable int to double) — cast to the unified
+    type FIRST, or a double block hashes 5.0 down the float path while an
+    int block hashes (5, notnull) and the same content splits."""
     import pyarrow.compute as pc
 
     frame: dict = {}
@@ -53,6 +60,15 @@ def _canon_content_hash(t: pa.Table, cols: Sequence[str]) -> np.ndarray:
         a = t[c]
         if isinstance(a, pa.ChunkedArray):
             a = a.combine_chunks()
+        want = (types_by_name or {}).get(c)
+        if want is not None and a.type != want:
+            try:
+                a = pc.cast(a, want)
+            except pa.ArrowInvalid:
+                # genuinely unrepresentable content (e.g. 5.5 against a
+                # persisted int64 canon) — such values can never collide
+                # with persisted hashes anyway; hash the block's own type
+                pass
         if pa.types.is_integer(a.type) or pa.types.is_boolean(a.type):
             fill = False if pa.types.is_boolean(a.type) \
                 else pa.scalar(0, type=a.type)
@@ -80,9 +96,18 @@ def exact_dedup(
     (hash-partition by content hash → per-group first)."""
     if num_partitions is None:
         num_partitions = auto_partitions(ds)
+    from ..util import dataset_schema
+
+    sch = dataset_schema(ds)
+    on_types = {c: sch.field(c).type for c in on}
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = _canon_content_hash(batch, on)
+        # strip pandas-origin schema metadata (unhashable → defeats the
+        # sort exchange's schema-dedup) and hash against the UNIFIED
+        # dataset types so dtype-divergent blocks agree on content
+        if batch.schema.metadata:
+            batch = batch.replace_schema_metadata(None)
+        h = _canon_content_hash(batch, on, on_types)
         batch = batch.append_column("_h", pa.array(h.astype(np.int64)))
         return batch.append_column(
             "_part", pa.array((h % num_partitions).astype(np.int64)))
@@ -1604,7 +1629,10 @@ def incremental_exact_dedup(
     ds_value: str,
     on: Sequence[str],
     id_col: str,
-    config_hash: str = "inc-dedup-v1",
+    config_hash: str = "inc-dedup-v2",  # v2: null-distinct int/bool content
+                                        # hashes (value+isnull pairs) — old
+                                        # v1 state must not validate against
+                                        # the new scheme
     num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Day-over-day exact dedup against persisted state: the new
@@ -1635,6 +1663,27 @@ def incremental_exact_dedup(
     doc_cols = sch.names
     doc_types = {n: arrow_type_of(t) for n, t in zip(sch.names, sch.types)}
 
+    # Canonical CONTENT types persist with the state: a later day whose
+    # blocks arrive dtype-promoted (a pandas round trip turns nullable int
+    # into double) must hash identically to the int hashes committed on
+    # day 1, or every historical duplicate is silently re-admitted. Day 1
+    # pins today's unified types in a zero-row parquet sidecar; every
+    # subsequent day casts to the pinned types before hashing.
+    import pyarrow.parquet as _pq
+
+    sidecar = os.path.join(state_dir, f"_content_types_{config_hash}.parquet")
+    if os.path.exists(sidecar):
+        pinned = _pq.read_schema(sidecar)
+        on_types = {c: pinned.field(c).type for c in on
+                    if pinned.get_field_index(c) >= 0}
+    else:
+        on_types = {c: doc_types[c] for c in on}
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = sidecar + ".tmp"
+        _pq.write_table(
+            pa.table({c: pa.nulls(0, type=on_types[c]) for c in on}), tmp)
+        os.replace(tmp, sidecar)
+
     def tag_new(t: pa.Table) -> pa.Table:
         # canonical content hash (see _canon_content_hash): these hashes
         # persist in the dedup state across days, so null-promoted blocks
@@ -1642,7 +1691,10 @@ def incremental_exact_dedup(
         # stage: a pandas block would re-acquire unhashable pandas schema
         # metadata at the sort exchange, defeating Ray's schema-dedup.
         t = t.replace_schema_metadata(None)
-        h = _canon_content_hash(t, on)
+        # cast to the state-pinned canonical types first: dtype-divergent
+        # blocks AND dtype-divergent days must hash identically — these
+        # hashes persist into day-over-day state
+        h = _canon_content_hash(t, on, on_types)
         n = len(t)
         t = t.append_column("_h", pa.array(h.astype(np.int64)))
         return t.append_column("_kind", pa.array(np.zeros(n, dtype=np.int8)))

@@ -117,6 +117,16 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
     unbounded preceding and 1 preceding) < budget``."""
     budgets = dict(budgets or {})
     shift = np.uint32(rank_bucket_bits)
+    from ..util import dataset_schema
+
+    gtype = dataset_schema(ds).field(group_col).type
+
+    def canon_g(vals) -> list:
+        """Group values as python scalars of the DECLARED type: a
+        null-bearing block's to_pandas promotes int→float, and '5.0' vs
+        '5' would split one group's plan/boundary keys across blocks."""
+        return pa.array(pd.Series(list(vals)), type=gtype,
+                        from_pandas=True).to_pylist()
 
     def add_rank(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -136,12 +146,16 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
     # legitimate stratum here.
     def bucket_partial(t: pa.Table) -> pd.DataFrame:
         pdf = t.select([group_col, "_rb", weight_col]).to_pandas()
+        pdf[group_col] = canon_g(pdf[group_col])
         return pdf.groupby([group_col, "_rb"], dropna=False, sort=False,
                            as_index=False)[weight_col].sum()
 
     bucket_partial.__name__ = "bucket_partial"
     parts_df = ranked.map_batches(bucket_partial,
                                   batch_format="pyarrow").to_pandas()
+    # re-canonicalize: the partial's python scalars crossed an Arrow
+    # round trip on the way to the driver (None re-promotes int groups)
+    parts_df[group_col] = canon_g(parts_df[group_col])
     tot = parts_df.groupby([group_col, "_rb"], dropna=False, sort=False,
                            as_index=False)[weight_col].sum()
     wcol = weight_col
@@ -186,8 +200,9 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
             rb = t["_rb"].to_numpy(zero_copy_only=False)
             codes, uniq = pd.factorize(pd.Series(t[group_col].to_pandas()),
                                        use_na_sentinel=False)
+            uniq = canon_g(uniq)  # declared-type scalars ('5', never '5.0')
             per = [self.plan.get(_NULL_GROUP, (-1, -1, 0, 0))
-                   if u is None or (isinstance(u, float) and np.isnan(u))
+                   if u is None
                    else self.plan.get(u, (-1, -1, 0, 0)) for u in uniq]
             below = np.array([p[0] for p in per], dtype=np.int64)[codes]
             bnd = np.array([p[1] for p in per], dtype=np.int64)[codes]
@@ -197,7 +212,6 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
                 # null-safe group key for the boundary exchange (Ray-native
                 # groupby cannot sort a null-bearing column)
                 gk = np.array(["\x00<null>" if u is None
-                               or (isinstance(u, float) and np.isnan(u))
                                else f"g:{u}" for u in uniq], dtype=object)
                 kept = codes[np.asarray(mask)]
                 t = t.append_column("_gk", pa.array(gk[kept].tolist(),
@@ -217,8 +231,8 @@ def budget_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
         def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
             if self.plan is None:
                 self.plan = ray.get(self.ref)
-            g = pdf[group_col].iloc[0]
-            if g is None or (isinstance(g, float) and np.isnan(g)):
+            g = canon_g([pdf[group_col].iloc[0]])[0]
+            if g is None:
                 g = _NULL_GROUP
             _, _, base, budget = self.plan[g]
             pdf = pdf.sort_values(["_h", id_col], kind="stable") \

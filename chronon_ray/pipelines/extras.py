@@ -15,7 +15,6 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 from .groupby import block_part_hash, stable_key_hash
@@ -447,13 +446,12 @@ def range_join(
     ltypes = {n: arrow_type_of(t) for n, t in zip(lsch.names, lsch.types)}
     rtypes = {n: arrow_type_of(t) for n, t in zip(rsch.names, rsch.types)}
 
+    from ..util import drop_null_key_rows
+
     def _drop_null_keys(t: pa.Table) -> pa.Table:
         # SQL inner-join equality: NULL never matches — prune null-keyed
         # rows BEFORE the exchange (they'd cross the shuffle for nothing)
-        for k in keys:
-            if t[k].null_count:
-                t = t.filter(pc.is_valid(t[k]))
-        return t
+        return drop_null_key_rows(t, keys)
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = _drop_null_keys(t)

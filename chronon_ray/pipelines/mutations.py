@@ -857,21 +857,15 @@ def temporal_entities_join(
                 cols[f.name] = pa.nulls(len(t), type=f.type)
         return pa.table(cols)
 
-    def _drop_null_keys(t: pa.Table) -> pa.Table:
-        # reference removeNulls (GroupBy.scala:181): null-key snapshot /
-        # mutation rows are data-side noise and must never pair with a
-        # null-key QUERY row (left-outer: those stay, with null features)
-        mask = None
-        for k in keys:
-            if k in t.column_names:
-                m = pc.is_valid(t[k])
-                mask = m if mask is None else pc.and_(mask, m)
-        return t.filter(mask) if mask is not None else t
+    from functools import partial
 
-    snapshots = snapshots.map_batches(_drop_null_keys,
-                                      batch_format="pyarrow")
-    mutations = mutations.map_batches(_drop_null_keys,
-                                      batch_format="pyarrow")
+    from ..util import drop_null_key_rows
+
+    # null-key snapshot/mutation rows are data-side noise and must never
+    # pair with a null-key QUERY row (left-outer: those stay, null features)
+    _dropper = partial(drop_null_key_rows, keys=keys)
+    snapshots = snapshots.map_batches(_dropper, batch_format="pyarrow")
+    mutations = mutations.map_batches(_dropper, batch_format="pyarrow")
     snap_ds = snapshots.map_batches(
         lambda t: _pad(snap_partials(t)), batch_format="pyarrow")
 

@@ -7,6 +7,21 @@ import pyarrow as pa
 import ray.data
 
 
+def drop_null_key_rows(t: pa.Table, keys) -> pa.Table:
+    """Data-side removeNulls (reference GroupBy.scala:181): drop rows
+    where ANY key column is null. Shared by every operator with the
+    engine-wide join contract — data-side null keys never match, while
+    LEFT rows with null keys survive with null features."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for k in keys:
+        if k in t.column_names:
+            m = pc.is_valid(t[k])
+            mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask) if mask is not None else t
+
+
 def dataset_schema(ds: ray.data.Dataset) -> pa.Schema:
     """Arrow schema of a Dataset regardless of block type (Arrow or pandas)."""
     sch = ds.schema()

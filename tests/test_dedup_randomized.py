@@ -275,3 +275,51 @@ def test_remove_dup_spans_layout_invariance_and_canonical(ray_session, seed):
     for c in carriers[1:]:
         assert got.loc[c, "n_chars_removed"] > 0, (seed, c)
         assert shared not in got.loc[c, "text"], (seed, c)
+
+
+def test_exact_dedup_dtype_divergent_blocks(ray_session):
+    """Blocks may DECLARE different dtypes for the same logical column (a
+    pandas round trip promotes nullable int to double): content must hash
+    against the dataset-UNIFIED type so 5 and 5.0 are one value."""
+    from chronon_ray.functions.dedup import exact_dedup
+
+    t_int = pa.table({"text": ["x", "y"],
+                      "cat": pa.array([5, 7], type=pa.int64()),
+                      "doc_id": pa.array([1, 2], type=pa.int64())})
+    t_dbl = pa.table({"text": ["x", "z"],
+                      "cat": pa.array([5.0, None], type=pa.float64()),
+                      "doc_id": pa.array([3, 4], type=pa.int64())})
+    ds = rd.from_arrow(t_int).union(rd.from_arrow(t_dbl))
+    out = exact_dedup(ds, on=("text", "cat"), id_col="doc_id",
+                      num_partitions=32).to_pandas()
+    # ('x',5)→min id 1 (the 5.0 copy is the SAME content); ('y',7)→2;
+    # ('z',NULL)→4
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 4], out.to_string()
+
+
+def test_incremental_dedup_dtype_divergent_day(ray_session, tmp_path):
+    """Day-2 blocks arriving dtype-promoted (double) must hash equal to
+    the int hashes persisted on day 1 — otherwise every historical
+    duplicate is silently re-admitted."""
+    from chronon_ray.functions.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "state")
+    d1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a", "b"]),
+        "cat": pa.array([5, 7], type=pa.int64())}))
+    out1 = incremental_exact_dedup(d1, state, "2026-01-01",
+                                   on=("text", "cat"), id_col="doc_id",
+                                   num_partitions=8).to_pandas()
+    assert sorted(out1["doc_id"]) == [1, 2]
+    # day 2: same content, but the block declares cat as double (one null
+    # forces promotion through a pandas round trip)
+    d2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": pa.array(["a", "c"]),
+        "cat": pa.array([5.0, None], type=pa.float64())}))
+    out2 = incremental_exact_dedup(d2, state, "2026-01-02",
+                                   on=("text", "cat"), id_col="doc_id",
+                                   num_partitions=8).to_pandas()
+    # ('a',5) already seen on day 1 → dropped; ('c',NULL) is new → kept
+    assert sorted(out2["doc_id"].tolist()) == [11], out2.to_string()

@@ -141,3 +141,56 @@ def test_shuffle_export_layout_invariant(ray_session, seed):
                for d, s in zip(out["doc_id"], out["shard"])), seed
     for s, sub in out.groupby("shard"):
         assert sorted(sub["pos"].tolist()) == list(range(len(sub))), seed
+
+
+@pytest.mark.parametrize("seed", [39])
+def test_budget_sample_int_group_with_nulls(ray_session, seed):
+    """Integer group column with nulls: null-bearing blocks promote the
+    group to float in pandas — plan keys, boundary keys and the exact-scan
+    lookup must all canonicalize ('5', never '5.0') or one group splits
+    into two boundary scans and overshoots its budget."""
+    rng = np.random.default_rng(seed)
+    n = 300
+    grp = rng.integers(0, 3, size=n).astype(object)
+    grp[rng.random(n) < 0.15] = None
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(np.arange(n)).astype(np.int64),
+        "g": grp,
+        "n_tokens": rng.integers(1, 40, size=n).astype(np.int64),
+    })
+
+    def to_ds(d, r):
+        order = r.permutation(len(d))
+        d = d.iloc[order].reset_index(drop=True)
+        cuts = np.sort(r.choice(np.arange(1, len(d)), size=3,
+                                replace=False))
+        ds = None
+        for idx in np.split(np.arange(len(d)), cuts):
+            sub = d.iloc[idx]
+            t = pa.table({
+                "doc_id": pa.array(sub["doc_id"].to_numpy()),
+                "g": pa.array(sub["g"].tolist(), type=pa.int64()),
+                "n_tokens": pa.array(sub["n_tokens"].to_numpy()),
+            })
+            x = rd.from_arrow(t)
+            ds = x if ds is None else ds.union(x)
+        return ds
+
+    budgets = {0: 300, 1: 150, 2: 80}
+    got = []
+    for _ in range(2):
+        out = budget_sample(to_ds(df, rng), "doc_id", "g", "n_tokens",
+                            budgets=budgets, default_budget=50,
+                            seed=6).to_pandas()
+        got.append(set(out["doc_id"].tolist()))
+    assert got[0] == got[1], seed
+    h = rank_hash(df["doc_id"].to_numpy(), 6)
+    o = df.assign(_h=h.astype(np.int64))
+    want = set()
+    for g, sub in o.groupby("g", sort=False, dropna=False):
+        b = budgets.get(g, 50) if g is not None and g == g else 50
+        sub = sub.sort_values(["_h", "doc_id"])
+        cum = np.concatenate([[0],
+                              np.cumsum(sub["n_tokens"].to_numpy())[:-1]])
+        want.update(sub["doc_id"].to_numpy()[cum < b].tolist())
+    assert got[0] == want, (seed, len(got[0] ^ want))
