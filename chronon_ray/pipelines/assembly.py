@@ -124,7 +124,14 @@ def key_partitioned_join(
     different column set (e.g. a SNAPSHOT-accuracy part joins on the
     day-quantized ``_ts_d`` while TEMPORAL parts join on raw ``ts``); all
     sources are then hash-partitioned on ``hash_keys`` (default: `keys` —
-    must be common to every source)."""
+    must be common to every source).
+
+    Null-key semantics: this is the join-ASSEMBLY primitive (fan per-key
+    feature rows back onto left rows), so null keys match null keys —
+    a null-keyed left question row re-attaches its own null-keyed feature
+    row. Operators exposing SQL equi-join semantics must prune null-keyed
+    RIGHT rows first (``util.drop_null_key_rows``): SQL NULL never
+    matches."""
     all_ds = [left, *rights]
     from ..util import dataset_schema
 

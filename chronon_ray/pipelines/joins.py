@@ -239,8 +239,20 @@ def entity_snapshot_join(
     snapshot row of ``date(ts) − lag`` — "features as of yesterday end-of-day"
     (reference: spark/JoinBase.scala:70-130 joinWithLeft key matrix — events ×
     SNAPSHOT entities join on keys + ts_ds with the right shifted one day;
-    spark/Extensions.scala:249-274 ts_ds derivation)."""
+    spark/Extensions.scala:249-274 ts_ds derivation).
+
+    Null-key contract: snapshot rows with a null key (or null ds) never
+    match — SQL equality — while null-keyed LEFT rows survive with null
+    features. The assembly primitive underneath matches null-to-null
+    (fan-out semantics), so the snapshot side is pruned here."""
+    from functools import partial
+
+    from ..util import drop_null_key_rows
+
     lag_ms = snapshot_lag_days * MILLIS_DAY
+    snapshots = snapshots.map_batches(
+        partial(drop_null_key_rows, keys=[*keys, "ds"]),
+        batch_format="pyarrow")
 
     def add_join_ds(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
