@@ -1,0 +1,184 @@
+"""``ray job submit`` entrypoint for the backfill drivers.
+
+The reference ships a launcher script (api/py/ai/chronon/repo/run.py) that
+dispatches compiled thrift configs to spark-submit modes (backfill /
+group-by-backfill / upload). This is the Ray analog: a compiled-JSON conf
+(compile.py) plus a subcommand dispatches to the matching driver in
+pipelines/backfill.py, every output partition gets a lineage manifest, and
+the process prints ONE machine-readable JSON summary line on stdout.
+
+Cluster usage (the north-rule shape)::
+
+    ray job submit --working-dir . -- \
+        python -m chronon_ray backfill --conf join.json \
+        --out /data/join_out --start 2024-01-01 --end 2024-03-31
+
+``ray job submit`` sets RAY_ADDRESS inside the job container, so the bare
+``ray.init()`` below connects to the hosting cluster; in the sandbox
+(RAY_ADDRESS=local) the same command runs single-node. A re-run of the
+same command resumes: completed partitions are skipped via their
+manifests, and a conf whose semantic hash changed archives the stale
+output first (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional, Sequence
+
+
+def _load_conf(path: str):
+    from .compile import load_json
+
+    with open(path) as f:
+        return load_json(f.read())
+
+
+def _init_ray(num_cpus: Optional[int]) -> None:
+    import ray
+
+    if ray.is_initialized():
+        return
+    kwargs = dict(include_dashboard=False, logging_level="ERROR")
+    if num_cpus:
+        # explicit local sizing (bench / scaling evidence); otherwise let
+        # RAY_ADDRESS decide (cluster under `ray job submit`, else local)
+        kwargs.update(address="local", num_cpus=num_cpus)
+    ray.init(**kwargs)
+
+
+def _cmd_compile(args: argparse.Namespace) -> dict:
+    """Validate + fingerprint a conf (or compile a python conf module)."""
+    conf = _load_conf(args.conf)
+    from .api import GroupByConf
+
+    return {
+        "name": conf.name,
+        "kind": "group_by" if isinstance(conf, GroupByConf) else "join",
+        "semantic_hash": conf.semantic_hash(),
+    }
+
+
+def _cmd_backfill(args: argparse.Namespace) -> dict:
+    from .api import GroupByConf, JoinConf
+    from .pipelines.backfill import (
+        backfill_incremental,
+        backfill_join,
+        backfill_snapshot_groupby,
+        backfill_temporal_join,
+    )
+
+    conf = _load_conf(args.conf)
+    _init_ray(args.num_cpus)
+
+    if isinstance(conf, JoinConf):
+        if args.mode not in ("auto", "join"):
+            raise SystemExit(
+                f"--mode {args.mode} needs a GroupByConf; {args.conf} "
+                "compiled to a Join (its sources are embedded — drop the "
+                "--*-table flags)")
+        summary = backfill_join(conf, args.out, args.start, args.end,
+                                step_days=args.step_days,
+                                num_partitions=args.num_partitions)
+        kind = "join"
+    elif isinstance(conf, GroupByConf):
+        kind = args.mode
+        if args.mode == "snapshot":
+            if not args.source_table:
+                raise SystemExit("--mode snapshot needs --source-table")
+            summary = backfill_snapshot_groupby(
+                args.source_table, conf, args.out, args.start, args.end,
+                step_days=args.step_days,
+                num_partitions=args.num_partitions)
+        elif args.mode == "incremental":
+            if not (args.left_table and args.right_table
+                    and args.checkpoint_dir):
+                raise SystemExit("--mode incremental needs --left-table, "
+                                 "--right-table and --checkpoint-dir")
+            summary = backfill_incremental(
+                args.left_table, args.right_table, conf, args.out,
+                args.checkpoint_dir, args.start, args.end,
+                num_partitions=args.num_partitions)
+        elif args.mode in ("auto", "temporal"):
+            if not (args.left_table and args.right_table):
+                raise SystemExit("a GroupByConf backfill needs --left-table "
+                                 "and --right-table (or --mode snapshot "
+                                 "with --source-table)")
+            kind = "temporal"
+            summary = backfill_temporal_join(
+                args.left_table, args.right_table, conf, args.out,
+                args.start, args.end, step_days=args.step_days,
+                num_partitions=args.num_partitions)
+        else:
+            raise SystemExit(f"--mode join needs a JoinConf; {args.conf} "
+                             "compiled to a GroupBy")
+    else:  # pragma: no cover - load_json only returns the two kinds
+        raise SystemExit(f"unsupported conf type {type(conf).__name__}")
+
+    return {"name": conf.name, "kind": kind,
+            "semantic_hash": conf.semantic_hash(), "out": args.out,
+            **summary}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m chronon_ray",
+        description=__doc__.split("\n\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compile", help="validate a compiled conf and print "
+                                       "its semantic hash")
+    c.add_argument("--conf", required=True, help="compiled JSON conf path")
+    c.set_defaults(fn=_cmd_compile)
+
+    b = sub.add_parser("backfill", help="range-planned, resumable backfill "
+                                        "of a GroupBy or Join conf")
+    b.add_argument("--conf", required=True, help="compiled JSON conf path")
+    b.add_argument("--out", required=True, help="output directory "
+                   "(ds-partitioned parquet + lineage manifests)")
+    b.add_argument("--start", required=True, help="first ds (YYYY-MM-DD)")
+    b.add_argument("--end", required=True, help="last ds (YYYY-MM-DD)")
+    b.add_argument("--mode", default="auto",
+                   choices=("auto", "join", "temporal", "snapshot",
+                            "incremental"),
+                   help="driver; auto = join for a JoinConf, temporal for "
+                        "a GroupByConf")
+    b.add_argument("--left-table", help="query-side table "
+                   "(GroupBy temporal/incremental modes)")
+    b.add_argument("--right-table", help="event-side table "
+                   "(GroupBy temporal/incremental modes)")
+    b.add_argument("--source-table", help="event table (snapshot mode)")
+    b.add_argument("--checkpoint-dir", help="rolling FinalBatchIr "
+                   "checkpoint dir (incremental mode)")
+    b.add_argument("--step-days", type=int, default=30)
+    b.add_argument("--num-partitions", type=int, default=64)
+    b.add_argument("--num-cpus", type=int, default=None,
+                   help="force a fresh LOCAL ray session of this size "
+                        "(default: connect per RAY_ADDRESS)")
+    b.set_defaults(fn=_cmd_backfill)
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    owns_ray = False
+    if getattr(args, "fn", None) is _cmd_backfill:
+        import ray
+
+        owns_ray = not ray.is_initialized()
+    try:
+        result = args.fn(args)
+    finally:
+        if owns_ray:
+            import ray
+
+            if ray.is_initialized():
+                ray.shutdown()
+    print(json.dumps({"status": "ok", **result}))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
