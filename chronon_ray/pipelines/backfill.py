@@ -210,6 +210,16 @@ def backfill_join(
     summary = {"parts": {}, "partitions_written": [], "skipped_output": [],
                "part_steps_computed": 0}
     requested = PartitionRange(start, end)
+    # calendar days absent from the LEFT input are not backfillable work:
+    # without this intersection a resume re-plans the hole forever and the
+    # empty left scan (unknown schema) crashes downstream (reference
+    # analog: unfilledRanges intersects inputPartitions,
+    # TableUtils.scala:824-841)
+    from ..sources import list_partitions as _list_parts
+
+    _left_tbl = getattr(jc.left, "table", None) \
+        or getattr(jc.left, "snapshot_table", None)
+    left_input = (_list_parts(_left_tbl) or None) if _left_tbl else None
 
     def _left_for(rng: PartitionRange):
         q = jc.left.query or TQuery()
@@ -240,7 +250,9 @@ def backfill_join(
         phash = _part_hash(jc, part)
         archive_mismatched(pdir, phash)
         done = completed_partitions(pdir, phash)
-        chunks = unfilled_ranges(requested, done, skip_first_hole=False)
+        chunks = unfilled_ranges(requested, done,
+                                 input_partitions=left_input,
+                                 skip_first_hole=False)
         steps = [s for c in chunks for s in c.steps(step_days)]
         summary["parts"][prefix] = {
             "steps": len(steps),
@@ -297,7 +309,9 @@ def backfill_join(
     out_hash = jc.semantic_hash()
     archive_mismatched(out_dir, out_hash)
     done_out = completed_partitions(out_dir, out_hash)
-    out_chunks = unfilled_ranges(requested, done_out, skip_first_hole=False)
+    out_chunks = unfilled_ranges(requested, done_out,
+                                 input_partitions=left_input,
+                                 skip_first_hole=False)
     summary["skipped_output"] = sorted(
         set(done_out) & set(requested.partitions()))
     join_keys = [*(part_left_keys or []), "ts"]
