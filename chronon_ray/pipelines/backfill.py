@@ -438,10 +438,21 @@ def backfill_incremental(
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     summary = {"days": len(days), "partitions_written": [], "archived":
-               archived, "skipped": [], "checkpoints": {}, "metrics": {}}
+               archived, "skipped": [], "no_left": [], "checkpoints": {},
+               "metrics": {}}
+    # calendar days with no LEFT partition have nothing to serve — but the
+    # checkpoint chain must still advance through them (it consumes the
+    # EVENT side day by day), or the next served day would re-bootstrap a
+    # full max-window scan instead of an O(1-day) roll
+    left_days = set(list_partitions(left_table))
     for ds in days:
         if ds in done:
             summary["skipped"].append(ds)
+            continue
+        if left_days and ds not in left_days:
+            ck, how = _ensure_checkpoint(ds)
+            summary["checkpoints"][ds] = how
+            summary["no_left"].append(ds)
             continue
         t0 = time.perf_counter()
         ck, how = _ensure_checkpoint(ds)

@@ -211,3 +211,57 @@ def test_join_backfill_chaos(chaos_env, tmp_path, seed):
     pd.testing.assert_frame_equal(_canon(_read_output(out)),
                                   _canon(_read_output(pristine)),
                                   check_dtype=False, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_incremental_backfill_chaos(chaos_env, tmp_path, seed):
+    """Rolling-checkpoint driver under chaos: delete mid-chain checkpoints
+    and random output days, tear a checkpoint manifest — the resumed chain
+    (cached / re-rolled / re-bootstrapped as needed) must still equal the
+    one-shot temporal join over the whole range."""
+    from chronon_ray.pipelines.backfill import backfill_incremental
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    rng = np.random.default_rng(seed)
+    idx = [agg("n_tok", "sum", [window(3, "d")]),
+           agg("n_tok", "count", [window(7, "d")]),
+           agg("n_tok", "average", [UNBOUNDED]),
+           agg("source", "unique_count", [window(7, "d")])]
+    take = rng.choice(len(idx), size=int(rng.integers(2, 4)), replace=False)
+    conf = GroupByConf(name=f"inc{seed}", sources=(),
+                       key_columns=("doc_id",),
+                       aggregations=tuple(idx[i] for i in sorted(take)))
+    parts = chaos_env["left_parts"]
+    lo = int(rng.integers(0, len(parts) - 6))
+    start, end = parts[lo], parts[lo + 4]
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    s1 = backfill_incremental(chaos_env["left"], chaos_env["right"], conf,
+                              out, ck, start, end, num_partitions=4)
+    days = sorted(s1["partitions_written"])
+    assert s1["checkpoints"][days[0]] == "bootstrapped"
+
+    # chaos: output days + mid-chain checkpoints
+    _chaos(rng, out, days)
+    ck_days = sorted(d.split("=", 1)[1] for d in os.listdir(ck)
+                     if d.startswith("ds="))
+    victims = rng.choice(ck_days, size=int(rng.integers(1, 3)),
+                         replace=False)
+    for d in victims:
+        cdir = os.path.join(ck, f"ds={d}")
+        if rng.random() < 0.5:
+            shutil.rmtree(cdir)
+        else:  # torn checkpoint: manifest gone → unusable, must rebuild
+            os.remove(os.path.join(cdir, "_MANIFEST.json"))
+
+    s2 = backfill_incremental(chaos_env["left"], chaos_env["right"], conf,
+                              out, ck, start, end, num_partitions=4)
+    assert sorted(s2["partitions_written"] + s2["skipped"]) == days
+
+    left = scan_table(chaos_env["left"],
+                      TQuery(start_partition=start, end_partition=end))
+    right = scan_table(chaos_env["right"], TQuery())
+    oracle = temporal_join(left, right, conf, num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_canon(_read_output(out)), _canon(oracle),
+                                  check_dtype=False, rtol=1e-9, atol=1e-12)
