@@ -323,9 +323,24 @@ def agg(
     buckets: Optional[Sequence[str]] = None,
     **args: Any,
 ) -> Aggregation:
-    """Terse authoring helper: ``agg("value", "sum", [window(7)])``."""
+    """Terse authoring helper: ``agg("value", "sum", [window(7)])``.
+
+    ``bucket="col"`` is accepted as an alias for ``buckets=["col"]``; other
+    unknown keyword args raise rather than silently landing in arg_map
+    (only ``k`` and ``percentiles`` are read by any operation).
+    """
     if isinstance(op, str):
         op = Operation(op.lower())
+    if "bucket" in args:
+        if buckets is not None:
+            raise ValueError("pass either bucket= or buckets=, not both")
+        buckets = [args.pop("bucket")]
+    unknown = set(args) - {"k", "percentiles"}
+    if unknown:
+        raise ValueError(
+            f"agg() got unknown arg(s) {sorted(unknown)}; "
+            f"known arg_map keys are 'k' and 'percentiles' "
+            f"(use Aggregation(...) directly for custom arg_map entries)")
     return Aggregation(
         input_column=col,
         operation=op,
