@@ -362,25 +362,21 @@ class _ServePartition:
             return 0
         return wop.py_finalize(ir, p)
 
-    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
-        pdf = pdf.reset_index(drop=True)
-        irs = pdf[pdf["_kind"] == 0]
-        heads = pdf[pdf["_kind"] == 1]
-        queries = pdf[pdf["_kind"] == 2]
-        out_cols: dict[str, list] = {c: [] for c in self.left_cols}
-        feats: dict[str, list] = {f.name: [] for f in self.out_fields}
-        if len(queries) == 0:
-            arrays = {c: pa.array([], type=self._left_type(c))
-                      for c in self.left_cols}
-            arrays.update({f.name: pa.array([], type=f.type)
-                           for f in self.out_fields})
-            return pa.table(arrays)
-        # resolve the checkpoint layout from this partition's IR rows:
-        # serving a rolling checkpoint with the collapsed-mode tail cut
-        # silently drops every hop older than the tail buffer, so an
-        # explicit flag that contradicts the rows fails loudly. With no IR
-        # rows in the partition the layout is moot (no tails to trim) —
-        # fh=None skips the horizon check and the cut is never consulted.
+    def _empty_out(self) -> pa.Table:
+        arrays = {c: pa.array([], type=self._left_type(c))
+                  for c in self.left_cols}
+        arrays.update({f.name: pa.array([], type=f.type)
+                       for f in self.out_fields})
+        return pa.table(arrays)
+
+    def _resolve_layout(self, pdf: pd.DataFrame,
+                        irs: pd.DataFrame) -> Optional[bool]:
+        """Resolve the checkpoint layout from this partition's IR rows:
+        serving a rolling checkpoint with the collapsed-mode tail cut
+        silently drops every hop older than the tail buffer, so an
+        explicit flag that contradicts the rows fails loudly. With no IR
+        rows in the partition the layout is moot (no tails to trim) —
+        fh=None skips the horizon check and the cut is never consulted."""
         table_fh = None
         if len(irs):
             if "_full_hops" in pdf.columns:
@@ -394,25 +390,28 @@ class _ServePartition:
                 # collapsed cut silently).
                 table_fh = False
         if self.full_hops is None:
-            fh = table_fh
-        else:
-            if table_fh is not None and table_fh != self.full_hops:
-                raise ValueError(
-                    f"serve_with_events(full_hops={self.full_hops}) "
-                    f"contradicts the checkpoint layout "
-                    f"(_full_hops={table_fh}); pass full_hops=None to "
-                    f"auto-detect")
-            fh = self.full_hops
+            return table_fh
+        if table_fh is not None and table_fh != self.full_hops:
+            raise ValueError(
+                f"serve(full_hops={self.full_hops}) "
+                f"contradicts the checkpoint layout "
+                f"(_full_hops={table_fh}); pass full_hops=None to "
+                f"auto-detect")
+        return self.full_hops
+
+    def _check_horizon(self, queries: pd.DataFrame,
+                       fh: Optional[bool]) -> None:
         qts_all = queries["ts"].astype(np.int64)
         if (qts_all < self.batch_end).any() or (
                 fh is False
                 and (qts_all >= self.batch_end + TAIL_BUFFER_MS).any()):
             raise ValueError(
-                "serve_with_events queries must lie in [batch_end_ts, "
+                "serve queries must lie in [batch_end_ts, "
                 "batch_end_ts + tail buffer) — outside that horizon the "
                 "checkpoint's tail hops cannot trim the window (run a new "
                 "groupby_upload at a later batch_end_ts)")
 
+    def _load_checkpoint(self, irs: pd.DataFrame):
         base_by_key: dict[tuple, dict] = {}
         tails_by_key: dict[tuple, dict] = {}
         if len(irs):
@@ -430,12 +429,15 @@ class _ServePartition:
                                           and np.isnan(b)):
                     td[bp.name] = pickle.loads(b)
             tails_by_key[kv] = td
+        return base_by_key, tails_by_key
 
+    def _group_events(self, heads: pd.DataFrame) -> dict:
+        """ts-sorted per-key event frames with declared INTEGER input
+        dtypes restored: the null-padded union promoted them to float64,
+        and a histogram py_update keyed on str(5.0) would never merge
+        with the checkpoint's "5"."""
         head_by_key: dict[tuple, pd.DataFrame] = {}
         if len(heads):
-            # restore declared INTEGER input dtypes: the null-padded union
-            # promoted them to float64, and a histogram py_update keyed on
-            # str(5.0) would never merge with the checkpoint's "5"
             heads = heads.copy()
             for c in {bp.part.input_column for bp in self.bound}:
                 if c in heads.columns and c in self.in_schema.names \
@@ -445,6 +447,21 @@ class _ServePartition:
                                          dropna=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 head_by_key[kv] = grp.sort_values("ts", kind="stable")
+        return head_by_key
+
+    def __call__(self, pdf: pd.DataFrame) -> pa.Table:
+        pdf = pdf.reset_index(drop=True)
+        irs = pdf[pdf["_kind"] == 0]
+        heads = pdf[pdf["_kind"] == 1]
+        queries = pdf[pdf["_kind"] == 2]
+        out_cols: dict[str, list] = {c: [] for c in self.left_cols}
+        feats: dict[str, list] = {f.name: [] for f in self.out_fields}
+        if len(queries) == 0:
+            return self._empty_out()
+        fh = self._resolve_layout(pdf, irs)
+        self._check_horizon(queries, fh)
+        base_by_key, tails_by_key = self._load_checkpoint(irs)
+        head_by_key = self._group_events(heads)
 
         # dropna=False: null-key query rows must still be emitted (left-
         # outer row preservation — they match nothing, features stay null)
