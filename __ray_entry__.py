@@ -1010,6 +1010,61 @@ def q_incremental_serve(sf_dir: str):
     return _round(out, ["value_sum_7d", "value_average"])
 
 
+def q_tiled_serve(sf_dir: str):
+    """Tiled lambda fetch (the Flink tile / TileCodec / FetcherBase
+    analog): history before batch_end collapses to a FinalBatchIr
+    checkpoint, streaming-side events pre-aggregate into per-key 1h tile
+    IRs, and queries in the 2-day horizon merge checkpoint ∪ complete
+    tiles ∪ the query's own in-tile events — matching the full-history
+    windowed as-of SQL."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
+    from chronon_ray.pipelines.streaming import make_tiles, serve_with_tiles
+    from chronon_ray.pipelines.upload import groupby_upload
+
+    _ctx()
+    con = duckdb.connect()
+    max_ts = con.sql(
+        f"select cast(max(epoch_ms(ts)) as bigint) from "
+        f"read_parquet('{sf_dir}/events.parquet')").fetchone()[0]
+    con.close()
+    batch_end = (int(max_ts) // MS_1D - 1) * MS_1D
+    conf = GroupByConf(
+        name="tiled", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(7, "d")]),
+                      agg("value", "min", [window(3, "d")]),
+                      agg("event_type", "unique_count", [window(1, "d")]),
+                      agg("value", "average", [UNBOUNDED])),
+    )
+    ev = _events(sf_dir)
+
+    def cut(lo=None, hi=None):
+        def f(t):
+            m = None
+            if lo is not None:
+                m = pc.greater_equal(t["ts"], lo)
+            if hi is not None:
+                h = pc.less(t["ts"], hi)
+                m = h if m is None else pc.and_(m, h)
+            return t.filter(m)
+        f.__name__ = "ts_cut"
+        return f
+
+    hist = ev.map_batches(cut(hi=batch_end), batch_format="pyarrow")
+    head = ev.map_batches(cut(lo=batch_end), batch_format="pyarrow")
+    left = _purchase_left(sf_dir).map_batches(cut(lo=batch_end),
+                                              batch_format="pyarrow")
+    ir = groupby_upload(hist, conf, batch_end, num_partitions=32)
+    tiles = make_tiles(head, conf, batch_end, num_partitions=32)
+    out = serve_with_tiles(ir, tiles, head, left, conf, batch_end,
+                           num_partitions=32).to_pandas()
+    out["event_type_unique_count_1d"] = (
+        out["event_type_unique_count_1d"].fillna(0).astype(np.int64))
+    return _round(out, ["value_sum_7d", "value_min_3d", "value_average"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-language Bernoulli sampling by a seeded rank hash
     (murmur3 fmix32 — reproduced exactly in the SQL oracle). Zero-shuffle."""
@@ -1491,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # into ann_tiers (one row, same exact-mode brute-force oracle).
     return {
         # -- never driver-verified before round 4
+        "tiled_serve": q_tiled_serve,
         "incremental_serve": q_incremental_serve,
         "curate": q_curate,
         "training_export": q_training_export,
@@ -2528,6 +2584,33 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_offset + greatest(n_tok, 1) - 1) // 512)
                        - (tok_offset // 512) + 1 as n_seqs
             from o
+        """,
+        "tiled_serve": f"""
+            with me as (select (cast(max(epoch_ms(ts)) as bigint)
+                                // {MS_1D} - 1) * {MS_1D} as be
+                        from events),
+                 q as (select distinct user_id, epoch_ms(ts) as ts
+                       from events cross join me
+                       where event_type = 'purchase'
+                         and epoch_ms(ts) >= me.be),
+                 e as (select user_id, epoch_ms(ts) as ts, value,
+                              event_type
+                       from events)
+            select q.user_id, q.ts,
+                round(sum(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                     then e.value end), 4) as value_sum_7d,
+                round(min(case when e.ts < q.ts
+                     and e.ts >= ((q.ts - 3 * {MS_1D}) // {HOP_1D})
+                         * {HOP_1D}
+                     then e.value end), 4) as value_min_3d,
+                count(distinct case when e.ts < q.ts
+                     and e.ts >= ((q.ts - {MS_1D}) // {HOP_1D}) * {HOP_1D}
+                     then e.event_type end) as event_type_unique_count_1d,
+                round(avg(case when e.ts < q.ts then e.value end), 4)
+                    as value_average
+            from q left join e on q.user_id = e.user_id
+            group by q.user_id, q.ts
         """,
         "incremental_serve": f"""
             with me as (select (cast(max(epoch_ms(ts)) as bigint)
