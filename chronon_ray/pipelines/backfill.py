@@ -359,6 +359,7 @@ def backfill_incremental(
     start: str,
     end: str,
     num_partitions: int = 64,
+    serve_mode: str = "events",
 ) -> dict:
     """Day-by-day incremental backfill via rolling FinalBatchIr
     checkpoints: day D's features = serve(checkpoint@D, day-D events) and
@@ -366,6 +367,13 @@ def backfill_incremental(
     first bootstrap (one max-window scan), every day touches ONE day of
     events instead of the whole window history — the O(1-day) daily
     backfill (reference upload semantics: GroupByUpload.scala:65-105).
+
+    ``serve_mode="tiles"`` serves each day through the tiled lambda fetch
+    (pipelines/streaming.py — the Flink/TileCodec analog): the day's
+    events pre-aggregate into per-key tile IRs and only each query's own
+    tile replays raw. Output is bit-equal to the default event-replay
+    serve (tested); at a realistic fan-in the per-day raw replay shrinks
+    from O(day of events × queries sharing a key) to O(one tile).
 
     Checkpoints persist as parquet under ``checkpoint_dir/ds=<D>`` with a
     config-hash manifest; output days under ``out_dir`` via the same
@@ -379,6 +387,10 @@ def backfill_incremental(
 
     from ..api import TQuery
     from .upload import groupby_upload, roll_checkpoint, serve_with_events
+
+    if serve_mode not in ("events", "tiles"):
+        raise ValueError(f"serve_mode must be 'events' or 'tiles', "
+                         f"got {serve_mode!r}")
 
     config_hash = conf.semantic_hash()
     archived = archive_mismatched(out_dir, config_hash)
@@ -462,9 +474,18 @@ def backfill_incremental(
                                              end_partition=ds,
                                              time_column="ts"))
         head = _events_range(ds, ds)
-        out = serve_with_events(ck, head, left, conf, end_ms,
-                                num_partitions=num_partitions,
-                                full_hops=True)
+        if serve_mode == "tiles":
+            from .streaming import make_tiles, serve_with_tiles
+
+            tiles = make_tiles(head, conf, end_ms,
+                               num_partitions=num_partitions)
+            out = serve_with_tiles(ck, tiles, head, left, conf, end_ms,
+                                   num_partitions=num_partitions,
+                                   full_hops=True)
+        else:
+            out = serve_with_events(ck, head, left, conf, end_ms,
+                                    num_partitions=num_partitions,
+                                    full_hops=True)
         manifests = write_partitioned(
             out, out_dir, config_hash, input_range=(ds, ds),
             metrics={"checkpoint": how,
