@@ -52,7 +52,7 @@ from ..api import GroupByConf
 from ..windowing.resolution import MILLIS_FIVE_MIN, round_ts, tail_hop_millis
 from .groupby import _factorize_keys, canon_key_hash
 from .upload import (_ServePartition, _add_bucket_maps, _invalid,
-                     _prepare_parts, _py_ir_from_prefixed, _py_op)
+                     _prepare_parts, _py_irs_from_frame, _py_op)
 
 
 def default_tile_ms(conf: GroupByConf) -> int:
@@ -100,6 +100,17 @@ def make_tiles(
 
     keys = list(conf.key_columns)
     schema = dataset_schema(events)
+    # prune to what the tile build reads — payload columns no part
+    # references must not pay the scan or the filter copy
+    need = {*keys, "ts"}
+    for p in conf.parts():
+        need.add(p.input_column)
+        if p.bucket:
+            need.add(p.bucket)
+    keep = [c for c in schema.names if c in need]
+    if len(keep) < len(schema.names):
+        events = events.select_columns(keep)
+        schema = pa.schema([schema.field(c) for c in keep])
     parts, synth, _names, schema = _prepare_parts(conf, schema)
     if num_partitions is None:
         num_partitions = auto_partitions(events)
@@ -143,10 +154,8 @@ def make_tiles(
             # so merge_tiles can dispatch py_merge without the input schema
             kind = "m" if bp.is_map else ("v" if bp.explode else "s")
             subf = one_agg[bp.name].partial_frame(tbl, pcodes, len(puniq))
-            for _, prow in subf.iterrows():
-                pir = _py_ir_from_prefixed(bp, prow)
-                if pir is not None:
-                    tirs[int(prow["g"])][bp.name] = (kind, pir)
+            for g, pir in _py_irs_from_frame(bp, subf):
+                tirs[g][bp.name] = (kind, pir)
         sel = puniq[:, 0]
         key_arrays = {
             k: pa.array(uniq[k].to_numpy(dtype=object)[sel],
