@@ -123,6 +123,63 @@ def _cmd_backfill(args: argparse.Namespace) -> dict:
             **summary}
 
 
+def _cmd_fetch(args: argparse.Namespace) -> dict:
+    """Point fetch against the newest rolling checkpoint (the reference
+    run.py ``fetch`` mode / online Fetcher surface): features for a JSON
+    list of key dicts as of ``--at``, merging the checkpoint with the
+    in-flight events scanned from ``--right-table``."""
+    import os
+
+    import pandas as pd
+
+    from .api import GroupByConf, TQuery
+    from .serving import fetch_features
+    from .sources import read_parquet, scan_table
+
+    conf = _load_conf(args.conf)
+    if not isinstance(conf, GroupByConf):
+        raise SystemExit("fetch needs a GroupByConf (point features are "
+                         "per-GroupBy, like the reference Fetcher)")
+    _init_ray(args.num_cpus)
+
+    keys = json.loads(args.keys)
+    if isinstance(keys, dict):
+        keys = [keys]
+    at_ms = int(pd.Timestamp(args.at).value // 10**6) \
+        if not str(args.at).isdigit() else int(args.at)
+
+    # newest usable checkpoint at or before --at
+    best = None
+    for d in sorted(os.listdir(args.checkpoint_dir)):
+        if not d.startswith("ds="):
+            continue
+        mf = os.path.join(args.checkpoint_dir, d, "_MANIFEST.json")
+        if not os.path.exists(mf):
+            continue
+        with open(mf) as f:
+            meta = json.load(f)
+        if meta.get("config_hash") != conf.semantic_hash():
+            continue
+        if meta["batch_end_ts"] <= at_ms:
+            best = (d[3:], meta["batch_end_ts"])
+    if best is None:
+        raise SystemExit(f"no checkpoint at or before {args.at} under "
+                         f"{args.checkpoint_dir} matching this conf")
+    ck_ds, batch_end = best
+    ck = read_parquet(os.path.join(args.checkpoint_dir, f"ds={ck_ds}"))
+    at_ds = str(pd.Timestamp(at_ms, unit="ms").date())
+    head = scan_table(args.right_table,
+                      TQuery(start_partition=ck_ds, end_partition=at_ds,
+                             time_column="ts"))
+    res = fetch_features(ck, conf, batch_end, keys, at_ms,
+                         recent_events=head,
+                         num_partitions=args.num_partitions,
+                         full_hops=None)
+    return {"name": conf.name, "kind": "fetch", "checkpoint_ds": ck_ds,
+            "batch_end_ts": batch_end, "at": at_ms,
+            "rows": json.loads(res.to_json(orient="records"))}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m chronon_ray",
@@ -163,13 +220,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a fresh LOCAL ray session of this size "
                         "(default: connect per RAY_ADDRESS)")
     b.set_defaults(fn=_cmd_backfill)
+
+    f = sub.add_parser("fetch", help="point-fetch features for key dicts "
+                                     "as of a timestamp, from the newest "
+                                     "rolling checkpoint + in-flight "
+                                     "events")
+    f.add_argument("--conf", required=True, help="compiled GroupBy JSON")
+    f.add_argument("--checkpoint-dir", required=True,
+                   help="rolling checkpoint dir written by "
+                        "`backfill --mode incremental`")
+    f.add_argument("--right-table", required=True,
+                   help="event table for the in-flight buffer")
+    f.add_argument("--keys", required=True,
+                   help='JSON key dict(s): \'{"user_id": 5}\' or a list')
+    f.add_argument("--at", required=True,
+                   help="fetch timestamp: epoch ms or YYYY-MM-DD[THH:MM]")
+    f.add_argument("--num-partitions", type=int, default=8)
+    f.add_argument("--num-cpus", type=int, default=None)
+    f.set_defaults(fn=_cmd_fetch)
     return p
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     owns_ray = False
-    if getattr(args, "fn", None) is _cmd_backfill:
+    if getattr(args, "fn", None) in (_cmd_backfill, _cmd_fetch):
         import ray
 
         owns_ray = not ray.is_initialized()

@@ -146,3 +146,46 @@ def test_backfill_incremental_tiles_cli(cli_env, capsys):
     for d in got["partitions_written"]:
         assert os.path.exists(os.path.join(out_dir, f"ds={d}",
                                            "_MANIFEST.json"))
+
+
+def test_fetch_subcommand(cli_env, capsys):
+    """fetch: newest rolling checkpoint + in-flight events answer point
+    lookups that match the direct temporal join at the same ts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from chronon_ray.api import TQuery
+    from chronon_ray.pipelines.temporal import temporal_join
+    from chronon_ray.sources import scan_table
+
+    out_dir = os.path.join(cli_env["base"], "fetch_out")
+    ck_dir = os.path.join(cli_env["base"], "fetch_ck")
+    _run(["backfill", "--conf", cli_env["gb_conf"], "--out", out_dir,
+          "--start", cli_env["start"], "--end", cli_env["end"],
+          "--left-table", cli_env["left"],
+          "--right-table", cli_env["right"],
+          "--mode", "incremental", "--checkpoint-dir", ck_dir,
+          "--num-partitions", "4"], capsys)
+    at_ms = int(pd.Timestamp(cli_env["end"]).value // 10**6) + 7_200_000
+    right0 = scan_table(cli_env["right"], TQuery())
+    ids = sorted({r["doc_id"] for r in right0.take(50)})[:2]
+    got = _run(["fetch", "--conf", cli_env["gb_conf"],
+                "--checkpoint-dir", ck_dir,
+                "--right-table", cli_env["right"],
+                "--keys", json.dumps([{"doc_id": i} for i in ids]),
+                "--at", str(at_ms), "--num-partitions", "4"], capsys)
+    assert got["kind"] == "fetch" and len(got["rows"]) == 2
+    assert [r["doc_id"] for r in got["rows"]] == ids
+    q = pd.DataFrame({"doc_id": ids, "ts": np.int64(at_ms)})
+    right = scan_table(cli_env["right"], TQuery())
+    exp = temporal_join(rd.from_pandas(q), right, cli_env["gb"],
+                        num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, r in enumerate(got["rows"]):
+        for c in ("n_tok_sum_7d", "n_tok_count_7d"):
+            e = exp.loc[i, c]
+            if pd.isna(e):
+                assert r[c] is None, (c, r)
+            else:
+                assert abs(r[c] - float(e)) < 1e-6, (c, r[c], e)
