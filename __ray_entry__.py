@@ -84,7 +84,12 @@ def _round(df: pd.DataFrame, cols: list[str], nd: int = 4) -> pd.DataFrame:
 
 
 def q_groupby_user_stats(sf_dir: str):
+    """Snapshot GroupBy over the full ColumnAggregator moment family
+    (sum/count/avg/min/max/variance/skew/kurtosis/unique_count — Welford
+    merges through the IR shuffle) merged with the EXACT per-key quantile
+    operator (one extra co-keyed exchange; quantile_cont parity)."""
     from chronon_ray.api import GroupByConf, agg
+    from chronon_ray.pipelines.extras import group_quantiles
     from chronon_ray.pipelines.groupby import aggregate_snapshot
 
     conf = GroupByConf(
@@ -92,15 +97,27 @@ def q_groupby_user_stats(sf_dir: str):
         aggregations=(agg("value", "sum"), agg("value", "count"),
                       agg("value", "average"), agg("value", "min"),
                       agg("value", "max"), agg("value", "variance"),
+                      agg("value", "skew"), agg("value", "kurtosis"),
                       agg("event_type", "unique_count")),
     )
     _ctx()
     out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
+    gq = group_quantiles(_events(sf_dir), keys=["user_id"],
+                         value_col="value", qs=(0.5, 0.9),
+                         num_partitions=32).to_pandas()
+    gq = gq.rename(columns={"n": "n_values"})
+    # inner: a user with zero non-null values has no quantile row on either
+    # side (the oracle joins the quantile CTE inner too)
+    out = out.merge(gq[["user_id", "n_values", "q50", "q90"]],
+                    on="user_id", how="inner")
     out["value_count"] = out["value_count"].astype(np.int64)
+    out["n_values"] = out["n_values"].astype(np.int64)
     out["event_type_unique_count"] = out["event_type_unique_count"].astype(np.int64)
-    for c in ["value_sum", "value_average", "value_variance"]:
+    for c in ["value_sum", "value_average", "value_variance",
+              "value_skew", "value_kurtosis"]:
         out[c] = out[c].astype(float)
-    return _round(out, ["value_sum", "value_average", "value_variance"])
+    return _round(out, ["value_sum", "value_average", "value_variance",
+                        "value_skew", "value_kurtosis", "q50", "q90"])
 
 
 def q_map_aggregate(sf_dir: str):
@@ -207,6 +224,12 @@ def q_map_asof(sf_dir: str):
 
 
 def q_asof_window_sums(sf_dir: str):
+    """Both temporal windowing engines over the same as-of left, one table:
+    the hop-rounded sawtooth tail (default) AND exact_windows=True —
+    per-event windows [q.ts - w, q.ts) with NO hop-rounded tail
+    (TwoStackLite at event granularity for non-invertible ops). Exact-mode
+    columns carry an `_x` suffix; their oracle form is the clean
+    `e.ts >= q.ts - w`, no hop arithmetic."""
     from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
     from chronon_ray.pipelines.temporal import temporal_join
 
@@ -215,22 +238,7 @@ def q_asof_window_sums(sf_dir: str):
         aggregations=(agg("value", "sum", [window(1, "d"), window(7, "d"), UNBOUNDED]),
                       agg("value", "count", [window(7, "d")])),
     )
-    _ctx()
-    out = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
-                        num_partitions=32).to_pandas()
-    out["value_count_7d"] = out["value_count_7d"].fillna(0).astype(np.int64)
-    return _round(out, ["value_sum_1d", "value_sum_7d", "value_sum"])
-
-
-def q_asof_exact_windows(sf_dir: str):
-    """exact_windows=True: per-event windows [q.ts - w, q.ts) with NO
-    hop-rounded tail (TwoStackLite at event granularity for non-invertible
-    ops) — the SQL oracle is the clean `e.ts >= q.ts - w` form, no hop
-    arithmetic."""
-    from chronon_ray.api import GroupByConf, agg, window
-    from chronon_ray.pipelines.temporal import temporal_join
-
-    conf = GroupByConf(
+    conf_x = GroupByConf(
         name="asof_exact", sources=(), key_columns=("user_id",),
         aggregations=(agg("value", "sum", [window(1, "d"), window(7, "d")]),
                       agg("value", "min", [window(7, "d")]),
@@ -238,10 +246,20 @@ def q_asof_exact_windows(sf_dir: str):
     )
     _ctx()
     out = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
-                        num_partitions=32, exact_windows=True).to_pandas()
-    out["event_type_unique_count_7d"] = \
-        out["event_type_unique_count_7d"].fillna(0).astype(np.int64)
-    return _round(out, ["value_sum_1d", "value_sum_7d", "value_min_7d"])
+                        num_partitions=32).to_pandas()
+    out["value_count_7d"] = out["value_count_7d"].fillna(0).astype(np.int64)
+    ex = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf_x,
+                       num_partitions=32, exact_windows=True).to_pandas()
+    ex["event_type_unique_count_7d"] = \
+        ex["event_type_unique_count_7d"].fillna(0).astype(np.int64)
+    ex = ex.rename(columns={
+        "value_sum_1d": "value_sum_1d_x", "value_sum_7d": "value_sum_7d_x",
+        "value_min_7d": "value_min_7d_x",
+        "event_type_unique_count_7d": "event_type_unique_count_7d_x"})
+    out = out.merge(ex, on=["user_id", "ts"], how="inner")
+    return _round(out, ["value_sum_1d", "value_sum_7d", "value_sum",
+                        "value_sum_1d_x", "value_sum_7d_x",
+                        "value_min_7d_x"])
 
 
 def q_asof_first_last(sf_dir: str):
@@ -259,14 +277,44 @@ def q_asof_first_last(sf_dir: str):
                          num_partitions=32).to_pandas()
 
 
-def q_lag_lead(sf_dir: str):
-    from chronon_ray.pipelines.extras import lag_lead
+def q_event_windows(sf_dir: str):
+    """Per-event window-function family in one table: lag/lead shifting,
+    cumulative running aggregates (`rows unbounded preceding`), gap-based
+    session ids, and the per-session stats broadcast back onto each event.
+    Four operators (lag_lead / running_aggregate / sessionize /
+    session_stats), each its own co-keyed exchange, merged on the unique
+    event_id so one SQL window oracle verifies all of them."""
+    from chronon_ray.pipelines.extras import (lag_lead, running_aggregate,
+                                              session_stats, sessionize)
 
     _ctx()
-    out = lag_lead(_events(sf_dir), keys=["user_id"], value_cols=["value"],
-                   lags=[1], leads=[1], tie_break="event_id",
-                   num_partitions=32).to_pandas()
-    return out[["user_id", "ts", "event_id", "value", "value_lag1", "value_lead1"]]
+    ll = lag_lead(_events(sf_dir), keys=["user_id"], value_cols=["value"],
+                  lags=[1], leads=[1], tie_break="event_id",
+                  num_partitions=32).to_pandas()
+    ra = running_aggregate(_events(sf_dir), keys=["user_id"],
+                           value_col="value", tie_break="event_id",
+                           num_partitions=32).to_pandas()
+    sz = sessionize(_events(sf_dir), keys=["user_id"], gap_ms=GAP_MS,
+                    tie_break="event_id", num_partitions=32).to_pandas()
+    st = session_stats(_events(sf_dir), keys=["user_id"], gap_ms=GAP_MS,
+                       tie_break="event_id", num_partitions=32).to_pandas()
+    out = ll[["user_id", "ts", "event_id", "value",
+              "value_lag1", "value_lead1"]] \
+        .merge(ra[["event_id", "running_sum", "running_count",
+                   "running_min", "running_max", "row_number"]],
+               on="event_id") \
+        .merge(sz[["event_id", "session_id"]], on="event_id") \
+        .merge(st[["user_id", "session_id", "session_start",
+                   "session_end", "n_events"]],
+               on=["user_id", "session_id"])
+    out["running_sum"] = out["running_sum"].round(4)
+    for c in ("row_number", "session_id", "n_events",
+              "session_start", "session_end"):
+        out[c] = out[c].astype(np.int64)
+    return out[["user_id", "ts", "event_id", "value", "value_lag1",
+                "value_lead1", "running_sum", "running_count",
+                "running_min", "running_max", "row_number", "session_id",
+                "session_start", "session_end", "n_events"]]
 
 
 def q_range_join(sf_dir: str):
@@ -306,22 +354,6 @@ def q_range_join(sf_dir: str):
         .sort_values(["event_id", "start_ts"]).reset_index(drop=True)
 
 
-def q_group_quantiles(sf_dir: str):
-    """EXACT per-key quantiles (linear interpolation — quantile_cont
-    parity), complementing the mergeable KLL sketch: one hash exchange,
-    vectorized per-partition pass."""
-    from chronon_ray.pipelines.extras import group_quantiles
-
-    _ctx()
-    out = group_quantiles(_events(sf_dir), keys=["user_id"],
-                          value_col="value", qs=(0.5, 0.9),
-                          num_partitions=32).to_pandas()
-    for c in ("q50", "q90"):
-        out[c] = out[c].round(4)
-    return out[["user_id", "n", "q50", "q90"]] \
-        .sort_values("user_id").reset_index(drop=True)
-
-
 def q_profile_table(sf_dir: str):
     """Analyzer data-quality pass: per-column rows/nulls/min/max in ONE
     streaming pass (tiny per-batch partials, driver combine)."""
@@ -335,44 +367,6 @@ def q_profile_table(sf_dir: str):
     out["min_val"] = out["min_val"].round(6)
     out["max_val"] = out["max_val"].round(6)
     return out[["column", "n_rows", "n_nulls", "min_val", "max_val"]]
-
-
-def q_running_agg(sf_dir: str):
-    """Per-key cumulative window family (sum/count/min/max/row_number over
-    `rows unbounded preceding`): one hash exchange, segmented vectorized
-    scan inside the partition."""
-    from chronon_ray.pipelines.extras import running_aggregate
-
-    _ctx()
-    out = running_aggregate(_events(sf_dir), keys=["user_id"],
-                            value_col="value", tie_break="event_id",
-                            num_partitions=32).to_pandas()
-    out["running_sum"] = out["running_sum"].round(4)
-    out["row_number"] = out["row_number"].astype(np.int64)
-    for c in ("running_sum", "running_min", "running_max"):
-        out[c] = out[c].where(~out[c].isna(), None)
-    return out[["user_id", "ts", "event_id", "running_sum",
-                "running_count", "running_min", "running_max",
-                "row_number"]]
-
-
-def q_sessionize(sf_dir: str):
-    from chronon_ray.pipelines.extras import sessionize
-
-    _ctx()
-    out = sessionize(_events(sf_dir), keys=["user_id"], gap_ms=GAP_MS,
-                     tie_break="event_id", num_partitions=32).to_pandas()
-    return out[["user_id", "ts", "event_id", "session_id"]]
-
-
-def q_session_stats(sf_dir: str):
-    from chronon_ray.pipelines.extras import session_stats
-
-    _ctx()
-    out = session_stats(_events(sf_dir), keys=["user_id"], gap_ms=GAP_MS,
-                        tie_break="event_id", num_partitions=32).to_pandas()
-    out["n_events"] = out["n_events"].astype(np.int64)
-    return out
 
 
 def q_topk_per_user(sf_dir: str):
@@ -392,44 +386,38 @@ def q_topk_per_user(sf_dir: str):
     return pd.DataFrame(rows, columns=["user_id", "rnk", "value"])
 
 
-def q_histogram_user_event(sf_dir: str):
-    from chronon_ray.api import GroupByConf, agg
-    from chronon_ray.pipelines.groupby import aggregate_snapshot
-
-    conf = GroupByConf(
-        name="hist", sources=(), key_columns=("user_id",),
-        aggregations=(agg("event_type", "histogram"),),
-    )
-    _ctx()
-    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
-    rows = []
-    for _, r in out.iterrows():
-        for k, v in r["event_type_histogram"]:
-            rows.append((r["user_id"], k, v))
-    return pd.DataFrame(rows, columns=["user_id", "event_type", "cnt"]) \
-        .astype({"cnt": np.int64})
-
-
 def q_approx_histogram_topk(sf_dir: str):
-    """APPROX_HISTOGRAM_K with k=3 over 5 distinct event types: the IR
-    flips to the bounded Misra-Gries tier (>k distinct), but cap=8 ≥ 5
+    """Exact HISTOGRAM and APPROX_HISTOGRAM_K (k=3) in ONE snapshot conf
+    (both IRs ride the same shuffle): output is the exploded exact
+    histogram left-joined with the approx top-3 rank. With 5 distinct
+    event types the Misra-Gries tier engages (>k distinct) but cap=8 ≥ 5
     means no compaction ever fires — estimates stay exact and the trimmed
-    top-3 output is SQL-verifiable (rank by count desc, value asc)."""
+    top-3 is SQL-verifiable (rank by count desc, value asc)."""
     from chronon_ray.api import GroupByConf, agg
     from chronon_ray.pipelines.groupby import aggregate_snapshot
 
     conf = GroupByConf(
         name="ahist", sources=(), key_columns=("user_id",),
-        aggregations=(agg("event_type", "approx_histogram_k", k=3),),
+        aggregations=(agg("event_type", "histogram"),
+                      agg("event_type", "approx_histogram_k", k=3)),
     )
     _ctx()
     out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
-    rows = []
+    hist_rows, top_rows = [], []
     for _, r in out.iterrows():
-        for k, v in r["event_type_approx_histogram_k"]:
-            rows.append((r["user_id"], k, v))
-    return pd.DataFrame(rows, columns=["user_id", "event_type", "cnt"]) \
+        for k, v in r["event_type_histogram"]:
+            hist_rows.append((r["user_id"], k, v))
+        top3 = sorted(r["event_type_approx_histogram_k"],
+                      key=lambda kv: (-kv[1], kv[0]))
+        for i, (k, v) in enumerate(top3, start=1):
+            top_rows.append((r["user_id"], k, i))
+    hist = pd.DataFrame(hist_rows, columns=["user_id", "event_type", "cnt"]) \
         .astype({"cnt": np.int64})
+    top = pd.DataFrame(top_rows, columns=["user_id", "event_type", "top3_rk"])
+    out = hist.merge(top, on=["user_id", "event_type"], how="left")
+    # nullable rank: float64 on both sides (DuckDB left join of a bigint)
+    out["top3_rk"] = out["top3_rk"].astype(float)
+    return out
 
 
 def q_bucketed_sums(sf_dir: str):
@@ -503,34 +491,6 @@ def q_dedup_exact_docs(sf_dir: str):
     out = exact_dedup(docs, on=["text"], id_col="doc_id", num_partitions=32) \
         .to_pandas()
     return out[["doc_id"]]
-
-
-def q_token_counts(sf_dir: str):
-    import ray.data as rd
-
-    from chronon_ray.functions.text import TokenCountStage
-
-    _ctx()
-    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = docs.map_batches(TokenCountStage(), batch_format="pandas").to_pandas()
-    return out[["doc_id", "n_tokens_ws"]]
-
-
-def q_skew_kurtosis(sf_dir: str):
-    from chronon_ray.api import GroupByConf, agg
-    from chronon_ray.pipelines.groupby import aggregate_snapshot
-
-    conf = GroupByConf(
-        name="moments", sources=(), key_columns=("user_id",),
-        aggregations=(agg("value", "skew"), agg("value", "kurtosis")),
-    )
-    _ctx()
-    out = aggregate_snapshot(_events(sf_dir), conf, num_partitions=32).to_pandas()
-    out = _round(out, ["value_skew", "value_kurtosis"])
-    # engine yields NaN where the SQL CASE yields NULL — align
-    for c in ["value_skew", "value_kurtosis"]:
-        out[c] = out[c].where(~out[c].isna(), None)
-    return out
 
 
 def q_knn_top5(sf_dir: str):
@@ -781,22 +741,28 @@ def q_embedding_neardup(sf_dir: str):
     return out[["a", "b", "cosine"]]
 
 
-def q_perplexity(sf_dir: str):
-    """CCNet-style perplexity filtering signal: per-doc mean negative
-    log-likelihood under the corpus bigram LM (Laplace smoothing). Two
-    streaming passes — vocab-sized counts cross the shuffle, then a
-    broadcast scoring map."""
+def q_model_scores(sf_dir: str):
+    """Model-driven per-doc scoring signals, one table: the CCNet-style
+    bigram-LM perplexity (vocab-sized counts cross the shuffle, then a
+    broadcast scoring map) joined with the hashed-feature linear
+    classifier (fastText-style bag of hashed unigrams; per-actor
+    word→weight cache). The codepoint polynomial hash and Knuth-
+    multiplicative weights are reproduced bit-identically in SQL; join is
+    inner on doc_id (docs with <2 tokens have no bigram row either side)."""
     import ray.data as rd
 
-    from chronon_ray.functions.text import perplexity_score
+    from chronon_ray.functions.text import perplexity_score, score_documents
 
     _ctx()
     docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    out = perplexity_score(docs).to_pandas()
-    out["avg_nll"] = out["avg_nll"].round(4)
-    return out[["doc_id", "n_bigrams", "avg_nll"]] \
-        .sort_values("doc_id").reset_index(drop=True)
+    ppl = perplexity_score(docs).to_pandas()
+    ppl["avg_nll"] = ppl["avg_nll"].round(4)
+    cls = score_documents(docs, concurrency=4).to_pandas()
+    out = ppl[["doc_id", "n_bigrams", "avg_nll"]] \
+        .merge(cls[["doc_id", "n_words", "score_int", "label"]],
+               on="doc_id", how="inner")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_chunk_documents(sf_dir: str):
@@ -834,36 +800,32 @@ def q_tfidf_top_terms(sf_dir: str):
     return out[["doc_id", "term", "tf", "df", "rank"]]
 
 
-def q_classifier_score(sf_dir: str):
-    """Hashed-feature linear document scorer (fastText-style bag of hashed
-    unigrams): per-actor word→weight cache, integer-only contract columns.
-    The codepoint polynomial hash and Knuth-multiplicative weights are
-    reproduced bit-identically in the SQL oracle."""
-    import ray.data as rd
-
-    from chronon_ray.functions.text import score_documents
-
-    _ctx()
-    docs = _read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    out = score_documents(docs, concurrency=4).to_pandas()
-    return out[["doc_id", "n_words", "score_int", "label"]]
-
-
 def q_text_quality(sf_dir: str):
-    """Quality-score metrics (C4/Gopher-style heuristics) — every output
-    column is an exact integer-ratio computation reproducible in SQL."""
+    """The per-doc scoring stages CHAINED in one streaming pass — quality
+    heuristics (C4/Gopher-style), whitespace/BPE-ish token counts, and
+    Gopher repetition filters (dup lines / top 2-gram / dup 5-grams) each
+    append columns to the same batch. Every output column is an exact
+    integer-ratio computation reproducible bit-for-bit in SQL (ratios are
+    IEEE doubles of exact ints — rounding would ADD mismatch risk)."""
     import ray.data as rd
 
-    from chronon_ray.functions.text import QualityScoreStage
+    from chronon_ray.functions.text import (QualityScoreStage,
+                                            RepetitionSignalsStage,
+                                            TokenCountStage)
 
     _ctx()
     docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = docs.map_batches(QualityScoreStage(), batch_format="pandas") \
+        .map_batches(TokenCountStage(), batch_format="pandas") \
+        .map_batches(RepetitionSignalsStage(), batch_format="pandas") \
         .to_pandas()
+    out["n_lines"] = out["n_lines"].astype(np.int64)
     return out[["doc_id", "n_words", "mean_word_len", "stopword_ratio",
-                "punct_ratio", "digit_ratio", "upper_ratio", "quality_score"]]
+                "punct_ratio", "digit_ratio", "upper_ratio", "quality_score",
+                "n_tokens_ws", "n_lines", "dup_line_frac",
+                "dup_line_char_frac", "top_2gram_char_frac",
+                "dup_5gram_frac"]]
 
 
 def q_text_signals(sf_dir: str):
@@ -884,61 +846,31 @@ def q_text_signals(sf_dir: str):
     return out[["doc_id", "lang_pred", "fingerprint"]]
 
 
-def q_repetition_signals(sf_dir: str):
-    """Gopher-style repetition filters (duplicate lines / top 2-gram /
-    within-doc duplicate 5-grams) — exact integer-ratio computations,
-    reproduced bit-for-bit by the SQL oracle."""
-    import ray.data as rd
-
-    from chronon_ray.functions.text import RepetitionSignalsStage
-
-    _ctx()
-    docs = _read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    out = docs.map_batches(RepetitionSignalsStage(),
-                           batch_format="pandas").to_pandas()
-    out = out[["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
-               "top_2gram_char_frac", "dup_5gram_frac"]]
-    out["n_lines"] = out["n_lines"].astype(np.int64)
-    # no rounding: every ratio is an IEEE double division of two exact
-    # ints, so the oracle's value is bit-identical (np.round is banker's,
-    # DuckDB round() is half-away — rounding would ADD mismatch risk)
-    return out
-
-
-def q_char_dup_ngrams(sf_dir: str):
-    """Duplicate 20-CHAR-gram stats per doc (Lee et al. exact-substring
-    granularity): grams cross the exchange as 8-byte rolling hashes, never
-    strings; the oracle rebuilds the same windows with substring()."""
-    import ray.data as rd
-
-    from chronon_ray.functions.dedup import char_dup_ngram_stats
-
-    _ctx()
-    docs = _read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    out = char_dup_ngram_stats(docs, "text", "doc_id", L=20,
-                               num_partitions=32).to_pandas()
-    for c in ("n_grams", "n_dup_grams", "n_cross_doc_grams"):
-        out[c] = out[c].astype(np.int64)
-    return out
-
-
 def q_dup_ngrams(sf_dir: str):
-    """Corpus-wide duplicate 5-gram stats per doc (exact-substring-dedup
-    family, Lee et al. 2022): two co-partitioned shuffles, gram strings
-    cross only the first."""
+    """Corpus-wide duplicate n-gram stats per doc at BOTH granularities of
+    the exact-substring-dedup family (Lee et al. 2022), one table: word
+    5-grams (gram strings cross only the first of two co-partitioned
+    shuffles) and 20-CHAR-grams (grams cross the exchange as 8-byte
+    rolling hashes, never strings; the oracle rebuilds the windows with
+    substring()). Char columns carry a `char_` prefix."""
     import ray.data as rd
 
-    from chronon_ray.functions.dedup import dup_ngram_stats
+    from chronon_ray.functions.dedup import (char_dup_ngram_stats,
+                                             dup_ngram_stats)
 
     _ctx()
     docs = _read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     out = dup_ngram_stats(docs, "text", "doc_id", n=5,
                           num_partitions=32).to_pandas()
-    for c in ("n_grams", "n_dup_grams", "n_cross_doc_grams"):
-        out[c] = out[c].astype(np.int64)
+    ch = char_dup_ngram_stats(docs, "text", "doc_id", L=20,
+                              num_partitions=32).to_pandas()
+    ch = ch.rename(columns={c: f"char_{c}" for c in ch.columns
+                            if c != "doc_id"})
+    out = out.merge(ch, on="doc_id", how="inner")
+    for c in out.columns:
+        if c.endswith("_grams"):
+            out[c] = out[c].astype(np.int64)
     # ratios are int/int doubles — bit-identical to the oracle unrounded
     return out
 
@@ -1539,11 +1471,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDERING CONTRACT: the driver runs the first 50 entries. Queries with
-    # no prior green CORRECTNESS row come FIRST (r3 verdict item 2); the
-    # tail entries past 50 are redundant family members whose operators are
-    # each covered by an earlier entry AND hold green r3 rows. ivf/hnsw fold
-    # into ann_tiers (one row, same exact-mode brute-force oracle).
+    # EXACTLY 50 entries — the driver's CORRECTNESS cap — so every
+    # registered query gets a driver row (the r3 residual gap). Redundant
+    # family members are FOLDED, not dropped: each merged entry still runs
+    # every constituent operator through the engine and verifies all of
+    # them against one SQL oracle (groupby_user_stats += skew/kurtosis/
+    # exact quantiles; event_windows = lag/lead + running + sessionize +
+    # session stats; asof_window_sums += exact_windows engine;
+    # approx_histogram_topk += exact histogram; text_quality += token
+    # counts + repetition signals; model_scores = perplexity + classifier;
+    # dup_ngrams += 20-char grams; ivf/hnsw fold into ann_tiers).
+    # Never-driver-verified names still come first.
     return {
         # -- never driver-verified before round 4
         "tiled_serve": q_tiled_serve,
@@ -1558,6 +1496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn": q_pq_knn,
         "multimodal_features": q_multimodal_features,
         "text_signals": q_text_signals,  # oracle new in r4 (was rows-only)
+        # -- merged entries whose NAME is new this round
+        "event_windows": q_event_windows,
+        "model_scores": q_model_scores,
         # -- flagship + one entry per operator family
         "token_backfill": q_token_backfill,
         "groupby_user_stats": q_groupby_user_stats,
@@ -1579,54 +1520,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_user": q_topk_per_user,
         "profile_table": q_profile_table,
         "range_join": q_range_join,
-        "session_stats": q_session_stats,
-        "running_agg": q_running_agg,
         "lineitem_pricing": q_lineitem_pricing,
+        "snapshot_unrolled": q_snapshot_unrolled,
         "dedup_exact_docs": q_dedup_exact_docs,
         "incremental_dedup": q_incremental_dedup,
         "dedup_spans": q_dedup_spans,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dup_ngrams": q_dup_ngrams,
+        "embedding_neardup": q_embedding_neardup,
         "knn_top5": q_knn_top5,
         "shuffle_export": q_shuffle_export,
         "pack_sequences": q_pack_sequences,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
-        "perplexity": q_perplexity,
-        "classifier_score": q_classifier_score,
         "text_quality": q_text_quality,
-        "repetition_signals": q_repetition_signals,
         "semdedup": q_semdedup,
-        # -- past the driver's 50-row cap: green r3 rows on file, operator
-        # families covered above (sawtooth/TwoStack by asof_window_sums +
-        # token_backfill, window fns by running_agg, maps by map_aggregate,
-        # n-gram stats by dup_ngrams, embeddings by knn/semdedup, …)
-        "skew_kurtosis": q_skew_kurtosis,
-        "histogram_user_event": q_histogram_user_event,
-        "group_quantiles": q_group_quantiles,
-        "sessionize": q_sessionize,
-        "lag_lead": q_lag_lead,
-        "asof_exact_windows": q_asof_exact_windows,
-        "snapshot_unrolled": q_snapshot_unrolled,
-        "token_counts": q_token_counts,
-        "char_dup_ngrams": q_char_dup_ngrams,
-        "embedding_neardup": q_embedding_neardup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "groupby_user_stats": """
-            select user_id,
-                   round(sum(value), 4) as value_sum,
-                   count(value) as value_count,
-                   round(avg(value), 4) as value_average,
-                   min(value) as value_min,
-                   max(value) as value_max,
-                   round(var_pop(value), 4) as value_variance,
-                   count(distinct event_type) as event_type_unique_count
-            from events group by user_id
+            with base as (
+                select user_id,
+                       round(sum(value), 4) as value_sum,
+                       count(value) as value_count,
+                       round(avg(value), 4) as value_average,
+                       min(value) as value_min,
+                       max(value) as value_max,
+                       round(var_pop(value), 4) as value_variance,
+                       count(distinct event_type) as event_type_unique_count
+                from events group by user_id
+            ), mom as (
+                with mu as (select user_id, avg(value) as m from events
+                            where value is not null group by user_id)
+                select e.user_id,
+                    round(case when count(*) >= 3
+                            and sum(pow(value - m, 2)) > 0
+                        then sqrt(count(*)) * sum(pow(value - m, 3))
+                             / pow(sum(pow(value - m, 2)), 1.5) end, 4)
+                        as value_skew,
+                    round(case when count(*) >= 4
+                            and sum(pow(value - m, 2)) > 0
+                        then count(*) * sum(pow(value - m, 4))
+                             / pow(sum(pow(value - m, 2)), 2) - 3 end, 4)
+                        as value_kurtosis
+                from events e join mu on e.user_id = mu.user_id
+                where value is not null
+                group by e.user_id
+            ), qs as (
+                select user_id, count(value)::bigint as n_values,
+                       round(quantile_cont(value, 0.5), 4) as q50,
+                       round(quantile_cont(value, 0.9), 4) as q90
+                from events where value is not null
+                group by user_id
+            )
+            select base.*, mom.value_skew, mom.value_kurtosis,
+                   qs.n_values, qs.q50, qs.q90
+            from base join mom using (user_id) join qs using (user_id)
         """,
         "map_aggregate": """
             select user_id, event_type as ekey,
@@ -1656,40 +1608,45 @@ def oracle_sql() -> dict[str, str]:
                        and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
                        then e.value end) > 0
         """,
-        "asof_exact_windows": f"""
-            with q as (select distinct user_id, epoch_ms(ts) as ts from events
-                       where event_type = 'purchase'),
-                 e as (select user_id, epoch_ms(ts) as ts, value, event_type
-                       from events)
-            select q.user_id, q.ts,
-                round(sum(case when e.ts < q.ts and e.ts >= q.ts - {MS_1D}
-                     then e.value end), 4) as value_sum_1d,
-                round(sum(case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
-                     then e.value end), 4) as value_sum_7d,
-                round(min(case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
-                     then e.value end), 4) as value_min_7d,
-                count(distinct case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
-                     then e.event_type end) as event_type_unique_count_7d
-            from q left join e on q.user_id = e.user_id
-            group by q.user_id, q.ts
-        """,
         "asof_window_sums": f"""
             with q as (select distinct user_id, epoch_ms(ts) as ts from events
                        where event_type = 'purchase'),
-                 e as (select user_id, epoch_ms(ts) as ts, value from events)
-            select q.user_id, q.ts,
-                round(sum(case when e.ts < q.ts
-                     and e.ts >= ((q.ts - {MS_1D}) // {HOP_1D}) * {HOP_1D}
-                     then e.value end), 4) as value_sum_1d,
-                round(sum(case when e.ts < q.ts
-                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
-                     then e.value end), 4) as value_sum_7d,
-                round(sum(case when e.ts < q.ts then e.value end), 4) as value_sum,
-                count(case when e.ts < q.ts
-                     and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
-                     then e.value end) as value_count_7d
-            from q left join e on q.user_id = e.user_id
-            group by q.user_id, q.ts
+                 e as (select user_id, epoch_ms(ts) as ts, value, event_type
+                       from events),
+                 hop as (
+                    select q.user_id, q.ts,
+                        round(sum(case when e.ts < q.ts
+                             and e.ts >= ((q.ts - {MS_1D}) // {HOP_1D}) * {HOP_1D}
+                             then e.value end), 4) as value_sum_1d,
+                        round(sum(case when e.ts < q.ts
+                             and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                             then e.value end), 4) as value_sum_7d,
+                        round(sum(case when e.ts < q.ts then e.value end), 4)
+                            as value_sum,
+                        count(case when e.ts < q.ts
+                             and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                             then e.value end) as value_count_7d
+                    from q left join e on q.user_id = e.user_id
+                    group by q.user_id, q.ts
+                 ),
+                 ex as (
+                    select q.user_id, q.ts,
+                        round(sum(case when e.ts < q.ts and e.ts >= q.ts - {MS_1D}
+                             then e.value end), 4) as value_sum_1d_x,
+                        round(sum(case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
+                             then e.value end), 4) as value_sum_7d_x,
+                        round(min(case when e.ts < q.ts and e.ts >= q.ts - {MS_7D}
+                             then e.value end), 4) as value_min_7d_x,
+                        count(distinct case when e.ts < q.ts
+                             and e.ts >= q.ts - {MS_7D}
+                             then e.event_type end)
+                            as event_type_unique_count_7d_x
+                    from q left join e on q.user_id = e.user_id
+                    group by q.user_id, q.ts
+                 )
+            select hop.*, ex.value_sum_1d_x, ex.value_sum_7d_x,
+                   ex.value_min_7d_x, ex.event_type_unique_count_7d_x
+            from hop join ex using (user_id, ts)
         """,
         "asof_first_last": f"""
             with q as (select distinct user_id, epoch_ms(ts) as ts from events
@@ -1706,12 +1663,40 @@ def oracle_sql() -> dict[str, str]:
             from q left join e on q.user_id = e.user_id
             group by q.user_id, q.ts
         """,
-        "lag_lead": """
-            select user_id, epoch_ms(ts) as ts, event_id, value,
-                   lag(value) over w as value_lag1,
-                   lead(value) over w as value_lead1
-            from events
-            window w as (partition by user_id order by epoch_ms(ts), event_id)
+        "event_windows": f"""
+            with t as (
+                select user_id, epoch_ms(ts) as ts, event_id, value,
+                       case when epoch_ms(ts) - lag(epoch_ms(ts)) over w
+                                 > {GAP_MS}
+                            or lag(epoch_ms(ts)) over w is null then 1
+                            else 0 end as new_sess
+                from events
+                window w as (partition by user_id
+                             order by epoch_ms(ts), event_id)
+            ), s as (
+                select user_id, ts, event_id, value,
+                       lag(value) over w as value_lag1,
+                       lead(value) over w as value_lead1,
+                       round(sum(value) over wc, 4) as running_sum,
+                       count(value) over wc as running_count,
+                       min(value) over wc as running_min,
+                       max(value) over wc as running_max,
+                       row_number() over wc as row_number,
+                       cast(sum(new_sess) over w - 1 as bigint) as session_id
+                from t
+                window w as (partition by user_id order by ts, event_id),
+                       wc as (partition by user_id order by ts, event_id
+                              rows between unbounded preceding
+                                   and current row)
+            )
+            select user_id, ts, event_id, value, value_lag1, value_lead1,
+                   running_sum, running_count, running_min, running_max,
+                   row_number, session_id,
+                   min(ts) over ws as session_start,
+                   max(ts) over ws as session_end,
+                   cast(count(*) over ws as bigint) as n_events
+            from s
+            window ws as (partition by user_id, session_id)
         """,
         "range_join": """
             with e as (select user_id, epoch_ms(ts) as ts, event_id
@@ -1723,13 +1708,6 @@ def oracle_sql() -> dict[str, str]:
             select e.user_id, e.ts, e.event_id, iv.start_ts, iv.end_ts
             from e join iv on e.user_id = iv.user_id
                and e.ts >= iv.start_ts and e.ts < iv.end_ts
-        """,
-        "group_quantiles": """
-            select user_id, count(value)::bigint as n,
-                   round(quantile_cont(value, 0.5), 4) as q50,
-                   round(quantile_cont(value, 0.9), 4) as q90
-            from events where value is not null
-            group by user_id
         """,
         "profile_table": """
             with cols("column", n_rows, n_nulls, min_val, max_val) as (
@@ -1749,51 +1727,6 @@ def oracle_sql() -> dict[str, str]:
             select "column", n_rows::bigint as n_rows,
                    n_nulls::bigint as n_nulls, min_val, max_val from cols
         """,
-        "running_agg": """
-            select user_id, epoch_ms(ts) as ts, event_id,
-                   round(sum(value) over w, 4) as running_sum,
-                   count(value) over w as running_count,
-                   min(value) over w as running_min,
-                   max(value) over w as running_max,
-                   row_number() over w as row_number
-            from events
-            window w as (partition by user_id order by epoch_ms(ts), event_id
-                         rows between unbounded preceding and current row)
-        """,
-        "sessionize": f"""
-            with t as (
-                select user_id, epoch_ms(ts) as ts, event_id,
-                       case when epoch_ms(ts) - lag(epoch_ms(ts)) over w > {GAP_MS}
-                            or lag(epoch_ms(ts)) over w is null then 1 else 0 end
-                           as new_sess
-                from events
-                window w as (partition by user_id order by epoch_ms(ts), event_id)
-            )
-            select user_id, ts, event_id,
-                   cast(sum(new_sess) over (partition by user_id
-                                            order by ts, event_id)
-                        - 1 as bigint) as session_id
-            from t
-        """,
-        "session_stats": f"""
-            with t as (
-                select user_id, epoch_ms(ts) as ts, event_id,
-                       case when epoch_ms(ts) - lag(epoch_ms(ts)) over w > {GAP_MS}
-                            or lag(epoch_ms(ts)) over w is null then 1 else 0 end
-                           as new_sess
-                from events
-                window w as (partition by user_id order by epoch_ms(ts), event_id)
-            ), s as (
-                select user_id, ts,
-                       cast(sum(new_sess) over (partition by user_id
-                                                order by ts, event_id)
-                            - 1 as bigint) as session_id
-                from t
-            )
-            select user_id, session_id, min(ts) as session_start,
-                   max(ts) as session_end, cast(count(*) as bigint) as n_events
-            from s group by user_id, session_id
-        """,
         "topk_per_user": """
             select user_id, rnk, value from (
                 select user_id, value,
@@ -1801,10 +1734,6 @@ def oracle_sql() -> dict[str, str]:
                                           order by value desc) as rnk
                 from events)
             where rnk <= 3
-        """,
-        "histogram_user_event": """
-            select user_id, event_type, count(*) as cnt
-            from events group by user_id, event_type
         """,
         "approx_histogram_topk": """
             with c as (
@@ -1814,7 +1743,9 @@ def oracle_sql() -> dict[str, str]:
                        as rk
               from events group by user_id, event_type
             )
-            select user_id, event_type, cnt from c where rk <= 3
+            select user_id, event_type, cnt,
+                   cast(case when rk <= 3 then rk end as double) as top3_rk
+            from c
         """,
         "bucketed_sums": """
             select user_id, event_type, round(sum(value), 4) as value_sum
@@ -1839,26 +1770,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             select min(doc_id) as doc_id from documents group by text
-        """,
-        "token_counts": """
-            select doc_id, len(string_split_regex(trim(text), '\\s+'))
-                as n_tokens_ws
-            from documents
-        """,
-        "skew_kurtosis": """
-            with mu as (select user_id, avg(value) as m from events
-                        where value is not null group by user_id)
-            select e.user_id,
-                round(case when count(*) >= 3 and sum(pow(value - m, 2)) > 0
-                    then sqrt(count(*)) * sum(pow(value - m, 3))
-                         / pow(sum(pow(value - m, 2)), 1.5) end, 4) as value_skew,
-                round(case when count(*) >= 4 and sum(pow(value - m, 2)) > 0
-                    then count(*) * sum(pow(value - m, 4))
-                         / pow(sum(pow(value - m, 2)), 2) - 3 end, 4)
-                    as value_kurtosis
-            from events e join mu on e.user_id = mu.user_id
-            where value is not null
-            group by e.user_id
         """,
         "lineitem_pricing": """
             select l_returnflag, l_linestatus,
@@ -2288,30 +2199,7 @@ def oracle_sql() -> dict[str, str]:
                 using (doc_id)
             order by doc_id
         """,
-        "classifier_score": """
-            with toks as (
-                select doc_id,
-                       unnest(string_split_regex(trim(text), '\\s+')) as term
-                from documents
-            ), h as (
-                select doc_id,
-                       list_reduce(
-                           list_prepend(cast(0 as bigint), list_transform(
-                               string_split(term, ''), c -> ord(c))),
-                           (acc, x) -> (acc * 31 + x) % 4294967296) as ph
-                from toks where term <> ''
-            ), w as (
-                select doc_id,
-                       ((ph % 1048576) * 2654435761) % 4294967296
-                           - 2147483648 as wt
-                from h
-            )
-            select doc_id, count(*)::bigint as n_words,
-                   sum(wt)::bigint as score_int,
-                   (sum(wt) > 0) as label
-            from w group by doc_id
-        """,
-        "perplexity": """
+        "model_scores": """
             with toks as (
                 select doc_id,
                        unnest(string_split_regex(trim(text), '\\s+')) as w,
@@ -2327,12 +2215,33 @@ def oracle_sql() -> dict[str, str]:
                 join toks b on a.doc_id = b.doc_id and b.ord = a.ord + 1
             ), bic as (
                 select w1, w2, count(*)::double as c from bi group by w1, w2
+            ), ppl as (
+                select bi.doc_id, count(*)::bigint as n_bigrams,
+                       round(avg(-ln((bic.c + 1)
+                           / (uni.c + (select v from v)))), 4) as avg_nll
+                from bi join bic using (w1, w2) join uni on bi.w1 = uni.w
+                group by bi.doc_id
+            ), h as (
+                select doc_id,
+                       list_reduce(
+                           list_prepend(cast(0 as bigint), list_transform(
+                               string_split(w, ''), c -> ord(c))),
+                           (acc, x) -> (acc * 31 + x) % 4294967296) as ph
+                from toks where w <> ''
+            ), wts as (
+                select doc_id,
+                       ((ph % 1048576) * 2654435761) % 4294967296
+                           - 2147483648 as wt
+                from h
+            ), cls as (
+                select doc_id, count(*)::bigint as n_words,
+                       sum(wt)::bigint as score_int,
+                       (sum(wt) > 0) as label
+                from wts group by doc_id
             )
-            select bi.doc_id, count(*)::bigint as n_bigrams,
-                   round(avg(-ln((bic.c + 1)
-                       / (uni.c + (select v from v)))), 4) as avg_nll
-            from bi join bic using (w1, w2) join uni on bi.w1 = uni.w
-            group by bi.doc_id
+            select ppl.doc_id, ppl.n_bigrams, ppl.avg_nll,
+                   cls.n_words, cls.score_int, cls.label
+            from ppl join cls using (doc_id)
         """,
         "chunk_documents": """
             with l as (
@@ -2371,7 +2280,92 @@ def oracle_sql() -> dict[str, str]:
             from scored where rnk <= 5
         """,
         "text_quality": """
-            with w as (
+            with tc as (
+                select doc_id, len(string_split_regex(trim(text), '\\s+'))
+                    as n_tokens_ws
+                from documents
+            ), l as (
+                select doc_id,
+                       trim(x, ' ' || chr(9) || chr(13) || chr(10)
+                               || chr(11) || chr(12)) as line
+                from documents, unnest(string_split(text, chr(10))) as u(x)
+            ), lnz as (
+                select doc_id, line from l where length(line) > 0
+            ), lc as (
+                select doc_id, line, count(*) as cnt
+                from lnz group by doc_id, line
+            ), lagg as (
+                select doc_id,
+                       cast(sum(cnt) as bigint) as n_lines,
+                       cast(count(*) as bigint) as n_dist,
+                       cast(sum((cnt - 1) * length(line)) as bigint)
+                           as dup_chars,
+                       cast(sum(cnt * length(line)) as bigint) as tot_chars
+                from lc group by doc_id
+            ), wrd as (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           as w,
+                       generate_subscripts(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                           as ord
+                from documents
+            ), wc as (
+                select doc_id, cast(sum(length(w)) as bigint)
+                           as tot_word_chars
+                from wrd group by doc_id
+            ), g2c as (
+                select doc_id, gram, clen, count(*) as cnt
+                from (select a.doc_id, a.w || ' ' || b.w as gram,
+                             length(a.w) + length(b.w) as clen
+                      from wrd a join wrd b
+                        on a.doc_id = b.doc_id and b.ord = a.ord + 1)
+                group by doc_id, gram, clen
+            ), top2 as (
+                select doc_id, cast(cnt * clen as bigint) as cover
+                from (select doc_id, cnt, clen,
+                             row_number() over (partition by doc_id
+                                 order by cnt desc, clen desc) as rn
+                      from g2c)
+                where rn = 1
+            ), g5c as (
+                select doc_id, gram, count(*) as cnt
+                from (select a.doc_id,
+                             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                                 || ' ' || e.w as gram
+                      from wrd a
+                      join wrd b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+                      join wrd c on a.doc_id = c.doc_id and c.ord = a.ord + 2
+                      join wrd d on a.doc_id = d.doc_id and d.ord = a.ord + 3
+                      join wrd e on a.doc_id = e.doc_id and e.ord = a.ord + 4)
+                group by doc_id, gram
+            ), g5a as (
+                select doc_id, cast(sum(cnt) as bigint) as n5,
+                       cast(count(*) as bigint) as d5
+                from g5c group by doc_id
+            ), rep as (
+                select d.doc_id,
+                       coalesce(lagg.n_lines, 0) as n_lines,
+                       case when coalesce(lagg.n_lines, 0) > 0
+                            then cast(lagg.n_lines - lagg.n_dist as double)
+                                 / lagg.n_lines else 0.0 end as dup_line_frac,
+                       case when coalesce(lagg.tot_chars, 0) > 0
+                            then cast(lagg.dup_chars as double)
+                                 / lagg.tot_chars
+                            else 0.0 end as dup_line_char_frac,
+                       case when coalesce(wc.tot_word_chars, 0) > 0
+                            then cast(coalesce(top2.cover, 0) as double)
+                                 / wc.tot_word_chars
+                            else 0.0 end as top_2gram_char_frac,
+                       case when coalesce(g5a.n5, 0) > 0
+                            then cast(g5a.n5 - g5a.d5 as double) / g5a.n5
+                            else 0.0 end as dup_5gram_frac
+                from documents d
+                left join lagg using (doc_id)
+                left join wc using (doc_id)
+                left join top2 using (doc_id)
+                left join g5a using (doc_id)
+            ), w as (
                 select doc_id,
                        len(text) as n_chars,
                        regexp_extract_all(lower(text), '\\w+') as words,
@@ -2409,122 +2403,11 @@ def oracle_sql() -> dict[str, str]:
                      + 0.25 * least(stopword_ratio / 0.3, 1.0)
                      + 0.25 * (1 - least(digit_ratio / 0.2, 1.0))
                      + 0.25 * (1 - least(upper_ratio / 0.3, 1.0))
-                       as quality_score
-            from s
-        """,
-        "repetition_signals": r"""
-            with l as (
-                select doc_id,
-                       trim(x, ' ' || chr(9) || chr(13) || chr(10)
-                               || chr(11) || chr(12)) as line
-                from documents, unnest(string_split(text, chr(10))) as u(x)
-            ), lnz as (
-                select doc_id, line from l where length(line) > 0
-            ), lc as (
-                select doc_id, line, count(*) as cnt
-                from lnz group by doc_id, line
-            ), lagg as (
-                select doc_id,
-                       cast(sum(cnt) as bigint) as n_lines,
-                       cast(count(*) as bigint) as n_dist,
-                       cast(sum((cnt - 1) * length(line)) as bigint)
-                           as dup_chars,
-                       cast(sum(cnt * length(line)) as bigint) as tot_chars
-                from lc group by doc_id
-            ), w as (
-                select doc_id,
-                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                           as w,
-                       generate_subscripts(
-                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
-                           as ord
-                from documents
-            ), wc as (
-                select doc_id, cast(sum(length(w)) as bigint)
-                           as tot_word_chars
-                from w group by doc_id
-            ), g2c as (
-                select doc_id, gram, clen, count(*) as cnt
-                from (select a.doc_id, a.w || ' ' || b.w as gram,
-                             length(a.w) + length(b.w) as clen
-                      from w a join w b
-                        on a.doc_id = b.doc_id and b.ord = a.ord + 1)
-                group by doc_id, gram, clen
-            ), top2 as (
-                select doc_id, cast(cnt * clen as bigint) as cover
-                from (select doc_id, cnt, clen,
-                             row_number() over (partition by doc_id
-                                 order by cnt desc, clen desc) as rn
-                      from g2c)
-                where rn = 1
-            ), g5c as (
-                select doc_id, gram, count(*) as cnt
-                from (select a.doc_id,
-                             a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
-                                 || ' ' || e.w as gram
-                      from w a
-                      join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
-                      join w c on a.doc_id = c.doc_id and c.ord = a.ord + 2
-                      join w d on a.doc_id = d.doc_id and d.ord = a.ord + 3
-                      join w e on a.doc_id = e.doc_id and e.ord = a.ord + 4)
-                group by doc_id, gram
-            ), g5a as (
-                select doc_id, cast(sum(cnt) as bigint) as n5,
-                       cast(count(*) as bigint) as d5
-                from g5c group by doc_id
-            )
-            select d.doc_id,
-                   coalesce(lagg.n_lines, 0) as n_lines,
-                   case when coalesce(lagg.n_lines, 0) > 0
-                        then cast(lagg.n_lines - lagg.n_dist as double)
-                             / lagg.n_lines else 0.0 end as dup_line_frac,
-                   case when coalesce(lagg.tot_chars, 0) > 0
-                        then cast(lagg.dup_chars as double) / lagg.tot_chars
-                        else 0.0 end as dup_line_char_frac,
-                   case when coalesce(wc.tot_word_chars, 0) > 0
-                        then cast(coalesce(top2.cover, 0) as double)
-                             / wc.tot_word_chars
-                        else 0.0 end as top_2gram_char_frac,
-                   case when coalesce(g5a.n5, 0) > 0
-                        then cast(g5a.n5 - g5a.d5 as double) / g5a.n5
-                        else 0.0 end as dup_5gram_frac
-            from documents d
-            left join lagg using (doc_id)
-            left join wc using (doc_id)
-            left join top2 using (doc_id)
-            left join g5a using (doc_id)
-        """,
-        "char_dup_ngrams": r"""
-            with pos as (
-                select doc_id,
-                       unnest(generate_series(1,
-                           greatest(length(coalesce(text,'')) - 19, 0))) as i
-                from documents
-            ), g as (
-                select p.doc_id, substring(coalesce(d.text,''), p.i, 20)
-                    as gram
-                from pos p join documents d using (doc_id)
-            ), gc as (
-                select doc_id, gram, count(*) as cnt
-                from g group by doc_id, gram
-            ), gt as (
-                select gram, sum(cnt) as total, count(*) as ndocs
-                from gc group by gram
-            ), per as (
-                select gc.doc_id, gc.cnt,
-                       case when gt.total > 1 then gc.cnt else 0 end as dup,
-                       case when gt.ndocs > 1 then gc.cnt else 0 end as xd
-                from gc join gt using (gram)
-            )
-            select doc_id,
-                   cast(sum(cnt) as bigint) as n_grams,
-                   cast(sum(dup) as bigint) as n_dup_grams,
-                   cast(sum(xd) as bigint) as n_cross_doc_grams,
-                   cast(cast(sum(dup) as bigint) as double)
-                       / cast(sum(cnt) as bigint) as dup_gram_frac,
-                   cast(cast(sum(xd) as bigint) as double)
-                       / cast(sum(cnt) as bigint) as cross_doc_gram_frac
-            from per group by doc_id
+                       as quality_score,
+                   tc.n_tokens_ws, rep.n_lines, rep.dup_line_frac,
+                   rep.dup_line_char_frac, rep.top_2gram_char_frac,
+                   rep.dup_5gram_frac
+            from s join tc using (doc_id) join rep using (doc_id)
         """,
         "dup_ngrams": r"""
             with w as (
@@ -2554,16 +2437,52 @@ def oracle_sql() -> dict[str, str]:
                        case when gt.total > 1 then gc.cnt else 0 end as dup,
                        case when gt.ndocs > 1 then gc.cnt else 0 end as xd
                 from gc join gt using (gram)
+            ), word as (
+                select doc_id,
+                       cast(sum(cnt) as bigint) as n_grams,
+                       cast(sum(dup) as bigint) as n_dup_grams,
+                       cast(sum(xd) as bigint) as n_cross_doc_grams,
+                       cast(cast(sum(dup) as bigint) as double)
+                           / cast(sum(cnt) as bigint) as dup_gram_frac,
+                       cast(cast(sum(xd) as bigint) as double)
+                           / cast(sum(cnt) as bigint) as cross_doc_gram_frac
+                from per group by doc_id
+            ), pos as (
+                select doc_id,
+                       unnest(generate_series(1,
+                           greatest(length(coalesce(text,'')) - 19, 0))) as i
+                from documents
+            ), cg as (
+                select p.doc_id, substring(coalesce(d.text,''), p.i, 20)
+                    as gram
+                from pos p join documents d using (doc_id)
+            ), cgc as (
+                select doc_id, gram, count(*) as cnt
+                from cg group by doc_id, gram
+            ), cgt as (
+                select gram, sum(cnt) as total, count(*) as ndocs
+                from cgc group by gram
+            ), cper as (
+                select cgc.doc_id, cgc.cnt,
+                       case when cgt.total > 1 then cgc.cnt else 0 end as dup,
+                       case when cgt.ndocs > 1 then cgc.cnt else 0 end as xd
+                from cgc join cgt using (gram)
+            ), chars as (
+                select doc_id,
+                       cast(sum(cnt) as bigint) as char_n_grams,
+                       cast(sum(dup) as bigint) as char_n_dup_grams,
+                       cast(sum(xd) as bigint) as char_n_cross_doc_grams,
+                       cast(cast(sum(dup) as bigint) as double)
+                           / cast(sum(cnt) as bigint) as char_dup_gram_frac,
+                       cast(cast(sum(xd) as bigint) as double)
+                           / cast(sum(cnt) as bigint)
+                           as char_cross_doc_gram_frac
+                from cper group by doc_id
             )
-            select doc_id,
-                   cast(sum(cnt) as bigint) as n_grams,
-                   cast(sum(dup) as bigint) as n_dup_grams,
-                   cast(sum(xd) as bigint) as n_cross_doc_grams,
-                   cast(cast(sum(dup) as bigint) as double)
-                       / cast(sum(cnt) as bigint) as dup_gram_frac,
-                   cast(cast(sum(xd) as bigint) as double)
-                       / cast(sum(cnt) as bigint) as cross_doc_gram_frac
-            from per group by doc_id
+            select word.*, chars.char_n_grams, chars.char_n_dup_grams,
+                   chars.char_n_cross_doc_grams, chars.char_dup_gram_frac,
+                   chars.char_cross_doc_gram_frac
+            from word join chars using (doc_id)
         """,
         "pack_sequences": r"""
             with c as (
