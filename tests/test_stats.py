@@ -1,0 +1,564 @@
+"""Observability family (pipelines/stats.py) vs independent oracles.
+
+Summary stats and comparison metrics verify against DuckDB / pure-pandas
+first-principles oracles under randomized frames, block layouts, null
+keys and planted discrepancies.  Edit distance verifies against a
+literal port of the reference DP (EditDistance.scala:55-119)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+HOUR = 3600_000
+
+
+def _split_blocks(df, rng, to_table, max_blocks=5):
+    order = rng.permutation(len(df))
+    df = df.iloc[order].reset_index(drop=True)
+    nb = int(rng.integers(1, max_blocks + 1))
+    cuts = (np.sort(rng.choice(np.arange(1, len(df)), size=nb - 1,
+                               replace=False)) if nb > 1 and len(df) > nb
+            else np.array([], int))
+    ds = None
+    for idx in np.split(np.arange(len(df)), cuts):
+        d = rd.from_arrow(to_table(df.iloc[idx]))
+        ds = d if ds is None else ds.union(d)
+    return ds
+
+
+# ------------------------------------------------------------- summaries
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_summary_stats_vs_duckdb(ray_session, seed):
+    from chronon_ray.pipelines.stats import summary_stats
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": rng.integers(0, 5 * HOUR, n).astype(np.int64),
+        "value": np.where(rng.random(n) < 0.15, np.nan,
+                          np.round(rng.normal(10, 3, n), 4)),
+        "name": np.where(rng.random(n) < 0.25, None, "x"),
+    })
+
+    def to_table(sub):
+        return pa.table({
+            "user_id": pa.array(sub["user_id"].to_numpy()),
+            "ts": pa.array(sub["ts"].to_numpy()),
+            "value": pa.array(sub["value"].to_numpy(), from_pandas=True),
+            "name": pa.array(sub["name"].tolist(), type=pa.string()),
+        })
+
+    ds = _split_blocks(df, rng, to_table)
+    out = summary_stats(ds, keys=["user_id"]).to_pandas() \
+        .sort_values("bucket_ts").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute(f"""
+        SELECT (ts // {HOUR}) * {HOUR} AS bucket_ts,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_null,
+               SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS name_null,
+               COUNT(*) AS total
+        FROM t GROUP BY 1 ORDER BY 1""").df()
+    assert (out["bucket_ts"].to_numpy()
+            == oracle["bucket_ts"].to_numpy()).all()
+    assert (out["value__null"].to_numpy()
+            == oracle["value_null"].to_numpy()).all()
+    assert (out["name__null"].to_numpy()
+            == oracle["name_null"].to_numpy()).all()
+    assert (out["total_count"].to_numpy() == oracle["total"].to_numpy()).all()
+    np.testing.assert_allclose(
+        out["value__null_rate"].to_numpy(),
+        oracle["value_null"].to_numpy() / oracle["total"].to_numpy())
+    # numeric column got a percentile summary, string column did not
+    assert "value__percentiles" in out.columns
+    assert "name__percentiles" not in out.columns
+
+
+def test_summary_percentiles_exact_tier(ray_session):
+    """Below the KLL level-0 capacity (2k items) the sketch holds every
+    value with weight 1, so the percentile summary is deterministic —
+    compare against the weighted-rank formula applied to raw values."""
+    from chronon_ray.pipelines.stats import PERCENTILES_MERGED, summary_stats
+
+    rng = np.random.default_rng(7)
+    n = 200  # < 2*128: exact tier regardless of blocking
+    vals = np.round(rng.normal(0, 5, n), 4)
+    df = pd.DataFrame({"ts": np.zeros(n, dtype=np.int64), "value": vals})
+    ds = _split_blocks(df, rng, lambda s: pa.table({
+        "ts": pa.array(s["ts"].to_numpy()),
+        "value": pa.array(s["value"].to_numpy())}))
+    out = summary_stats(ds, k=128).to_pandas()
+    got = np.array(out["value__percentiles"].iloc[0])
+    sv = np.sort(vals)
+    cw = np.arange(1, n + 1)
+    exp = [sv[min(int(np.searchsorted(cw, q * n, side="left")), n - 1)]
+           for q in PERCENTILES_MERGED]
+    np.testing.assert_allclose(got, exp)
+
+
+def test_summary_ds_bucketing(ray_session):
+    """Entity tables without a ts column bucket on the ds day."""
+    from chronon_ray.pipelines.stats import summary_stats
+
+    df = pd.DataFrame({"ds": ["2023-01-01"] * 3 + ["2023-01-02"] * 2,
+                       "v": [1.0, None, 3.0, None, None]})
+    out = summary_stats(rd.from_pandas(df)).to_pandas() \
+        .sort_values("bucket_ts").reset_index(drop=True)
+    assert len(out) == 2
+    assert out["v__null"].tolist() == [1, 2]
+    assert out["total_count"].tolist() == [3, 2]
+
+
+# ------------------------------------------------------------------ drift
+
+
+def test_drift_metrics_detects_shift(ray_session):
+    from chronon_ray.pipelines.stats import drift_metrics, summary_stats
+
+    rng = np.random.default_rng(11)
+    n = 4000
+
+    def mk(loc):
+        return rd.from_pandas(pd.DataFrame({
+            "ts": np.zeros(n, dtype=np.int64),
+            "value": rng.normal(loc, 1, n)}))
+
+    base = summary_stats(mk(0.0), finalize=False)
+    same = summary_stats(mk(0.0), finalize=False)
+    shifted = summary_stats(mk(3.0), finalize=False)
+    d_same = drift_metrics(base, same)
+    d_shift = drift_metrics(base, shifted)
+    assert d_same["psi"].iloc[0] < 0.05
+    assert d_same["linf"].iloc[0] < 0.1
+    assert d_shift["psi"].iloc[0] > 0.25      # "significant shift"
+    assert d_shift["linf"].iloc[0] > 0.5
+    assert d_shift["null_rate_delta"].iloc[0] == 0.0
+
+
+def test_kll_rank_pmf_exact_tier():
+    from chronon_ray.aggregators.sketches import KLL
+    from chronon_ray.pipelines.stats import kll_pmf, kll_rank
+
+    vals = np.array([1.0, 2.0, 2.0, 3.0, 10.0])
+    st = KLL.update_many(KLL.empty(128), vals)
+    assert kll_rank(st, 2.0) == pytest.approx(1 / 5)   # strictly below
+    assert kll_rank(st, 2.5) == pytest.approx(3 / 5)
+    assert kll_rank(st, 100.0) == 1.0
+    pmf = kll_pmf(st, np.array([2.0, 3.0]))
+    np.testing.assert_allclose(pmf, [1 / 5, 2 / 5, 2 / 5])
+    assert pmf.sum() == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------- edit distance
+
+
+def _reference_edit_distance(left, right):
+    """Literal port of EditDistance.scala:55-119 (rolling two-row grid,
+    separate insert/delete counts, edits into right)."""
+    l = [] if left is None else list(left)
+    r = [] if right is None else list(right)
+    if not l and not r:
+        return (0, 0)
+    if not l:
+        return (0, len(r))
+    if not r:
+        return (len(l), 0)
+    rows = [[(i, 0) for i in range(len(l) + 1)],
+            [None] * (len(l) + 1)]
+    for i in range(1, len(r) + 1):
+        cur, prev = rows[i % 2], rows[(i - 1) % 2]
+        for j in range(len(l) + 1):
+            if j == 0:
+                cur[j] = (0, i)
+            elif r[i - 1] == l[j - 1]:
+                cur[j] = prev[j - 1]
+            else:
+                dr, ir = prev[j], cur[j - 1]
+                if sum(dr) < sum(ir):
+                    cur[j] = (dr[0], dr[1] + 1)
+                else:
+                    cur[j] = (ir[0] + 1, ir[1])
+    return rows[len(r) % 2][len(l)]
+
+
+@pytest.mark.parametrize("seed", [1, 23])
+def test_edit_distance_vs_reference_dp(seed):
+    from chronon_ray.pipelines.stats import edit_distance
+
+    rng = np.random.default_rng(seed)
+    for _ in range(300):
+        l = rng.integers(0, 3, rng.integers(0, 9)).tolist()
+        r = rng.integers(0, 3, rng.integers(0, 9)).tolist()
+        if rng.random() < 0.05:
+            l = None
+        if rng.random() < 0.05:
+            r = None
+        assert edit_distance(l, r) == _reference_edit_distance(l, r), (l, r)
+    # strings work too
+    assert edit_distance("abc", "abd") == _reference_edit_distance("abc", "abd")
+
+
+# ------------------------------------------------------- table comparison
+
+
+def test_check_consistency_errors(ray_session):
+    from chronon_ray.pipelines.stats import check_consistency
+
+    l = pa.schema([("ts", pa.int64()), ("k", pa.string()),
+                   ("v", pa.float64())])
+    r_ok = pa.schema([("ts", pa.int64()), ("k", pa.string()),
+                      ("v", pa.float64())])
+    check_consistency(l, r_ok, ["ts", "k"])
+    r_bad_type = pa.schema([("ts", pa.int64()), ("k", pa.string()),
+                            ("v", pa.int64())])
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        check_consistency(l, r_bad_type, ["ts", "k"])
+    with pytest.raises(ValueError, match="missing on right"):
+        check_consistency(l, pa.schema([("ts", pa.int64()),
+                                        ("v", pa.float64()),
+                                        ("x", pa.int32())]), ["ts", "k"])
+    with pytest.raises(ValueError, match="time column"):
+        check_consistency(l, r_ok, ["k"])
+    # migration: left may carry extra fields
+    l_extra = pa.schema([("ts", pa.int64()), ("k", pa.string()),
+                         ("v", pa.float64()), ("extra", pa.int64())])
+    with pytest.raises(ValueError, match="field counts"):
+        check_consistency(l_extra, r_ok, ["ts", "k"])
+    check_consistency(l_extra, r_ok, ["ts", "k"], migration_check=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        check_consistency(
+            pa.schema([("ts", pa.int64()), ("a", pa.int64()),
+                       ("b", pa.int64())]),
+            pa.schema([("ts", pa.int64()), ("c", pa.int64())]),
+            ["ts"], mapping={"a": "c", "b": "c"})
+
+
+def _gen_pair(rng, n):
+    """Left/right frames sharing a unique key (id, ts) with planted
+    discrepancies: value mismatches, one-sided nulls, one-sided rows,
+    null keys, list + string columns."""
+    ids = np.arange(n, dtype=np.int64)
+    ts = rng.integers(0, 3 * HOUR, n).astype(np.int64)
+    v = np.round(rng.normal(5, 2, n), 3)
+    v[rng.random(n) < 0.1] = np.nan
+    s = np.where(rng.random(n) < 0.15, None, "s")
+    lst = [None if rng.random() < 0.1
+           else rng.integers(0, 4, rng.integers(0, 5)).tolist()
+           for _ in range(n)]
+    left = pd.DataFrame({"id": ids, "ts": ts, "v": v, "s": s, "lst": lst})
+    right = left.copy(deep=True)
+    # planted value mismatches
+    mism = rng.random(n) < 0.2
+    right.loc[mism, "v"] = right.loc[mism, "v"] * 1.5 + 1
+    smut = rng.random(n) < 0.1
+    right.loc[smut, "s"] = "t"
+    lmut = np.flatnonzero(rng.random(n) < 0.15)
+    for i in lmut:
+        cur = right.at[i, "lst"]
+        right.at[i, "lst"] = ([0] if cur is None
+                              else (cur + [9] if rng.random() < 0.5
+                                    else cur[:-1]))
+    # one-sided nulls
+    right.loc[rng.random(n) < 0.08, "v"] = np.nan
+    # one-sided rows: drop a few from each side
+    left = left[rng.random(n) > 0.05].reset_index(drop=True)
+    right = right[rng.random(n) > 0.05].reset_index(drop=True)
+    # null keys on both sides never match
+    nk = pd.DataFrame({"id": [None, None], "ts": [0, 0],
+                       "v": [1.0, 2.0], "s": ["s", "s"],
+                       "lst": [[1], [1]]})
+    left = pd.concat([left, nk.iloc[:1]], ignore_index=True)
+    right = pd.concat([right, nk.iloc[1:]], ignore_index=True)
+    return left, right
+
+
+def _pair_to_table(sub):
+    return pa.table({
+        "id": pa.array(sub["id"].tolist(), type=pa.int64()),
+        "ts": pa.array(sub["ts"].to_numpy().astype(np.int64)),
+        "v": pa.array(sub["v"].to_numpy(), from_pandas=True),
+        "s": pa.array(sub["s"].tolist(), type=pa.string()),
+        "lst": pa.array(sub["lst"].tolist(), type=pa.list_(pa.int64())),
+    })
+
+
+def _oracle_compare(left, right, bucket_ms=HOUR):
+    """First-principles metric oracle: python-dict full outer join (null
+    keys never match), per-bucket sums."""
+    from chronon_ray.pipelines.stats import edit_distance
+
+    def keyed(df):
+        d = {}
+        for row in df.itertuples(index=False):
+            if pd.isna(row.id):
+                continue
+            d.setdefault((row.id, row.ts), []).append(row)
+        return d
+
+    lmap, rmap = keyed(left), keyed(right)
+    pairs = []
+    for k, lrows in lmap.items():
+        rrows = rmap.get(k, [None])
+        for a in lrows:
+            for b in rrows:
+                pairs.append((k[1], a, b))
+    for k, rrows in rmap.items():
+        if k not in lmap:
+            for b in rrows:
+                pairs.append((k[1], None, b))
+    for row in left.itertuples(index=False):
+        if pd.isna(row.id):
+            pairs.append((row.ts, row, None))
+    for row in right.itertuples(index=False):
+        if pd.isna(row.id):
+            pairs.append((row.ts, None, row))
+
+    acc: dict = {}
+    for ts, a, b in pairs:
+        bkt = (ts // bucket_ms) * bucket_ms
+        m = acc.setdefault(bkt, {})
+
+        def bump(key, x=1):
+            m[key] = m.get(key, 0) + x
+
+        for f in ("v", "s", "lst"):
+            av = getattr(a, f) if a is not None else None
+            bv = getattr(b, f) if b is not None else None
+            an = av is None or (isinstance(av, float) and np.isnan(av))
+            bn = bv is None or (isinstance(bv, float) and np.isnan(bv))
+            bump(f"{f}_total")
+            if an and bn:
+                bump(f"{f}_both_null")
+            elif an:
+                bump(f"{f}_left_null")
+            elif bn:
+                bump(f"{f}_right_null")
+            if not an and not bn:
+                if f == "lst":
+                    if list(av) != list(bv):
+                        bump(f"{f}_mismatch")
+                    if len(av) != len(bv):
+                        bump(f"{f}_mismatch_length")
+                elif f == "v":
+                    if av != bv:
+                        bump(f"{f}_mismatch")
+                elif av != bv:
+                    bump(f"{f}_mismatch")
+            if f == "v":
+                denom = (abs(av) if not an else 0) + (abs(bv) if not bn else 0)
+                smape = (2 * abs(av - bv) / denom
+                         if not an and not bn and denom != 0 else 0.0)
+                m["v_smape_sum"] = m.get("v_smape_sum", 0.0) + smape
+            if f == "lst" and not an and not bn:
+                ins, dele = edit_distance(av, bv)
+                m.setdefault("ed", []).append((ins, dele))
+    return acc
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_compare_tables_vs_first_principles(ray_session, seed):
+    from chronon_ray.pipelines.stats import compare_tables
+
+    rng = np.random.default_rng(seed)
+    left, right = _gen_pair(rng, 400)
+    lds = _split_blocks(left, rng, _pair_to_table)
+    rds = _split_blocks(right, rng, _pair_to_table)
+    cmp_ds, met_ds = compare_tables(lds, rds, keys=["id", "ts"],
+                                    num_partitions=7)
+    met = met_ds.to_pandas().set_index("bucket_ts").sort_index()
+    oracle = _oracle_compare(left, right)
+    assert set(met.index) == set(oracle)
+    for bkt, m in oracle.items():
+        row = met.loc[bkt]
+        for f in ("v", "s", "lst"):
+            for suffix in ("total", "both_null", "left_null", "right_null",
+                           "mismatch"):
+                assert row[f"{f}_{suffix}"] == m.get(f"{f}_{suffix}", 0), \
+                    (bkt, f, suffix)
+        assert row["lst_mismatch_length"] == m.get("lst_mismatch_length", 0)
+        assert row["v_smape"] == pytest.approx(
+            m.get("v_smape_sum", 0.0) / m["v_total"])
+    # compare_ds cardinality = full outer join cardinality
+    assert cmp_ds.count() == sum(
+        m["v_total"] for m in oracle.values())
+
+
+def test_compare_join_mapping_and_migration(ray_session):
+    from chronon_ray.pipelines.stats import compare_join
+
+    left = pd.DataFrame({"ts": np.array([0, 1], dtype=np.int64),
+                         "val": [1.0, 2.0],
+                         "legacy_only": [9, 9]})
+    right = pd.DataFrame({"ts": np.array([0, 1], dtype=np.int64),
+                          "value_new": [1.0, 5.0]})
+    cmp_ds, fields = compare_join(
+        rd.from_pandas(left), rd.from_pandas(right), keys=["ts"],
+        mapping={"val": "value_new"}, migration_check=True)
+    assert [n for n, _ in fields] == ["val"]
+    out = cmp_ds.to_pandas().sort_values("ts")
+    assert out["val_left"].tolist() == [1.0, 2.0]
+    assert out["val_right"].tolist() == [1.0, 5.0]
+    assert "legacy_only_left" not in out.columns
+
+
+def test_compare_percentile_columns_exact_tier(ray_session):
+    """left_minus_right sketch over an exact-tier bucket: percentile grid
+    of the planted differences, deterministic."""
+    from chronon_ray.pipelines.stats import (COMPARE_PERCENTILES,
+                                             compare_tables)
+
+    n = 100
+    ts = np.zeros(n, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    lv = np.linspace(0, 9.9, n)
+    diff = np.repeat(np.arange(10), 10).astype(np.float64)
+    left = pd.DataFrame({"id": ids, "ts": ts, "v": lv})
+    right = pd.DataFrame({"id": ids, "ts": ts, "v": lv - diff})
+    _, met = compare_tables(rd.from_pandas(left), rd.from_pandas(right),
+                            keys=["id", "ts"])
+    got = np.array(met.to_pandas()["v_left_minus_right"].iloc[0])
+    sv = np.sort(diff)
+    cw = np.arange(1, n + 1)
+    exp = [sv[min(int(np.searchsorted(cw, q * n, side="left")), n - 1)]
+           for q in COMPARE_PERCENTILES]
+    np.testing.assert_allclose(got, exp)
+
+
+def test_compare_map_columns_stringified(ray_session):
+    """Map values compare by canonical string (the reference stringifies
+    Spark maps before metric computation)."""
+    from chronon_ray.pipelines.stats import compare_tables
+
+    mt = pa.map_(pa.string(), pa.int64())
+    ids = np.arange(4, dtype=np.int64)
+
+    def tbl(maps):
+        return pa.table({
+            "id": pa.array(ids), "ts": pa.array(np.zeros(4, dtype=np.int64)),
+            "m": pa.array(maps, type=mt)})
+
+    left = rd.from_arrow(tbl([{"a": 1, "b": 2}, {"a": 1}, None, {"z": 9}]))
+    right = rd.from_arrow(tbl([{"b": 2, "a": 1}, {"a": 2}, None, None]))
+    _, met = compare_tables(left, right, keys=["id", "ts"])
+    row = met.to_pandas().iloc[0]
+    # {a=1, b=2} == {b=2, a=1} canonically; {a=1} != {a=2}
+    assert row["m_mismatch"] == 1
+    assert row["m_both_null"] == 1
+    assert row["m_right_null"] == 1
+    assert row["m_total"] == 4
+
+
+# ------------------------------------------------------------ consistency
+
+
+def _write_events(tmp_path, rng, n=1500, users=25):
+    ts = rng.integers(0, 8 * 86_400_000, n).astype(np.int64)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": ts,
+        "event_id": np.arange(n, dtype=np.int64),
+        # integer-valued floats: sums are exact under any partition order,
+        # so truth == logged holds bit-for-bit wherever we didn't perturb
+        "value": rng.integers(1, 100, n).astype(np.float64),
+        "ds": pd.to_datetime(ts, unit="ms").strftime("%Y-%m-%d"),
+    })
+    p = str(tmp_path / "events.parquet")
+    df.to_parquet(p, index=False)
+    return p, df
+
+
+def test_consistency_job_end_to_end(ray_session, tmp_path):
+    """ConsistencyJob analog: serve (here: perturb a copy of the offline
+    truth), log, and measure — mismatch counts land exactly on the
+    perturbed rows, clean rows read back all-match."""
+    from chronon_ray.api import (EventSource, GroupByConf, JoinConf,
+                                 JoinPart, TQuery, agg, window)
+    from chronon_ray.pipelines.joins import compute_join
+    from chronon_ray.pipelines.stats import consistency_job
+
+    rng = np.random.default_rng(13)
+    events_path, _ = _write_events(tmp_path, rng)
+    events_src = EventSource(table=events_path, query=TQuery())
+    left_src = EventSource(
+        table=events_path,
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"}))
+    gb = GroupByConf(name="gb_val", sources=(events_src,),
+                     key_columns=("user_id",),
+                     aggregations=(agg("value", "sum", [window(7, "d")]),
+                                   agg("value", "count", [window(7, "d")])))
+    jc = JoinConf(name="cj", left=left_src, parts=(JoinPart(group_by=gb),),
+                  row_ids=("user_id", "ts", "event_id"))
+
+    truth = compute_join(jc, num_partitions=8).to_pandas()
+    # "online-logged" values: truth with a deterministic perturbation
+    logged = truth.copy(deep=True)
+    pert = logged["event_id"].to_numpy() % 7 == 0
+    col = "gb_val_value_sum_7d"
+    logged.loc[pert, col] = logged.loc[pert, col] + 1.0
+    nulled = logged["event_id"].to_numpy() % 11 == 0
+    logged.loc[nulled, col] = np.nan
+    # keep the offline schema: the count column is a nullable int64
+    logged["gb_val_value_count_7d"] = \
+        logged["gb_val_value_count_7d"].astype("Int64")
+    logged_path = str(tmp_path / "logged.parquet")
+    logged.to_parquet(logged_path, index=False)
+
+    _, met_ds = consistency_job(jc, logged_path, time_bucket_minutes=24 * 60)
+    met = met_ds.to_pandas()
+    total = met[f"{col}_total"].sum()
+    assert total == len(truth)
+    truth_null = truth[col].isna().to_numpy()
+    exp_mismatch = int((pert & ~nulled & ~truth_null).sum())
+    exp_right_null = int((nulled & ~truth_null).sum())
+    assert met[f"{col}_mismatch"].sum() == exp_mismatch
+    assert met[f"{col}_right_null"].sum() == exp_right_null
+    assert met[f"{col}_left_null"].sum() == 0
+    # count column was never perturbed: zero mismatches
+    assert met["gb_val_value_count_7d_mismatch"].sum() == 0
+    assert met["gb_val_value_count_7d_right_null"].sum() == 0
+
+
+def test_consistency_job_sampling(ray_session, tmp_path):
+    from chronon_ray.api import (EventSource, GroupByConf, JoinConf,
+                                 JoinPart, TQuery, agg, window)
+    from chronon_ray.pipelines.joins import compute_join
+    from chronon_ray.pipelines.stats import consistency_job
+
+    rng = np.random.default_rng(31)
+    events_path, _ = _write_events(tmp_path, rng, n=800)
+    events_src = EventSource(table=events_path, query=TQuery())
+    left_src = EventSource(
+        table=events_path,
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"}))
+    gb = GroupByConf(name="g", sources=(events_src,),
+                     key_columns=("user_id",),
+                     aggregations=(agg("value", "sum", [window(7, "d")]),))
+    jc = JoinConf(name="cjs", left=left_src, parts=(JoinPart(group_by=gb),),
+                  row_ids=("user_id", "ts", "event_id"))
+    truth = compute_join(jc, num_partitions=8).to_pandas()
+    logged_path = str(tmp_path / "logged.parquet")
+    truth.to_parquet(logged_path, index=False)
+
+    _, met_full = consistency_job(jc, logged_path,
+                                  time_bucket_minutes=24 * 60)
+    _, met_half = consistency_job(jc, logged_path, sample_percent=50,
+                                  time_bucket_minutes=24 * 60)
+    col = "g_value_sum_7d"
+    full = met_full.to_pandas()
+    half = met_half.to_pandas()
+    assert full[f"{col}_mismatch"].sum() == 0
+    assert full[f"{col}_total"].sum() == len(truth)
+    # sampled comparison left: unsampled logged rows become right-only rows,
+    # never mismatches
+    assert half[f"{col}_mismatch"].sum() == 0
+    sampled = int(half[f"{col}_total"].sum() - half[f"{col}_left_null"].sum()
+                  - half[f"{col}_both_null"].sum())
+    assert 0 < sampled < len(truth)
