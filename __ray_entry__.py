@@ -610,28 +610,27 @@ def q_approx_unique(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH candidates verified by exact 5-gram Jaccard — output is
-    the exact pair set {(a,b): J(a,b) ≥ 0.8} (LSH misses are negligible at
-    the fixture's ≥0.95 planted-dup similarity), so a DuckDB shingle-set
-    oracle can hash-verify it."""
+    """Near-dup pair family, two tiers in one table: MinHash-LSH
+    candidates verified by exact 5-gram Jaccard (the exact pair set
+    {(a,b): J(a,b) ≥ 0.8} — LSH misses are negligible at the fixture's
+    ≥0.95 planted-dup similarity) UNION simhash banding pairs verified by
+    hamming ≤ 3.  ``method`` tags the tier; ``score`` is jaccard or
+    hamming.  Folded (r4) so both operators share one driver row."""
     import ray.data as rd
 
-    from chronon_ray.functions.dedup import ngram_jaccard_pairs
+    from chronon_ray.functions.dedup import ngram_jaccard_pairs, simhash_pairs
 
     _ctx()
     docs = _read_parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5,
-                               threshold=0.8, num_partitions=32)
-
-
-def q_simhash_pairs(sf_dir: str):
-    import ray.data as rd
-
-    from chronon_ray.functions.dedup import simhash_pairs
-
-    _ctx()
-    docs = _read_parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    mh = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=5,
+                             threshold=0.8, num_partitions=32).to_pandas() \
+        .rename(columns={"jaccard": "score"}).assign(method="minhash")
+    sh = simhash_pairs(docs, "text", "doc_id", max_hamming=3).to_pandas() \
+        .rename(columns={"hamming": "score"}).assign(method="simhash")
+    sh["score"] = sh["score"].astype(np.float64)
+    out = pd.concat([mh, sh], ignore_index=True)
+    return out[["method", "a", "b", "score"]] \
+        .sort_values(["method", "a", "b"]).reset_index(drop=True)
 
 
 def q_shuffle_export(sf_dir: str):
@@ -1460,6 +1459,52 @@ def q_backfill_join(sf_dir: str):
     return _round(out, ["gb_sum_value_sum_7d"])
 
 
+def q_consistency_metrics(sf_dir: str):
+    """ConsistencyJob analog (reference spark/stats/ConsistencyJob.scala +
+    CompareMetrics.scala): offline truth = the purchase as-of join;
+    "online-logged" values = truth with a deterministic perturbation
+    ((user_id + ts//1000) % 11 → null, else % 7 → +1 on the sum); output =
+    per-day-bucket null accounting, mismatch counts, totals and SMAPE per
+    feature column, computed by the full compare machinery (canonical-hash
+    outer-join exchange + bucketed metric partials)."""
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import GroupByConf, agg, window
+    from chronon_ray.pipelines.stats import consistency_metrics
+    from chronon_ray.pipelines.temporal import temporal_join
+
+    _ctx()
+    conf = GroupByConf(
+        name="cm", sources=(), key_columns=("user_id",),
+        aggregations=(agg("value", "sum", [window(7, "d")]),
+                      agg("value", "count", [window(7, "d")])))
+    truth = temporal_join(_purchase_left(sf_dir), _events(sf_dir), conf,
+                          num_partitions=32)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = uid + ts // 1000
+        s = t["value_sum_7d"]
+        s = pc.if_else(pa.array(r % 11 == 0),
+                       pa.nulls(len(t), type=pa.float64()),
+                       pc.if_else(pa.array(r % 7 == 0),
+                                  pc.add(s, pa.scalar(1.0)), s))
+        idx = t.column_names.index("value_sum_7d")
+        return t.set_column(idx, "value_sum_7d", s)
+
+    logged = truth.map_batches(perturb, batch_format="pyarrow")
+    _, met = consistency_metrics(truth, logged, keys=["user_id", "ts"],
+                                 time_bucket_minutes=24 * 60,
+                                 num_partitions=32)
+    m = met.to_pandas()
+    cols = ["bucket_ts"] + [
+        f"{f}_{s}" for f in ("value_sum_7d", "value_count_7d")
+        for s in ("both_null", "left_null", "right_null", "mismatch",
+                  "total", "smape")]
+    return m[cols].sort_values("bucket_ts").reset_index(drop=True)
+
+
 # -------------------------------------------------------------- contract
 
 
@@ -1484,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Never-driver-verified names still come first.
     return {
         # -- never driver-verified before round 4
+        "consistency_metrics": q_consistency_metrics,
         "tiled_serve": q_tiled_serve,
         "incremental_serve": q_incremental_serve,
         "curate": q_curate,
@@ -1526,7 +1572,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "dedup_spans": q_dedup_spans,
         "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "dup_ngrams": q_dup_ngrams,
         "embedding_neardup": q_embedding_neardup,
         "knn_top5": q_knn_top5,
@@ -1607,6 +1652,57 @@ def oracle_sql() -> dict[str, str]:
             having count(case when e.ts < q.ts
                        and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
                        then e.value end) > 0
+        """,
+        "consistency_metrics": f"""
+            -- offline truth (7d as-of sums/counts over the purchase left),
+            -- perturbed copy as the "logged" side, CompareMetrics per day
+            with q as (select distinct user_id, epoch_ms(ts) as ts
+                       from events where event_type = 'purchase'),
+                 e as (select user_id, epoch_ms(ts) as ts, value from events),
+                 truth as (
+                    select q.user_id, q.ts,
+                        sum(case when e.ts < q.ts
+                             and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                             then e.value end) as s,
+                        nullif(count(case when e.ts < q.ts
+                             and e.ts >= ((q.ts - {MS_7D}) // {HOP_7D}) * {HOP_7D}
+                             then e.value end), 0) as c
+                    from q left join e on q.user_id = e.user_id
+                    group by q.user_id, q.ts),
+                 j as (
+                    select user_id, ts, s, c,
+                        case when (user_id + ts // 1000) % 11 = 0 then null
+                             when (user_id + ts // 1000) % 7 = 0 then s + 1.0
+                             else s end as s2,
+                        c as c2
+                    from truth)
+            select (ts // 86400000) * 86400000 as bucket_ts,
+                cast(sum(case when s is null and s2 is null
+                         then 1 else 0 end) as bigint)
+                    as value_sum_7d_both_null,
+                cast(sum(case when s is null and s2 is not null
+                         then 1 else 0 end) as bigint)
+                    as value_sum_7d_left_null,
+                cast(sum(case when s is not null and s2 is null
+                         then 1 else 0 end) as bigint)
+                    as value_sum_7d_right_null,
+                cast(sum(case when s is not null and s2 is not null
+                         and s != s2 then 1 else 0 end) as bigint)
+                    as value_sum_7d_mismatch,
+                cast(count(*) as bigint) as value_sum_7d_total,
+                avg(case when s is not null and s2 is not null
+                         and abs(s) + abs(s2) != 0
+                         then 2 * abs(s - s2) / (abs(s) + abs(s2))
+                         else 0.0 end) as value_sum_7d_smape,
+                cast(sum(case when c is null and c2 is null
+                         then 1 else 0 end) as bigint)
+                    as value_count_7d_both_null,
+                cast(0 as bigint) as value_count_7d_left_null,
+                cast(0 as bigint) as value_count_7d_right_null,
+                cast(0 as bigint) as value_count_7d_mismatch,
+                cast(count(*) as bigint) as value_count_7d_total,
+                0.0 as value_count_7d_smape
+            from j group by 1 order by 1
         """,
         "asof_window_sums": f"""
             with q as (select distinct user_id, epoch_ms(ts) as ts from events
@@ -2081,8 +2177,10 @@ def oracle_sql() -> dict[str, str]:
               on st.entity_id = q.entity_id and st.ts = q.ts
             group by q.entity_id, q.ts
         """,
-        "simhash_pairs": """
-            -- bit-exact reproduction of SimHashStage (functions/dedup.py):
+        "minhash_pairs": """
+            -- two near-dup tiers in one table (folded r4):
+            -- minhash tier = exact 5-gram Jaccard >= 0.8 pair set;
+            -- simhash tier = bit-exact reproduction of SimHashStage:
             -- 5-char shingle poly hash (base 31 over ASCII bytes), golden-
             -- ratio modular multiply + xor-shift 29, per-bit majority vote,
             -- hamming = bit_count(xor) <= 3 (banding over 4x16-bit chunks
@@ -2122,30 +2220,31 @@ def oracle_sql() -> dict[str, str]:
             sig as (
               select d.doc_id, coalesce(s.simhash, 0)::UBIGINT as simhash
               from documents d left join sig0 s on d.doc_id = s.doc_id
-            )
-            select x.doc_id as a, y.doc_id as b,
-                   bit_count(xor(x.simhash, y.simhash)) as hamming
-            from sig x join sig y on x.doc_id < y.doc_id
-            where bit_count(xor(x.simhash, y.simhash)) <= 3
-        """,
-        "minhash_pairs": """
-            with sh as (
+            ),
+            sh5 as (
                 select distinct d.doc_id, substr(d.text, i.i::int, 5) as s
                 from documents d,
                      lateral (select unnest(range(1, len(d.text) - 3)) as i) i
                 where len(d.text) >= 5
-            ), n as (
-                select doc_id, count(*) as cnt from sh group by doc_id
+            ), ncnt as (
+                select doc_id, count(*) as cnt from sh5 group by doc_id
             ), ix as (
                 select x.doc_id as a, y.doc_id as b, count(*) as both
-                from sh x join sh y on x.s = y.s and x.doc_id < y.doc_id
+                from sh5 x join sh5 y on x.s = y.s and x.doc_id < y.doc_id
                 group by x.doc_id, y.doc_id
             )
-            select ix.a, ix.b,
-                   ix.both / (na.cnt + nb.cnt - ix.both) as jaccard
-            from ix join n na on na.doc_id = ix.a
-                    join n nb on nb.doc_id = ix.b
+            select 'minhash' as method, ix.a, ix.b,
+                   ix.both / (na.cnt + nb.cnt - ix.both) as score
+            from ix join ncnt na on na.doc_id = ix.a
+                    join ncnt nb on nb.doc_id = ix.b
             where ix.both / (na.cnt + nb.cnt - ix.both) >= 0.8
+            union all
+            select 'simhash' as method, x.doc_id as a, y.doc_id as b,
+                   cast(bit_count(xor(x.simhash, y.simhash)) as double)
+                       as score
+            from sig x join sig y on x.doc_id < y.doc_id
+            where bit_count(xor(x.simhash, y.simhash)) <= 3
+            order by method, a, b
         """,
         "embedding_neardup": """
             select cast(a as bigint) as a, cast(b as bigint) as b, cosine
