@@ -189,6 +189,128 @@ def summary_stats(
             .map_groups(merge_finalize, batch_format="pandas"))
 
 
+def summary_job(
+    input_table: str,
+    output_table: str,
+    keys: Sequence[str] = (),
+    end_ds: Optional[str] = None,
+    step_days: Optional[int] = None,
+    sample: float = 1.0,
+    time_bucket_minutes: int = 60,
+    k: int = 128,
+) -> dict:
+    """Resumable daily-summary backfill (SummaryJob.basicStatsJob): compute
+    :func:`summary_stats` for every input ds day not yet in the output
+    table, ``step_days`` days at a time, and write one atomic partition per
+    day.  Re-running fills only the missing days (the reference's
+    unfilledRanges resume semantics).
+
+    ``sample`` < 1 keeps a deterministic ts-hash fraction of the rows (the
+    reference samples 10% by default for stats; RAND() there, a stable hash
+    here so reruns are idempotent).  ``time_bucket_minutes`` must divide a
+    day so no bucket spans two output partitions.
+
+    Returns ``{ds: manifest}`` for the partitions written this run."""
+    from ..sources import list_partitions, scan_table
+    from ..state.lineage import completed_partitions, write_partitioned
+    from ..state.partitions import PartitionRange, unfilled_ranges
+    from ..api import TQuery
+    import hashlib
+
+    if (24 * 60) % time_bucket_minutes:
+        raise ValueError("time_bucket_minutes must divide a day")
+    cfg = hashlib.md5(repr(("summary", tuple(keys), time_bucket_minutes,
+                            sample, k)).encode()).hexdigest()[:16]
+    in_parts = list_partitions(input_table)
+    hive = bool(in_parts)
+    has_ds = True
+    if not hive:
+        # flat parquet: one cheap distinct scan for the day set (day
+        # cardinality is small by definition); ds column if present,
+        # else ts days
+        probe = scan_table(input_table, TQuery())
+        has_ds = "ds" in dataset_schema(probe).names
+
+        def day_col(t: pa.Table) -> pa.Table:
+            if has_ds:
+                return t.select(["ds"])
+            days = (t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    // MILLIS_DAY).astype("datetime64[D]")
+            return pa.table({"ds": pa.array(
+                np.datetime_as_string(days, unit="D").tolist(),
+                type=pa.string())})
+
+        day_col.__name__ = "summary_days"
+        in_parts = sorted(
+            probe.map_batches(day_col, batch_format="pyarrow").unique("ds"))
+    if end_ds is not None:
+        in_parts = [p for p in in_parts if p <= end_ds]
+    if not in_parts:
+        return {}
+    requested = PartitionRange(in_parts[0], end_ds or in_parts[-1])
+    have = completed_partitions(output_table, cfg)
+    ranges = unfilled_ranges(requested, have, input_partitions=in_parts)
+    written: dict = {}
+    for rng in ranges:
+        steps = rng.steps(step_days) if step_days else [rng]
+        for step in steps:
+            lo, hi = step.start, step.end
+            ds = scan_table(input_table, TQuery(start_partition=lo,
+                                                end_partition=hi))
+            if not hive:
+                # flat files get no path pruning: row-filter to the step
+                lo_ms = np.datetime64(lo, "ms").astype(np.int64)
+                hi_ms = np.datetime64(hi, "ms").astype(np.int64) + MILLIS_DAY
+
+                def in_step(t: pa.Table, _l=lo, _h=hi, _lm=lo_ms,
+                            _hm=hi_ms, _ds=has_ds) -> pa.Table:
+                    if _ds:
+                        mask = np.array(
+                            [(v is not None and _l <= v <= _h)
+                             for v in t["ds"].to_pylist()])
+                    else:
+                        ts = t["ts"].to_numpy(zero_copy_only=False) \
+                            .astype(np.int64)
+                        mask = (ts >= _lm) & (ts < _hm)
+                    return t.filter(pa.array(mask))
+
+                in_step.__name__ = "summary_step_filter"
+                ds = ds.map_batches(in_step, batch_format="pyarrow")
+            if sample < 1.0 and "ts" not in dataset_schema(ds).names:
+                raise ValueError("sample < 1 requires a ts column "
+                                 "(event-time hash sampling)")
+            if sample < 1.0:
+                def keep(t: pa.Table, _f=sample) -> pa.Table:
+                    ts = t["ts"].to_numpy(zero_copy_only=False) \
+                        .astype(np.uint64)
+                    h = (ts * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+                    return t.filter(pa.array(h < _f * float(1 << 24)))
+
+                keep.__name__ = "summary_sample"
+                ds = ds.map_batches(keep, batch_format="pyarrow")
+            summ = summary_stats(ds, keys,
+                                 time_bucket_minutes=time_bucket_minutes,
+                                 k=k)
+
+            def add_ds(t: pa.Table) -> pa.Table:
+                from ..sources import _strip_schema_metadata
+
+                # pandas-origin blocks carry schema metadata that breaks
+                # Ray's schema-hash dedup downstream — strip before write
+                t = _strip_schema_metadata(t)
+                days = (t["bucket_ts"].to_numpy(zero_copy_only=False)
+                        // MILLIS_DAY).astype("datetime64[D]")
+                return t.append_column(
+                    "ds", pa.array(np.datetime_as_string(days, unit="D")
+                                   .tolist(), type=pa.string()))
+
+            add_ds.__name__ = "summary_add_ds"
+            out = summ.map_batches(add_ds, batch_format="pyarrow")
+            written.update(write_partitioned(out, output_table, cfg,
+                                             input_range=(lo, hi)))
+    return written
+
+
 # ------------------------------------------------------------------ drift
 
 

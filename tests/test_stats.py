@@ -562,3 +562,77 @@ def test_consistency_job_sampling(ray_session, tmp_path):
     sampled = int(half[f"{col}_total"].sum() - half[f"{col}_left_null"].sum()
                   - half[f"{col}_both_null"].sum())
     assert 0 < sampled < len(truth)
+
+
+# ------------------------------------------------------------ summary job
+
+
+def _daily_events(tmp_path, rng, days=5, per_day=200):
+    rows = []
+    for d in range(days):
+        ts = (d * 86_400_000
+              + rng.integers(0, 86_400_000, per_day).astype(np.int64))
+        rows.append(pd.DataFrame({
+            "user_id": rng.integers(0, 10, per_day).astype(np.int64),
+            "ts": ts,
+            "value": np.where(rng.random(per_day) < 0.1, np.nan,
+                              rng.normal(5, 2, per_day)),
+            "ds": pd.to_datetime(ts, unit="ms").strftime("%Y-%m-%d"),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    p = str(tmp_path / "in.parquet")
+    df.to_parquet(p, index=False)
+    return p, df
+
+
+def test_summary_job_backfill_and_resume(ray_session, tmp_path):
+    from chronon_ray.pipelines.stats import summary_job
+    from chronon_ray.sources import list_partitions
+
+    rng = np.random.default_rng(19)
+    inp, df = _daily_events(tmp_path, rng)
+    out = str(tmp_path / "stats_out")
+    written = summary_job(inp, out, keys=["user_id"], step_days=2,
+                          time_bucket_minutes=24 * 60)
+    all_days = sorted(df["ds"].unique())
+    assert sorted(written) == all_days
+    assert list_partitions(out) == all_days
+    # re-run: nothing to do
+    assert summary_job(inp, out, keys=["user_id"], step_days=2,
+                       time_bucket_minutes=24 * 60) == {}
+    # values: per-day null counts vs pandas
+    import ray.data as rd
+    got = rd.read_parquet(out).to_pandas().sort_values("bucket_ts")
+    exp = df.groupby("ds").agg(nulls=("value", lambda s: s.isna().sum()),
+                               total=("value", "size")).sort_index()
+    assert got["value__null"].tolist() == exp["nulls"].tolist()
+    assert got["total_count"].tolist() == exp["total"].tolist()
+    # end_ds truncation + later-day catch-up resume
+    out2 = str(tmp_path / "stats_out2")
+    summary_job(inp, out2, keys=["user_id"], end_ds=all_days[1],
+                time_bucket_minutes=24 * 60)
+    assert list_partitions(out2) == all_days[:2]
+    w2 = summary_job(inp, out2, keys=["user_id"],
+                     time_bucket_minutes=24 * 60)
+    assert sorted(w2) == all_days[2:]
+
+
+def test_summary_job_sampling_deterministic(ray_session, tmp_path):
+    from chronon_ray.pipelines.stats import summary_job
+
+    rng = np.random.default_rng(23)
+    inp, df = _daily_events(tmp_path, rng, days=2, per_day=500)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / f"samp_{name}")
+        summary_job(inp, out, keys=["user_id"], sample=0.5,
+                    time_bucket_minutes=24 * 60)
+        import ray.data as rd
+        outs.append(rd.read_parquet(out).to_pandas()
+                    .sort_values("bucket_ts").reset_index(drop=True))
+    a, b = outs
+    # identical reruns: the sample is a ts hash, not RAND()
+    assert a["total_count"].tolist() == b["total_count"].tolist()
+    assert a["value__null"].tolist() == b["value__null"].tolist()
+    tot = a["total_count"].sum()
+    assert 0.4 * len(df) < tot < 0.6 * len(df)
