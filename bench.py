@@ -191,6 +191,22 @@ def run_bench() -> dict:
                   num_partitions=num_partitions).count()
     times["session_stats"] = round(time.perf_counter() - t0, 3)
 
+    # observability family: per-day feature summaries over the event
+    # stream, then full compare of the stream against itself (outer-join
+    # exchange + bucketed metric partials)
+    from chronon_ray.pipelines.stats import compare_tables, summary_stats
+
+    t0 = time.perf_counter()
+    summary_stats(ev_ds, keys=["user_id", "event_id"],
+                  time_bucket_minutes=60).count()
+    times["summary_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _, met = compare_tables(ev_ds, ev_ds, keys=["event_id", "ts"],
+                            num_partitions=num_partitions)
+    met.count()
+    times["compare_tables"] = round(time.perf_counter() - t0, 3)
+
     # small single-file inputs land as ONE block — split so per-doc stages
     # (minhash signatures) actually parallelize
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",

@@ -180,6 +180,79 @@ def _cmd_fetch(args: argparse.Namespace) -> dict:
             "rows": json.loads(res.to_json(orient="records"))}
 
 
+def _cmd_summarize(args: argparse.Namespace) -> dict:
+    """Daily feature-summary backfill (the reference Driver's
+    daily-stats / log-stats verbs, SummaryJob.scala)."""
+    from .pipelines.stats import summary_job
+
+    _init_ray(args.num_cpus)
+    keys = args.keys.split(",") if args.keys else []
+    written = summary_job(args.input_table, args.out, keys=keys,
+                          end_ds=args.end, step_days=args.step_days,
+                          sample=args.sample,
+                          time_bucket_minutes=args.bucket_minutes)
+    return {"kind": "summarize", "input": args.input_table,
+            "out": args.out, "days_written": sorted(written),
+            "rows": int(sum(m.get("rows", 0) for m in written.values()))}
+
+
+def _cmd_log_flatten(args: argparse.Namespace) -> dict:
+    """Flatten serialized request logs into the offline merged-schema
+    table (the reference Driver's log-flattener verb,
+    LogFlattenerJob.scala)."""
+    from .pipelines.logflat import log_flatten_job
+
+    _init_ray(args.num_cpus)
+    written = log_flatten_job(args.log_table, args.schema_table, args.out,
+                              name=args.name, end_ds=args.end,
+                              step_days=args.step_days)
+    return {"kind": "log_flatten", "log_table": args.log_table,
+            "out": args.out, "days_written": sorted(written),
+            "rows": int(sum(m.get("rows", 0) for m in written.values()))}
+
+
+def _cmd_consistency(args: argparse.Namespace) -> dict:
+    """Online/offline consistency metrics (the reference Driver's
+    consistency-metrics-compute verb, ConsistencyJob.scala): backfill the
+    offline truth over the logged left and compare row-by-row."""
+    from .api import JoinConf
+    from .pipelines.stats import consistency_job
+    from .state.lineage import write_partitioned
+
+    conf = _load_conf(args.conf)
+    if not isinstance(conf, JoinConf):
+        raise SystemExit("consistency needs a JoinConf (the metrics "
+                         "compare a Join's logged vs backfilled values)")
+    _init_ray(args.num_cpus)
+    _, metrics = consistency_job(conf, args.logged_table,
+                                 sample_percent=args.sample_percent,
+                                 time_bucket_minutes=args.bucket_minutes,
+                                 num_partitions=args.num_partitions)
+    import numpy as np
+    import pyarrow as pa
+
+    met = metrics.to_pandas().sort_values("bucket_ts")
+    mismatch_cols = [c for c in met.columns if c.endswith("_mismatch")]
+    total_cols = [c for c in met.columns if c.endswith("_total")]
+    summary = {
+        "kind": "consistency", "name": conf.name,
+        "buckets": len(met),
+        "rows_compared": int(met[total_cols[0]].sum()) if total_cols else 0,
+        "mismatches": {c[:-len("_mismatch")]: int(met[c].sum())
+                       for c in mismatch_cols},
+    }
+    if args.out:
+        days = (met["bucket_ts"].to_numpy() // 86_400_000) \
+            .astype("datetime64[D]")
+        out_tbl = pa.Table.from_pandas(met, preserve_index=False) \
+            .append_column("ds", pa.array(
+                np.datetime_as_string(days, unit="D").tolist(),
+                type=pa.string()))
+        write_partitioned(out_tbl, args.out, conf.semantic_hash())
+        summary["out"] = args.out
+    return summary
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m chronon_ray",
@@ -238,13 +311,60 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--num-partitions", type=int, default=8)
     f.add_argument("--num-cpus", type=int, default=None)
     f.set_defaults(fn=_cmd_fetch)
+
+    s = sub.add_parser("summarize", help="resumable daily feature-summary "
+                                         "backfill (null rates, percentile "
+                                         "sketches) over any table")
+    s.add_argument("--input-table", required=True)
+    s.add_argument("--out", required=True,
+                   help="stats output dir (ds-partitioned)")
+    s.add_argument("--keys", default="",
+                   help="comma-separated key columns to exclude")
+    s.add_argument("--end", default=None, help="last ds (YYYY-MM-DD)")
+    s.add_argument("--step-days", type=int, default=None)
+    s.add_argument("--sample", type=float, default=1.0,
+                   help="deterministic ts-hash sample fraction")
+    s.add_argument("--bucket-minutes", type=int, default=24 * 60)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=_cmd_summarize)
+
+    lf = sub.add_parser("log-flatten", help="flatten request logs "
+                                            "(key/value bytes + schema "
+                                            "registry) into the offline "
+                                            "merged-schema table")
+    lf.add_argument("--log-table", required=True)
+    lf.add_argument("--schema-table", required=True,
+                    help="schema registry parquet (schema_hash → schemas)")
+    lf.add_argument("--out", required=True)
+    lf.add_argument("--name", default=None,
+                    help="only flatten rows logged under this join name")
+    lf.add_argument("--end", default=None)
+    lf.add_argument("--step-days", type=int, default=None)
+    lf.add_argument("--num-cpus", type=int, default=None)
+    lf.set_defaults(fn=_cmd_log_flatten)
+
+    cm = sub.add_parser("consistency", help="online/offline consistency "
+                                            "metrics: backfill truth over "
+                                            "the logged left and compare")
+    cm.add_argument("--conf", required=True, help="compiled Join JSON")
+    cm.add_argument("--logged-table", required=True,
+                    help="flattened log table (keys + ts + served values)")
+    cm.add_argument("--out", default=None,
+                    help="optional metrics output dir (ds-partitioned)")
+    cm.add_argument("--sample-percent", type=float, default=100.0)
+    cm.add_argument("--bucket-minutes", type=int, default=60)
+    cm.add_argument("--num-partitions", type=int, default=32)
+    cm.add_argument("--num-cpus", type=int, default=None)
+    cm.set_defaults(fn=_cmd_consistency)
     return p
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     owns_ray = False
-    if getattr(args, "fn", None) in (_cmd_backfill, _cmd_fetch):
+    if getattr(args, "fn", None) in (_cmd_backfill, _cmd_fetch,
+                                     _cmd_summarize, _cmd_log_flatten,
+                                     _cmd_consistency):
         import ray
 
         owns_ray = not ray.is_initialized()

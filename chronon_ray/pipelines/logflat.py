@@ -245,3 +245,62 @@ def flatten_logs(
 
     unpack.__name__ = "log_flatten"
     return log_ds.map_batches(unpack, batch_format="pyarrow")
+
+
+def log_flatten_job(
+    log_table: str,
+    registry_table: str,
+    output_table: str,
+    name: Optional[str] = None,
+    end_ds: Optional[str] = None,
+    step_days: Optional[int] = None,
+) -> dict:
+    """Resumable flattening backfill (LogFlattenerJob.run): flatten every
+    log day not yet in the output table, ``step_days`` at a time, one
+    atomic output partition per day.  Returns ``{ds: manifest}`` written
+    this run."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..api import TQuery
+    from ..sources import list_partitions, scan_table
+    from ..state.lineage import completed_partitions, write_partitioned
+    from ..state.partitions import PartitionRange, unfilled_ranges
+
+    registry = pq.read_table(registry_table)
+    cfg = hashlib.md5(
+        (repr(sorted(registry["schema_hash"].to_pylist())) + repr(name))
+        .encode()).hexdigest()[:16]
+    in_parts = list_partitions(log_table)
+    hive = bool(in_parts)
+    if not hive:
+        # single-column distinct scan: never pull key/value payloads
+        # just to learn the day set
+        probe = scan_table(log_table, TQuery(), columns=["ds"])
+        in_parts = sorted(probe.unique("ds"))
+    if end_ds is not None:
+        in_parts = [p for p in in_parts if p <= end_ds]
+    if not in_parts:
+        return {}
+    requested = PartitionRange(in_parts[0], end_ds or in_parts[-1])
+    have = completed_partitions(output_table, cfg)
+    ranges = unfilled_ranges(requested, have, input_partitions=in_parts)
+    written: dict = {}
+    for rng in ranges:
+        for step in (rng.steps(step_days) if step_days else [rng]):
+            lo, hi = step.start, step.end
+            ds = scan_table(log_table, TQuery(start_partition=lo,
+                                              end_partition=hi))
+            if not hive:
+                def in_step(t: pa.Table, _l=lo, _h=hi) -> pa.Table:
+                    dsv = t["ds"].to_pylist()
+                    return t.filter(pa.array(
+                        [v is not None and _l <= v <= _h for v in dsv]))
+
+                in_step.__name__ = "logflat_step_filter"
+                ds = ds.map_batches(in_step, batch_format="pyarrow")
+            flat = flatten_logs(ds, registry, name=name)
+            written.update(write_partitioned(flat, output_table, cfg,
+                                             input_range=(lo, hi)))
+    return written

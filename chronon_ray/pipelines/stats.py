@@ -225,11 +225,14 @@ def summary_job(
     hive = bool(in_parts)
     has_ds = True
     if not hive:
-        # flat parquet: one cheap distinct scan for the day set (day
-        # cardinality is small by definition); ds column if present,
+        # flat parquet: one single-column distinct scan for the day set
+        # (day cardinality is small by definition); ds column if present,
         # else ts days
-        probe = scan_table(input_table, TQuery())
-        has_ds = "ds" in dataset_schema(probe).names
+        import pyarrow.parquet as _pq
+
+        has_ds = "ds" in _pq.read_schema(input_table).names
+        probe = scan_table(input_table, TQuery(),
+                           columns=["ds"] if has_ds else ["ts"])
 
         def day_col(t: pa.Table) -> pa.Table:
             if has_ds:
@@ -632,10 +635,12 @@ def compare_join(left: ray.data.Dataset,
         out = pd.concat([merged, lg[lnull], rg[rnull]], ignore_index=True)
 
         def col(f: pa.Field) -> pa.Array:
-            vals = out[f.name].where(out[f.name].notna(), None).tolist()
+            s = out[f.name]
             if pa.types.is_nested(f.type):
-                return pa.array(vals, type=f.type, from_pandas=True)
-            return left_column_array(result_fields, f.name, vals)
+                return pa.array(s, type=f.type, from_pandas=True)
+            # from_pandas=True maps NaN/None → null; the declared-type
+            # cast undoes any merge-side float promotion of int columns
+            return left_column_array(result_fields, f.name, s)
 
         return pa.Table.from_arrays([col(f) for f in result_fields],
                                     schema=result_schema)
@@ -771,12 +776,9 @@ def compare_metrics(
                 klls["left_length"] = (llen, ~lnull)
                 klls["right_length"] = (rlen, ~rnull)
             else:
-                mm = np.zeros(len(g), dtype=bool)
-                bidx = np.flatnonzero(both)
-                lv, rv = l.to_numpy(object), r.to_numpy(object)
-                for i in bidx:
-                    mm[i] = lv[i] != rv[i]
-                sums["mismatch"] = bsum(mm)
+                # vectorized elementwise compare; null rows masked by both
+                ne = (l != r).to_numpy().astype(bool)
+                sums["mismatch"] = bsum(both & ne)
             for b in range(n_b):
                 d = acc[b]
                 for m, v in sums.items():

@@ -189,8 +189,12 @@ def scan_table(
             return (_s is None or v >= _s) and (_e is None or v <= _e)
 
         flt = PathPartitionFilter.of(keep, style="hive")
+        # file_extensions: the partition-filtered listing does NOT apply
+        # pyarrow's "_"-prefix ignore rule, so lineage _MANIFEST.json
+        # files inside ds= dirs would be read as parquet and crash
         ds = ray.data.read_parquet(table, columns=read_cols,
                                    partition_filter=flt,
+                                   file_extensions=["parquet"],
                                    override_num_blocks=blocks)
     else:
         ds = ray.data.read_parquet(paths, columns=read_cols,

@@ -189,3 +189,79 @@ def test_fetch_subcommand(cli_env, capsys):
                 assert r[c] is None, (c, r)
             else:
                 assert abs(r[c] - float(e)) < 1e-6, (c, r[c], e)
+
+
+def test_cli_summarize_and_resume(cli_env, capsys, tmp_path):
+    out = str(tmp_path / "stats")
+    res = _run(["summarize", "--input-table", cli_env["right"],
+                "--out", out, "--keys", "doc_id",
+                "--step-days", "3"], capsys)
+    assert res["kind"] == "summarize"
+    assert len(res["days_written"]) > 1
+    assert res["rows"] == len(res["days_written"])  # one row per day bucket
+    res2 = _run(["summarize", "--input-table", cli_env["right"],
+                 "--out", out, "--keys", "doc_id",
+                 "--step-days", "3"], capsys)
+    assert res2["days_written"] == []
+
+
+def test_cli_log_flatten_and_consistency(cli_env, capsys, tmp_path):
+    """Full OOC loop through the CLI: compute the join, 'log' its output
+    (encode → flatten via the log-flatten verb), then run the consistency
+    verb against the flattened log — clean rows, zero mismatches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from chronon_ray.compile import load_json
+    from chronon_ray.pipelines.joins import compute_join
+    from chronon_ray.pipelines.logflat import encode_log
+
+    with open(cli_env["join_conf"]) as f:
+        jc = load_json(f.read())
+    truth = compute_join(jc, num_partitions=8).to_pandas()
+    # unique row ids for the compare: (doc_id, ts) may collide in the
+    # generated queries — dedupe like a fetcher would key its requests
+    truth = truth.drop_duplicates(["doc_id", "ts"]).reset_index(drop=True)
+    # keep the offline schema through the pandas round trip: int sums stay
+    # int64 (a real fetcher logs the codec dtype, not a pandas promotion)
+    truth["cli_part_n_tok_sum_7d"] = \
+        truth["cli_part_n_tok_sum_7d"].astype("Int64")
+
+    log_ds, registry = encode_log(
+        rd.from_arrow(pa.Table.from_pandas(truth, preserve_index=False)),
+        key_cols=["doc_id"], name="cli_join")
+    base = tmp_path
+    log_path = str(base / "raw_log.parquet")
+    reg_path = str(base / "schemas.parquet")
+    pa.concat_tables([b for b in log_ds.iter_batches(
+        batch_format="pyarrow")]).combine_chunks()
+    log_tbl = pa.concat_tables(
+        list(log_ds.iter_batches(batch_format="pyarrow")))
+    pq.write_table(log_tbl, log_path)
+    pq.write_table(registry, reg_path)
+
+    flat_out = str(base / "flat")
+    res = _run(["log-flatten", "--log-table", log_path,
+                "--schema-table", reg_path, "--out", flat_out,
+                "--name", "cli_join"], capsys)
+    assert res["kind"] == "log_flatten"
+    assert res["rows"] == len(truth)
+    # resume under the same config: nothing left
+    res2 = _run(["log-flatten", "--log-table", log_path,
+                 "--schema-table", reg_path, "--out", flat_out,
+                 "--name", "cli_join"], capsys)
+    assert res2["days_written"] == []
+
+    met_out = str(base / "consistency")
+    res3 = _run(["consistency", "--conf", cli_env["join_conf"],
+                 "--logged-table", flat_out, "--out", met_out,
+                 "--bucket-minutes", "1440"], capsys)
+    assert res3["kind"] == "consistency"
+    assert res3["rows_compared"] == len(truth)
+    assert all(v == 0 for v in res3["mismatches"].values())
+    from chronon_ray.sources import list_partitions
+    assert len(list_partitions(met_out)) == res3["buckets"] or \
+        len(list_partitions(met_out)) >= 1
