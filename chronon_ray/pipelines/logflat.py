@@ -76,6 +76,14 @@ def encode_log(
     key_cols = list(key_cols)
     sch = dataset_schema(served)
     key_fields = [sch.field(k) for k in key_cols]
+    # fail at ENCODE time if a key type can't round-trip the registry —
+    # otherwise unreadable logs would accumulate until the first flatten
+    for f in key_fields:
+        if str(f.type) not in _TYPE_BY_STR:
+            raise ValueError(
+                f"key column '{f.name}' has unsupported log key type "
+                f"{f.type}; cast it to one of {sorted(_TYPE_BY_STR)} "
+                "before logging")
     value_fields = [f for f in sch if f.name not in key_cols
                     and f.name != ts_col]
     value_schema = pa.schema(value_fields)

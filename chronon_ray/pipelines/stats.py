@@ -133,10 +133,18 @@ def summary_stats(
             nulls[c] = np.bincount(codes, weights=mask,
                                    minlength=n_b).astype(np.int64)
         klls: dict = {c: [None] * n_b for c in kll_cols}
+        # one argsort partitions every column's values by bucket (a
+        # codes == b scan per bucket would re-read the block n_b times)
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(n_b + 1))
+        import pyarrow.compute as pc
         for c in kll_cols:
-            vals = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            # cast-through-Arrow: nullable ints and decimals land as
+            # float64 + NaN (object .astype would crash on None)
+            vals = pc.cast(t[c], pa.float64()) \
+                .to_numpy(zero_copy_only=False)[order]
             for b in range(n_b):
-                sel = vals[codes == b]
+                sel = vals[bounds[b]:bounds[b + 1]]
                 sel = sel[~np.isnan(sel)]
                 st = KLL.empty(k)
                 if len(sel):
@@ -260,21 +268,31 @@ def summary_job(
             lo, hi = step.start, step.end
             ds = scan_table(input_table, TQuery(start_partition=lo,
                                                 end_partition=hi))
-            if not hive:
-                # flat files get no path pruning: row-filter to the step
-                lo_ms = np.datetime64(lo, "ms").astype(np.int64)
-                hi_ms = np.datetime64(hi, "ms").astype(np.int64) + MILLIS_DAY
+            # filter to the step by EVENT-TIME day when ts exists (the
+            # output partition day derives from bucket_ts, so the step
+            # that owns day D must be the only one writing D — an event
+            # landing in partition D+1 with ts on day D would otherwise
+            # clobber D's completed summary with a partial one). Late
+            # rows whose ts-day precedes their landing partition are
+            # attributed to their ts-day's step and therefore only
+            # counted if they landed within the same step range — the
+            # engine-wide event-time-window semantic.
+            step_has_ts = "ts" in dataset_schema(ds).names
+            lo_ms = int(np.datetime64(lo, "ms").astype(np.int64))
+            hi_ms = int(np.datetime64(hi, "ms").astype(np.int64)) \
+                + MILLIS_DAY
 
+            if step_has_ts or not hive:
                 def in_step(t: pa.Table, _l=lo, _h=hi, _lm=lo_ms,
-                            _hm=hi_ms, _ds=has_ds) -> pa.Table:
-                    if _ds:
-                        mask = np.array(
-                            [(v is not None and _l <= v <= _h)
-                             for v in t["ds"].to_pylist()])
-                    else:
+                            _hm=hi_ms, _ts=step_has_ts) -> pa.Table:
+                    if _ts:
                         ts = t["ts"].to_numpy(zero_copy_only=False) \
                             .astype(np.int64)
                         mask = (ts >= _lm) & (ts < _hm)
+                    else:
+                        mask = np.array(
+                            [(v is not None and _l <= v <= _h)
+                             for v in t["ds"].to_pylist()])
                     return t.filter(pa.array(mask))
 
                 in_step.__name__ = "summary_step_filter"
@@ -383,7 +401,11 @@ def _drift_grid(a: dict, b: dict, bins: int) -> Optional[np.ndarray]:
     """Union of both sketches' even quantiles (the reference's keySet),
     with the grid capped to retention/8 per sketch so every bin holds
     several retained items — finer grids measure quantization noise, not
-    distribution shift."""
+    distribution shift.  None when either sketch is empty (an all-null
+    side has no distribution to compare; the null-rate delta is the
+    alerting signal there)."""
+    if _retained(a) == 0 or _retained(b) == 0:
+        return None
     eff = max(2, min(bins, _retained(a) // 8, _retained(b) // 8))
     keys = np.unique(np.concatenate([kll_even_quantiles(a, eff),
                                      kll_even_quantiles(b, eff)]))
@@ -402,14 +424,20 @@ def kll_linf(a: dict, b: dict, bins: int = 128) -> Optional[float]:
 
 
 def _regularize(pmf: np.ndarray, eps: float) -> np.ndarray:
-    """Perturb zero bins so PSI stays defined
-    (StatsGenerator.regularize)."""
-    zeros = int((pmf == 0.0).sum())
-    if zeros == 0:
+    """Perturb zero bins so PSI stays defined (StatsGenerator.regularize).
+
+    The donated mass is taken from the nonzero bins PROPORTIONALLY rather
+    than the reference's flat ``x - eps`` — a bin whose mass is below eps
+    would go negative there and poison the PSI log with NaN."""
+    zeros = pmf == 0.0
+    n_zero = int(zeros.sum())
+    if n_zero == 0:
         return pmf
-    nonzero = len(pmf) - zeros
-    repl = eps * nonzero / zeros
-    return np.where(pmf == 0.0, repl, pmf - eps)
+    repl = eps * (len(pmf) - n_zero) / n_zero
+    need = repl * n_zero
+    donor_mass = pmf.sum()
+    out = np.where(zeros, repl, pmf * (1.0 - need / donor_mass))
+    return out
 
 
 def kll_psi(reference: dict, comparison: dict, bins: int = 128,
@@ -711,6 +739,13 @@ def compare_metrics(
         return l, r
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
+        # rows with a NULL time key survive the outer join (null keys
+        # never match) but have no bucket — excluded from the bucketed
+        # metrics rather than silently landing on a NaN→INT64_MIN bucket
+        g = g[g[time_column].notna()]
+        if not len(g):
+            return pd.DataFrame({"bucket_ts": pd.Series(dtype=np.int64),
+                                 "_ir": pd.Series(dtype=object)})
         ts = (g[time_column].to_numpy().astype(np.int64)
               if time_column == "ts" else
               np.array(g[time_column].tolist(),
@@ -719,6 +754,9 @@ def compare_metrics(
         buckets = _bucket_of(ts, bucket_ms)
         uniq, codes = np.unique(buckets, return_inverse=True)
         n_b = len(uniq)
+        # one argsort partitions every sketched column by bucket
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(n_b + 1))
 
         def bsum(vals: np.ndarray) -> np.ndarray:
             return np.bincount(codes, weights=vals,
@@ -779,16 +817,17 @@ def compare_metrics(
                 # vectorized elementwise compare; null rows masked by both
                 ne = (l != r).to_numpy().astype(bool)
                 sums["mismatch"] = bsum(both & ne)
+            ordered = {m: (np.where(ok, vals, np.nan)[order])
+                       for m, (vals, ok) in klls.items()}
             for b in range(n_b):
                 d = acc[b]
                 for m, v in sums.items():
                     d[f"{name}_{m}"] = (
                         (float(v[0][b]), float(v[1][b]))
                         if isinstance(v, tuple) else float(v[b]))
-                sel = codes == b
-                for m, (vals, ok) in klls.items():
+                for m, vals in ordered.items():
                     st = KLL.empty(k)
-                    vv = vals[sel & ok]
+                    vv = vals[bounds[b]:bounds[b + 1]]
                     vv = vv[~np.isnan(vv)]
                     if len(vv):
                         st = KLL.update_many(st, vv)
@@ -922,6 +961,11 @@ def consistency_job(
             h = block_part_hash(t, left_keys + ["ts"], 1 << 16)
             return (h ^ (_seed & 0xFFFF)) < _frac * (1 << 16)
 
+        # the SAME deterministic predicate applies to BOTH sides (the
+        # reference's RAND() sampling can only thin the comparison left,
+        # leaving every unsampled logged row as a diluting left_null in
+        # the full-outer compare; a stable key hash keeps the two sides
+        # congruent, so rates/SMAPE measure the sampled population)
         wheres = (sampled,)
     comparison_left = EventSource(
         table=logged_table,
@@ -932,7 +976,7 @@ def consistency_job(
         jc, name=f"{jc.name}_consistency", left=comparison_left,
         bootstrap_parts=())
     truth = compute_join(comparison_jc, num_partitions=num_partitions)
-    logged = EventSource(table=logged_table, query=TQuery())
+    logged = EventSource(table=logged_table, query=TQuery(wheres=wheres))
     from ..sources import scan_source
     logged_ds = scan_source(logged)
     keys = row_ids or (["ts"] + left_keys)

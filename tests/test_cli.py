@@ -236,8 +236,6 @@ def test_cli_log_flatten_and_consistency(cli_env, capsys, tmp_path):
     base = tmp_path
     log_path = str(base / "raw_log.parquet")
     reg_path = str(base / "schemas.parquet")
-    pa.concat_tables([b for b in log_ds.iter_batches(
-        batch_format="pyarrow")]).combine_chunks()
     log_tbl = pa.concat_tables(
         list(log_ds.iter_batches(batch_format="pyarrow")))
     pq.write_table(log_tbl, log_path)
@@ -263,5 +261,7 @@ def test_cli_log_flatten_and_consistency(cli_env, capsys, tmp_path):
     assert res3["rows_compared"] == len(truth)
     assert all(v == 0 for v in res3["mismatches"].values())
     from chronon_ray.sources import list_partitions
-    assert len(list_partitions(met_out)) == res3["buckets"] or \
-        len(list_partitions(met_out)) >= 1
+    # hourly buckets collapse into day partitions on disk
+    exp_days = len(pd.to_datetime(truth["ts"], unit="ms")
+                   .dt.normalize().unique())
+    assert len(list_partitions(met_out)) == exp_days

@@ -556,11 +556,14 @@ def test_consistency_job_sampling(ray_session, tmp_path):
     half = met_half.to_pandas()
     assert full[f"{col}_mismatch"].sum() == 0
     assert full[f"{col}_total"].sum() == len(truth)
-    # sampled comparison left: unsampled logged rows become right-only rows,
-    # never mismatches
+    # the deterministic sample thins BOTH sides congruently: the compare
+    # population IS the sampled population — no one-sided left_null
+    # dilution of rates/SMAPE (the reference's RAND() can only thin the
+    # comparison left)
     assert half[f"{col}_mismatch"].sum() == 0
-    sampled = int(half[f"{col}_total"].sum() - half[f"{col}_left_null"].sum()
-                  - half[f"{col}_both_null"].sum())
+    assert half[f"{col}_left_null"].sum() == 0
+    assert half[f"{col}_right_null"].sum() == 0
+    sampled = int(half[f"{col}_total"].sum())
     assert 0 < sampled < len(truth)
 
 
@@ -636,3 +639,123 @@ def test_summary_job_sampling_deterministic(ray_session, tmp_path):
     assert a["value__null"].tolist() == b["value__null"].tolist()
     tot = a["total_count"].sum()
     assert 0.4 * len(df) < tot < 0.6 * len(df)
+
+
+# -------------------------------------------------- review-pass regressions
+
+
+def test_compare_null_time_key_rows_excluded(ray_session):
+    """A row with a NULL time key survives the outer join but has no
+    bucket: the metrics exclude it instead of minting an INT64_MIN
+    phantom bucket."""
+    from chronon_ray.pipelines.stats import compare_tables
+
+    left = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                     "ts": pa.array([0, None], type=pa.int64()),
+                     "v": pa.array([1.0, 2.0])})
+    right = pa.table({"id": pa.array([1], type=pa.int64()),
+                      "ts": pa.array([0], type=pa.int64()),
+                      "v": pa.array([1.0])})
+    cmp_ds, met_ds = compare_tables(rd.from_arrow(left),
+                                    rd.from_arrow(right),
+                                    keys=["id", "ts"])
+    assert cmp_ds.count() == 2           # null-ts row survives the join
+    met = met_ds.to_pandas()
+    assert met["bucket_ts"].tolist() == [0]
+    assert met["v_total"].tolist() == [1]  # bucketed metrics exclude it
+
+
+def test_summary_decimal_and_nullable_int(ray_session):
+    from chronon_ray.pipelines.stats import summary_stats
+    from decimal import Decimal
+
+    t = pa.table({
+        "ts": pa.array([0, 0, 0, 0], type=pa.int64()),
+        "d": pa.array([Decimal("1.5"), None, Decimal("2.5"), None],
+                      type=pa.decimal128(10, 2)),
+        "i": pa.array([5, None, 7, None], type=pa.int64()),
+    })
+    out = summary_stats(rd.from_arrow(t)).to_pandas()
+    assert out["d__null"].iloc[0] == 2
+    assert out["i__null"].iloc[0] == 2
+    # p50 convention: first value whose cum weight >= q*n (1.5 of {1.5,2.5})
+    assert out["d__percentiles"].iloc[0][10] == 1.5
+    assert out["i__percentiles"].iloc[0][10] == 5.0
+
+
+def test_drift_dark_column_returns_none(ray_session):
+    """A column that went entirely null has no distribution: drift is
+    None (the null-rate delta is the alerting signal), never NaN."""
+    from chronon_ray.pipelines.stats import drift_metrics, summary_stats
+
+    n = 200
+    a = rd.from_arrow(pa.table({
+        "ts": pa.array(np.zeros(n, dtype=np.int64)),
+        "v": pa.array(np.random.default_rng(0).normal(0, 1, n))}))
+    b = rd.from_arrow(pa.table({
+        "ts": pa.array(np.zeros(n, dtype=np.int64)),
+        "v": pa.array([None] * n, type=pa.float64())}))
+    d = drift_metrics(summary_stats(a, finalize=False),
+                      summary_stats(b, finalize=False))
+    row = d[d["column"] == "v"].iloc[0]
+    assert row["linf"] is None or pd.isna(row["linf"])
+    assert not np.isnan(row["null_rate_delta"])
+    assert row["null_rate_delta"] == 1.0
+
+
+def test_regularize_never_negative():
+    from chronon_ray.pipelines.stats import _regularize
+
+    pmf = np.array([0.0, 1e-9, 0.5, 0.5 - 1e-9])
+    out = _regularize(pmf, eps=1e-6)
+    assert (out > 0).all()
+    assert out.sum() == pytest.approx(pmf.sum(), rel=1e-6)
+
+
+def test_encode_log_rejects_unsupported_key_type(ray_session):
+    from chronon_ray.pipelines.logflat import encode_log
+
+    t = pa.table({"k": pa.array([0], type=pa.timestamp("ms")),
+                  "ts": pa.array([0], type=pa.int64()),
+                  "v": pa.array([1.0])})
+    with pytest.raises(ValueError, match="unsupported log key type"):
+        encode_log(rd.from_arrow(t), key_cols=["k"], name="j")
+
+
+def test_summary_job_late_ts_never_clobbers(ray_session, tmp_path):
+    """An event landing in partition D+1 with ts on day D must not make
+    step D+1 rewrite day D's completed summary with a partial one."""
+    import os
+
+    from chronon_ray.pipelines.stats import summary_job
+
+    d0, d1 = "2024-01-01", "2024-01-02"
+    t0 = int(np.datetime64(d0, "ms").astype(np.int64))
+    base = str(tmp_path / "hive_in")
+    for ds_val, rows in (
+        (d0, pd.DataFrame({"user_id": np.array([1, 2], dtype=np.int64),
+                           "ts": np.array([t0 + 100, t0 + 200],
+                                          dtype=np.int64),
+                           "value": [1.0, 2.0]})),
+        # landing on d1: one on-time row + one LATE row with ts on d0
+        (d1, pd.DataFrame({"user_id": np.array([3, 4], dtype=np.int64),
+                           "ts": np.array([t0 + 86_400_000 + 100, t0 + 300],
+                                          dtype=np.int64),
+                           "value": [3.0, 4.0]})),
+    ):
+        p = os.path.join(base, f"ds={ds_val}")
+        os.makedirs(p)
+        rows.to_parquet(os.path.join(p, "part-0.parquet"), index=False)
+    out = str(tmp_path / "hive_out")
+    # step_days=1: day d0 written by its own step only
+    summary_job(base, out, keys=["user_id"], step_days=1,
+                time_bucket_minutes=24 * 60)
+    import ray.data as rd2
+    got = rd2.read_parquet(out).to_pandas().sort_values("bucket_ts")
+    # d0's summary has exactly the two rows whose ts-day is d0 scanned
+    # from its own step; the late row (landed d1, ts-day d0) was NOT
+    # allowed to clobber it from step d1
+    assert got["total_count"].tolist() == [2, 1]
+    # re-run converges (nothing rewritten)
+    assert summary_job(base, out, keys=["user_id"], step_days=1,
+                       time_bucket_minutes=24 * 60) == {}
