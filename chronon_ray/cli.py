@@ -253,6 +253,50 @@ def _cmd_consistency(args: argparse.Namespace) -> dict:
     return summary
 
 
+def _cmd_compare(args: argparse.Namespace) -> dict:
+    """Side-by-side table comparison (the reference Driver's
+    compare-join-query verb, CompareJob.scala): migration checks between
+    an old table and its replacement — per-field null accounting,
+    mismatches, SMAPE, value sketches per time bucket."""
+    from .api import TQuery
+    from .pipelines.stats import compare_tables
+    from .sources import scan_table
+    from .state.lineage import write_partitioned
+
+    _init_ray(args.num_cpus)
+    keys = args.keys.split(",")
+    mapping = json.loads(args.mapping) if args.mapping else {}
+    tq = TQuery(start_partition=args.start, end_partition=args.end)
+    left = scan_table(args.left_table, tq)
+    right = scan_table(args.right_table, tq)
+    _, metrics = compare_tables(left, right, keys=keys, mapping=mapping,
+                                migration_check=args.migration_check,
+                                time_bucket_minutes=args.bucket_minutes,
+                                num_partitions=args.num_partitions)
+    met = metrics.to_pandas().sort_values("bucket_ts")
+    mismatch_cols = [c for c in met.columns if c.endswith("_mismatch")]
+    total_cols = [c for c in met.columns if c.endswith("_total")]
+    summary = {
+        "kind": "compare", "buckets": len(met),
+        "rows_compared": int(met[total_cols[0]].sum()) if total_cols else 0,
+        "mismatches": {c[:-len("_mismatch")]: int(met[c].sum())
+                       for c in mismatch_cols},
+    }
+    if args.out:
+        import numpy as np
+        import pyarrow as pa
+
+        days = (met["bucket_ts"].to_numpy() // 86_400_000) \
+            .astype("datetime64[D]")
+        out_tbl = pa.Table.from_pandas(met, preserve_index=False) \
+            .append_column("ds", pa.array(
+                np.datetime_as_string(days, unit="D").tolist(),
+                type=pa.string()))
+        write_partitioned(out_tbl, args.out, "compare")
+        summary["out"] = args.out
+    return summary
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m chronon_ray",
@@ -356,6 +400,24 @@ def build_parser() -> argparse.ArgumentParser:
     cm.add_argument("--num-partitions", type=int, default=32)
     cm.add_argument("--num-cpus", type=int, default=None)
     cm.set_defaults(fn=_cmd_consistency)
+
+    cp = sub.add_parser("compare", help="side-by-side comparison of two "
+                                        "tables on keys (migration check)")
+    cp.add_argument("--left-table", required=True)
+    cp.add_argument("--right-table", required=True)
+    cp.add_argument("--keys", required=True,
+                    help="comma-separated join keys (must include ts or ds)")
+    cp.add_argument("--mapping", default=None,
+                    help='JSON left→right column rename map')
+    cp.add_argument("--migration-check", action="store_true",
+                    help="allow extra left columns (pruned before compare)")
+    cp.add_argument("--start", default=None)
+    cp.add_argument("--end", default=None)
+    cp.add_argument("--out", default=None)
+    cp.add_argument("--bucket-minutes", type=int, default=60)
+    cp.add_argument("--num-partitions", type=int, default=32)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=_cmd_compare)
     return p
 
 
@@ -364,7 +426,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     owns_ray = False
     if getattr(args, "fn", None) in (_cmd_backfill, _cmd_fetch,
                                      _cmd_summarize, _cmd_log_flatten,
-                                     _cmd_consistency):
+                                     _cmd_consistency, _cmd_compare):
         import ray
 
         owns_ray = not ray.is_initialized()
