@@ -759,3 +759,36 @@ def test_summary_job_late_ts_never_clobbers(ray_session, tmp_path):
     # re-run converges (nothing rewritten)
     assert summary_job(base, out, keys=["user_id"], step_days=1,
                        time_bucket_minutes=24 * 60) == {}
+
+
+def test_summary_job_chaos_resume(ray_session, tmp_path):
+    """Deleted output partitions and torn tmp dirs: a rerun converges to
+    the one-shot result (the backfill chaos contract)."""
+    import os
+    import shutil
+
+    import ray.data as rd2
+
+    from chronon_ray.pipelines.stats import summary_job
+
+    rng = np.random.default_rng(41)
+    inp, df = _daily_events(tmp_path, rng, days=6, per_day=100)
+    out = str(tmp_path / "chaos_out")
+    summary_job(inp, out, keys=["user_id"], step_days=2,
+                time_bucket_minutes=24 * 60)
+    oneshot = rd2.read_parquet(out).to_pandas() \
+        .sort_values("bucket_ts").reset_index(drop=True)
+    # chaos: delete the LAST completed day (resume semantics refill only
+    # trailing holes), leave a torn tmp dir behind
+    days = sorted(d for d in os.listdir(out) if d.startswith("ds="))
+    shutil.rmtree(os.path.join(out, days[-1]))
+    os.makedirs(os.path.join(out, "_tmp.deadbeef"), exist_ok=True)
+    with open(os.path.join(out, "_tmp.deadbeef", "junk"), "w") as f:
+        f.write("torn")
+    w = summary_job(inp, out, keys=["user_id"], step_days=2,
+                    time_bucket_minutes=24 * 60)
+    assert sorted(w) == [days[-1][3:]]
+    again = rd2.read_parquet(out).to_pandas() \
+        .sort_values("bucket_ts").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        again[oneshot.columns.drop("ds")], oneshot.drop(columns=["ds"]))
