@@ -297,6 +297,37 @@ def _cmd_compare(args: argparse.Namespace) -> dict:
     return summary
 
 
+def _cmd_analyze(args: argparse.Namespace) -> dict:
+    """Plan-time validation + optional data profile (the reference
+    Driver's analyze verb, Analyzer.scala): schema/key/dtype/collision
+    issues for a compiled conf, and per-column profile stats for
+    ``--profile-table``."""
+    from .analyzer import analyze_group_by, analyze_join, profile_table
+    from .api import GroupByConf, JoinConf
+
+    conf = _load_conf(args.conf) if args.conf else None
+    issues: list = []
+    if isinstance(conf, JoinConf):
+        issues = analyze_join(conf)
+    elif isinstance(conf, GroupByConf):
+        issues = analyze_group_by(conf)
+    out: dict = {"kind": "analyze", "issues": issues,
+                 "ok": not issues}
+    if conf is not None:
+        out["name"] = conf.name
+    if args.profile_table:
+        from .api import TQuery
+        from .sources import scan_table
+
+        _init_ray(args.num_cpus)
+        prof = profile_table(scan_table(args.profile_table, TQuery()))
+        out["profile"] = json.loads(prof.to_json(orient="records"))
+    if issues and args.strict:
+        print(json.dumps({"status": "invalid", **out}))
+        raise SystemExit(1)
+    return out
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m chronon_ray",
@@ -418,6 +449,16 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--num-partitions", type=int, default=32)
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=_cmd_compare)
+
+    an = sub.add_parser("analyze", help="plan-time validation of a conf "
+                                        "and/or a one-pass table profile")
+    an.add_argument("--conf", default=None, help="compiled JSON conf path")
+    an.add_argument("--profile-table", default=None,
+                    help="table to profile (rows/nulls/min/max per column)")
+    an.add_argument("--strict", action="store_true",
+                    help="exit nonzero when validation issues exist")
+    an.add_argument("--num-cpus", type=int, default=None)
+    an.set_defaults(fn=_cmd_analyze)
     return p
 
 
@@ -426,7 +467,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     owns_ray = False
     if getattr(args, "fn", None) in (_cmd_backfill, _cmd_fetch,
                                      _cmd_summarize, _cmd_log_flatten,
-                                     _cmd_consistency, _cmd_compare):
+                                     _cmd_consistency, _cmd_compare,
+                                     _cmd_analyze):
         import ray
 
         owns_ray = not ray.is_initialized()

@@ -265,3 +265,27 @@ def test_cli_log_flatten_and_consistency(cli_env, capsys, tmp_path):
     exp_days = len(pd.to_datetime(truth["ts"], unit="ms")
                    .dt.normalize().unique())
     assert len(list_partitions(met_out)) == exp_days
+
+
+def test_cli_analyze(cli_env, capsys, tmp_path):
+    res = _run(["analyze", "--conf", cli_env["join_conf"]], capsys)
+    assert res["kind"] == "analyze" and res["ok"] and res["issues"] == []
+    res2 = _run(["analyze", "--profile-table", cli_env["right"]], capsys)
+    cols = {r["column"] for r in res2["profile"]}
+    assert "n_tok" in cols and "ts" in cols
+    # strict mode exits nonzero on a broken conf (key column missing)
+    import dataclasses
+
+    from chronon_ray.compile import compile_to_json, load_json
+
+    with open(cli_env["join_conf"]) as f:
+        jc = load_json(f.read())
+    bad_gb = dataclasses.replace(jc.parts[0].group_by,
+                                 key_columns=("no_such_col",))
+    bad = dataclasses.replace(
+        jc, parts=(dataclasses.replace(jc.parts[0], group_by=bad_gb),))
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as f:
+        f.write(compile_to_json(bad))
+    with pytest.raises(SystemExit):
+        _run(["analyze", "--conf", bad_path, "--strict"], capsys)
