@@ -328,6 +328,111 @@ def _cmd_analyze(args: argparse.Namespace) -> dict:
     return out
 
 
+def _cmd_staging(args: argparse.Namespace) -> dict:
+    """StagingQuery backfill (the reference Driver's
+    staging-query-backfill verb): render macros per step range and write
+    ds-partitioned output with resume manifests."""
+    from .staging import run_staging_query
+
+    if args.sql_file:
+        with open(args.sql_file) as f:
+            sql = f.read()
+    else:
+        sql = args.sql
+    if not sql:
+        raise SystemExit("staging needs --sql or --sql-file")
+    tables = json.loads(args.tables)
+    summary = run_staging_query(sql, tables, args.out, args.start,
+                                args.end, step_days=args.step_days)
+    return {"kind": "staging", "out": args.out, **summary}
+
+
+def _cmd_label_join(args: argparse.Namespace) -> dict:
+    """Forward-window label attachment (the reference Driver's label-join
+    verb, LabelJoin.scala): labels aggregated over (ts, ts+W] joined back
+    to feature rows, written day-partitioned by the feature row's ts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .api import GroupByConf, TQuery
+    from .pipelines.joins import label_join
+    from .sources import scan_table
+    from .state.lineage import write_partitioned
+
+    conf = _load_conf(args.conf)
+    if not isinstance(conf, GroupByConf):
+        raise SystemExit("label-join needs a label GroupByConf")
+    _init_ray(args.num_cpus)
+    tq = TQuery(start_partition=args.start, end_partition=args.end)
+    feats = scan_table(args.features_table, tq)
+    labels = scan_table(args.labels_table, TQuery())
+    out = label_join(feats, labels, conf,
+                     num_partitions=args.num_partitions)
+
+    def add_ds(t: pa.Table) -> pa.Table:
+        if "ds" in t.column_names:
+            return t
+        days = (t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+                // 86_400_000).astype("datetime64[D]")
+        return t.append_column(
+            "ds", pa.array(np.datetime_as_string(days, unit="D").tolist(),
+                           type=pa.string()))
+
+    add_ds.__name__ = "label_add_ds"
+    out = out.map_batches(add_ds, batch_format="pyarrow")
+    manifests = write_partitioned(out, args.out, conf.semantic_hash())
+    return {"kind": "label_join", "name": conf.name, "out": args.out,
+            "partitions_written": sorted(manifests),
+            "rows": int(sum(m.get("rows", 0) for m in manifests.values()))}
+
+
+def _cmd_upload(args: argparse.Namespace) -> dict:
+    """FinalBatchIr bulk upload (the reference Driver's group-by-upload
+    verb, GroupByUpload.scala): one IR row per key as of midnight after
+    --end, written as a checkpoint table and optionally packed into
+    (key_bytes, value_bytes) KV rows."""
+    import pandas as pd
+
+    from .api import GroupByConf, TQuery
+    from .pipelines.upload import groupby_upload
+    from .sources import scan_table
+    from .state.lineage import write_partitioned
+
+    conf = _load_conf(args.conf)
+    if not isinstance(conf, GroupByConf):
+        raise SystemExit("upload needs a GroupByConf")
+    _init_ray(args.num_cpus)
+    batch_end = int(pd.Timestamp(args.end).value // 10**6) + 86_400_000
+    events = scan_table(args.source_table,
+                        TQuery(end_partition=args.end))
+    ck = groupby_upload(events, conf, batch_end,
+                        num_partitions=args.num_partitions,
+                        full_hops=args.full_hops)
+    import pyarrow as pa
+
+    def add_ds(t: pa.Table, _ds=args.end) -> pa.Table:
+        return t.append_column(
+            "ds", pa.array([_ds] * len(t), type=pa.string()))
+
+    add_ds.__name__ = "upload_add_ds"
+    manifests = write_partitioned(
+        ck.map_batches(add_ds, batch_format="pyarrow"), args.out,
+        conf.semantic_hash(), metrics={"batch_end_ts": batch_end})
+    summary = {"kind": "upload", "name": conf.name, "out": args.out,
+               "batch_end_ts": batch_end,
+               "keys": int(sum(m.get("rows", 0) for m in manifests.values())),
+               "partitions_written": sorted(manifests)}
+    if args.kv_out:
+        from .serving import kv_export
+
+        # streamed distributed write — the KV payload never lands on
+        # the driver (a real deployment streams these rows to the store)
+        kv = kv_export(ck, list(conf.key_columns))
+        kv.write_parquet(args.kv_out)
+        summary["kv_out"] = args.kv_out
+    return summary
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m chronon_ray",
@@ -459,6 +564,46 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exit nonzero when validation issues exist")
     an.add_argument("--num-cpus", type=int, default=None)
     an.set_defaults(fn=_cmd_analyze)
+
+    st = sub.add_parser("staging", help="StagingQuery backfill: render "
+                                        "SQL macros per step range, write "
+                                        "resumable ds partitions")
+    st.add_argument("--sql", default=None)
+    st.add_argument("--sql-file", default=None)
+    st.add_argument("--tables", required=True,
+                    help='JSON {view_name: parquet path}')
+    st.add_argument("--out", required=True)
+    st.add_argument("--start", required=True)
+    st.add_argument("--end", required=True)
+    st.add_argument("--step-days", type=int, default=30)
+    st.set_defaults(fn=_cmd_staging)
+
+    lj = sub.add_parser("label-join", help="forward-window label "
+                                           "attachment to feature rows")
+    lj.add_argument("--conf", required=True, help="label GroupBy JSON")
+    lj.add_argument("--features-table", required=True)
+    lj.add_argument("--labels-table", required=True)
+    lj.add_argument("--out", required=True)
+    lj.add_argument("--start", default=None)
+    lj.add_argument("--end", default=None)
+    lj.add_argument("--num-partitions", type=int, default=32)
+    lj.add_argument("--num-cpus", type=int, default=None)
+    lj.set_defaults(fn=_cmd_label_join)
+
+    up = sub.add_parser("upload", help="FinalBatchIr bulk upload: one IR "
+                                       "row per key as of midnight after "
+                                       "--end (+ optional KV byte rows)")
+    up.add_argument("--conf", required=True, help="GroupBy JSON")
+    up.add_argument("--source-table", required=True)
+    up.add_argument("--end", required=True, help="last input ds")
+    up.add_argument("--out", required=True, help="checkpoint table dir")
+    up.add_argument("--kv-out", default=None,
+                    help="also pack (key_bytes, value_bytes) rows here")
+    up.add_argument("--full-hops", action="store_true",
+                    help="rolling layout (roll_checkpoint-advanceable)")
+    up.add_argument("--num-partitions", type=int, default=32)
+    up.add_argument("--num-cpus", type=int, default=None)
+    up.set_defaults(fn=_cmd_upload)
     return p
 
 
@@ -468,7 +613,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if getattr(args, "fn", None) in (_cmd_backfill, _cmd_fetch,
                                      _cmd_summarize, _cmd_log_flatten,
                                      _cmd_consistency, _cmd_compare,
-                                     _cmd_analyze):
+                                     _cmd_analyze, _cmd_label_join,
+                                     _cmd_upload):
         import ray
 
         owns_ray = not ray.is_initialized()

@@ -289,3 +289,89 @@ def test_cli_analyze(cli_env, capsys, tmp_path):
         f.write(compile_to_json(bad))
     with pytest.raises(SystemExit):
         _run(["analyze", "--conf", bad_path, "--strict"], capsys)
+
+
+def test_cli_staging(cli_env, capsys, tmp_path):
+    out = str(tmp_path / "stage_out")
+    sql = ("select doc_id, ds, sum(n_tok) as toks from ev "
+           "where ds between {{ start_date }} and {{ end_date }} "
+           "group by doc_id, ds")
+    res = _run(["staging", "--sql", sql,
+                "--tables", json.dumps({"ev": cli_env["right"]}),
+                "--out", out, "--start", cli_env["start"],
+                "--end", cli_env["end"]], capsys)
+    assert res["kind"] == "staging"
+    assert len(res["partitions_written"]) == 3
+    res2 = _run(["staging", "--sql", sql,
+                 "--tables", json.dumps({"ev": cli_env["right"]}),
+                 "--out", out, "--start", cli_env["start"],
+                 "--end", cli_env["end"]], capsys)
+    assert res2["partitions_written"] == []
+
+
+def test_cli_label_join(cli_env, capsys, tmp_path):
+    """Label verb output equals the library label_join over the same
+    range."""
+    import numpy as np
+    import ray.data as rd
+
+    from chronon_ray.api import TQuery
+    from chronon_ray.pipelines.joins import label_join
+    from chronon_ray.sources import scan_table
+
+    out = str(tmp_path / "labels_out")
+    res = _run(["label-join", "--conf", cli_env["gb_conf"],
+                "--features-table", cli_env["left"],
+                "--labels-table", cli_env["right"],
+                "--start", cli_env["start"], "--end", cli_env["start"],
+                "--out", out, "--num-partitions", "4"], capsys)
+    assert res["kind"] == "label_join"
+    got = rd.read_parquet(out).to_pandas() \
+        .sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    tq = TQuery(start_partition=cli_env["start"],
+                end_partition=cli_env["start"])
+    exp = label_join(scan_table(cli_env["left"], tq),
+                     scan_table(cli_env["right"], TQuery()),
+                     _load_gb(cli_env), num_partitions=4).to_pandas() \
+        .sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    assert res["rows"] == len(exp)
+    for c in exp.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(),
+                                      exp[c].to_numpy(), err_msg=c)
+
+
+def _load_gb(cli_env):
+    from chronon_ray.compile import load_json
+
+    with open(cli_env["gb_conf"]) as f:
+        return load_json(f.read())
+
+
+def test_cli_upload_and_kv(cli_env, capsys, tmp_path):
+    """Upload verb: checkpoint rows serve bit-equal after a KV round
+    trip."""
+    import ray.data as rd
+
+    from chronon_ray.serving import kv_import
+    from chronon_ray.sources import read_parquet
+
+    out = str(tmp_path / "ck_out")
+    kv_out = str(tmp_path / "kv_out")
+    res = _run(["upload", "--conf", cli_env["gb_conf"],
+                "--source-table", cli_env["right"],
+                "--end", cli_env["end"], "--out", out,
+                "--kv-out", kv_out, "--num-partitions", "4"], capsys)
+    assert res["kind"] == "upload"
+    assert res["keys"] > 0
+    ck = read_parquet(f"{out}/ds={cli_env['end']}")
+    assert ck.count() == res["keys"]
+    import pyarrow as pa
+
+    kv = read_parquet(kv_out)
+    assert kv.count() == res["keys"]
+    from chronon_ray.util import dataset_schema
+
+    sch = dataset_schema(ck)
+    key_fields = [pa.field("doc_id", sch.field("doc_id").type)]
+    restored = kv_import(kv, key_fields)
+    assert restored.count() == res["keys"]
