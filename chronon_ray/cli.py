@@ -190,7 +190,8 @@ def _cmd_summarize(args: argparse.Namespace) -> dict:
     written = summary_job(args.input_table, args.out, keys=keys,
                           end_ds=args.end, step_days=args.step_days,
                           sample=args.sample,
-                          time_bucket_minutes=args.bucket_minutes)
+                          time_bucket_minutes=args.bucket_minutes,
+                          finalize=not args.ir)
     return {"kind": "summarize", "input": args.input_table,
             "out": args.out, "days_written": sorted(written),
             "rows": int(sum(m.get("rows", 0) for m in written.values()))}
@@ -433,6 +434,24 @@ def _cmd_upload(args: argparse.Namespace) -> dict:
     return summary
 
 
+def _cmd_drift(args: argparse.Namespace) -> dict:
+    """Distribution drift between two IR-mode summary tables
+    (StatsGenerator.lInfKllSketch / PSIKllSketch): per bucket and column,
+    null-rate delta, L-inf and PSI."""
+    from .pipelines.stats import drift_metrics
+    from .sources import read_parquet
+
+    _init_ray(args.num_cpus)
+    ref = read_parquet(args.reference_table)
+    cmp_ = read_parquet(args.comparison_table)
+    d = drift_metrics(ref, cmp_, bins=args.bins)
+    flagged = d[(d["psi"].astype(float) > args.psi_threshold)
+                | (d["null_rate_delta"] > args.null_rate_threshold)]
+    return {"kind": "drift", "rows": len(d),
+            "flagged": json.loads(flagged.to_json(orient="records")),
+            "psi_threshold": args.psi_threshold}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m chronon_ray",
@@ -505,6 +524,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sample", type=float, default=1.0,
                    help="deterministic ts-hash sample fraction")
     s.add_argument("--bucket-minutes", type=int, default=24 * 60)
+    s.add_argument("--ir", action="store_true",
+                   help="write mergeable KLL IR blobs instead of finalized "
+                        "percentiles (the drift verb's input)")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=_cmd_summarize)
 
@@ -604,6 +626,17 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--num-partitions", type=int, default=32)
     up.add_argument("--num-cpus", type=int, default=None)
     up.set_defaults(fn=_cmd_upload)
+
+    dr = sub.add_parser("drift", help="distribution drift between two "
+                                      "IR-mode summary tables "
+                                      "(summarize --ir outputs)")
+    dr.add_argument("--reference-table", required=True)
+    dr.add_argument("--comparison-table", required=True)
+    dr.add_argument("--bins", type=int, default=128)
+    dr.add_argument("--psi-threshold", type=float, default=0.25)
+    dr.add_argument("--null-rate-threshold", type=float, default=0.05)
+    dr.add_argument("--num-cpus", type=int, default=None)
+    dr.set_defaults(fn=_cmd_drift)
     return p
 
 
@@ -614,7 +647,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                                      _cmd_summarize, _cmd_log_flatten,
                                      _cmd_consistency, _cmd_compare,
                                      _cmd_analyze, _cmd_label_join,
-                                     _cmd_upload):
+                                     _cmd_upload, _cmd_drift):
         import ray
 
         owns_ray = not ray.is_initialized()

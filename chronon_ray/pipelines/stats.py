@@ -206,6 +206,7 @@ def summary_job(
     sample: float = 1.0,
     time_bucket_minutes: int = 60,
     k: int = 128,
+    finalize: bool = True,
 ) -> dict:
     """Resumable daily-summary backfill (SummaryJob.basicStatsJob): compute
     :func:`summary_stats` for every input ds day not yet in the output
@@ -228,7 +229,7 @@ def summary_job(
     if (24 * 60) % time_bucket_minutes:
         raise ValueError("time_bucket_minutes must divide a day")
     cfg = hashlib.md5(repr(("summary", tuple(keys), time_bucket_minutes,
-                            sample, k)).encode()).hexdigest()[:16]
+                            sample, k, finalize)).encode()).hexdigest()[:16]
     in_parts = list_partitions(input_table)
     hive = bool(in_parts)
     has_ds = True
@@ -311,7 +312,7 @@ def summary_job(
                 ds = ds.map_batches(keep, batch_format="pyarrow")
             summ = summary_stats(ds, keys,
                                  time_bucket_minutes=time_bucket_minutes,
-                                 k=k)
+                                 k=k, finalize=finalize)
 
             def add_ds(t: pa.Table) -> pa.Table:
                 from ..sources import _strip_schema_metadata
@@ -469,8 +470,17 @@ def drift_metrics(reference: ray.data.Dataset,
     (``summary_stats(..., finalize=False)``): null-rate delta for every
     column, L-inf and PSI for sketched numerics.  Summary tables are
     bucket-cardinality small — this is a driver-side join by design."""
-    ref = reference.to_pandas().set_index(on)
-    cmp_ = comparison.to_pandas().set_index(on)
+    ref = reference.to_pandas()
+    cmp_ = comparison.to_pandas()
+    for side, df in (("reference", ref), ("comparison", cmp_)):
+        if on not in df.columns:
+            raise ValueError(
+                f"{side} table has no '{on}' column — drift inputs are "
+                "IR-mode summaries (summary_stats(finalize=False) / "
+                "`summarize --ir`), got columns "
+                f"{sorted(df.columns)[:8]}...")
+    ref = ref.set_index(on)
+    cmp_ = cmp_.set_index(on)
     kll_cols = [c[:-len("__kll")] for c in ref.columns if c.endswith("__kll")]
     null_cols = [c[:-len(NULL_RATE_SUFFIX)] for c in ref.columns
                  if c.endswith(NULL_RATE_SUFFIX)]

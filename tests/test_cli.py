@@ -375,3 +375,38 @@ def test_cli_upload_and_kv(cli_env, capsys, tmp_path):
     key_fields = [pa.field("doc_id", sch.field("doc_id").type)]
     restored = kv_import(kv, key_fields)
     assert restored.count() == res["keys"]
+
+
+def test_cli_summarize_ir_and_drift(cli_env, capsys, tmp_path):
+    """summarize --ir → drift verb: identical inputs flag nothing; a
+    value shift flags the drifted column."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 2000
+
+    def mk(path, loc):
+        ts = rng.integers(0, 86_400_000, n).astype(np.int64)
+        pd.DataFrame({"ts": ts,
+                      "metric": rng.normal(loc, 1, n),
+                      "ds": pd.to_datetime(ts, unit="ms")
+                      .strftime("%Y-%m-%d")}).to_parquet(path, index=False)
+
+    a, b, c = (str(tmp_path / f"{x}.parquet") for x in "abc")
+    mk(a, 0.0)
+    mk(b, 0.0)
+    mk(c, 4.0)
+    outs = {}
+    for name, path in (("a", a), ("b", b), ("c", c)):
+        out = str(tmp_path / f"sum_{name}")
+        _run(["summarize", "--input-table", path, "--out", out, "--ir"],
+             capsys)
+        outs[name] = out
+    same = _run(["drift", "--reference-table", outs["a"],
+                 "--comparison-table", outs["b"]], capsys)
+    shift = _run(["drift", "--reference-table", outs["a"],
+                  "--comparison-table", outs["c"]], capsys)
+    assert same["flagged"] == []
+    assert any(f["column"] == "metric" and f["psi"] > 0.25
+               for f in shift["flagged"])
