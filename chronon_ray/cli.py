@@ -212,13 +212,51 @@ def _cmd_log_flatten(args: argparse.Namespace) -> dict:
             "rows": int(sum(m.get("rows", 0) for m in written.values()))}
 
 
+def _metrics_summary(metrics, kind: str) -> tuple:
+    """Collect a (tiny, bucket-cardinality) metrics dataset and build the
+    JSON summary shared by the consistency and compare verbs — empty
+    comparisons summarize as zero buckets instead of crashing."""
+    met = metrics.to_pandas()
+    if "bucket_ts" not in met.columns:   # zero metric rows
+        import pandas as pd
+
+        met = pd.DataFrame({"bucket_ts": pd.Series(dtype="int64")})
+    met = met.sort_values("bucket_ts")
+    mismatch_cols = [c for c in met.columns if c.endswith("_mismatch")]
+    total_cols = [c for c in met.columns if c.endswith("_total")]
+    summary = {
+        "kind": kind, "buckets": len(met),
+        "rows_compared": int(met[total_cols[0]].sum()) if total_cols else 0,
+        "mismatches": {c[:-len("_mismatch")]: int(met[c].sum())
+                       for c in mismatch_cols},
+    }
+    return met, summary
+
+
+def _write_bucketed(met, out_dir: str, config_hash: str) -> None:
+    """Write a bucket_ts-keyed metrics frame as ds-partitioned parquet."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .state.lineage import write_partitioned
+
+    if not len(met):
+        return
+    days = (met["bucket_ts"].to_numpy() // 86_400_000) \
+        .astype("datetime64[D]")
+    out_tbl = pa.Table.from_pandas(met, preserve_index=False) \
+        .append_column("ds", pa.array(
+            np.datetime_as_string(days, unit="D").tolist(),
+            type=pa.string()))
+    write_partitioned(out_tbl, out_dir, config_hash)
+
+
 def _cmd_consistency(args: argparse.Namespace) -> dict:
     """Online/offline consistency metrics (the reference Driver's
     consistency-metrics-compute verb, ConsistencyJob.scala): backfill the
     offline truth over the logged left and compare row-by-row."""
     from .api import JoinConf
     from .pipelines.stats import consistency_job
-    from .state.lineage import write_partitioned
 
     conf = _load_conf(args.conf)
     if not isinstance(conf, JoinConf):
@@ -229,27 +267,10 @@ def _cmd_consistency(args: argparse.Namespace) -> dict:
                                  sample_percent=args.sample_percent,
                                  time_bucket_minutes=args.bucket_minutes,
                                  num_partitions=args.num_partitions)
-    import numpy as np
-    import pyarrow as pa
-
-    met = metrics.to_pandas().sort_values("bucket_ts")
-    mismatch_cols = [c for c in met.columns if c.endswith("_mismatch")]
-    total_cols = [c for c in met.columns if c.endswith("_total")]
-    summary = {
-        "kind": "consistency", "name": conf.name,
-        "buckets": len(met),
-        "rows_compared": int(met[total_cols[0]].sum()) if total_cols else 0,
-        "mismatches": {c[:-len("_mismatch")]: int(met[c].sum())
-                       for c in mismatch_cols},
-    }
+    met, summary = _metrics_summary(metrics, "consistency")
+    summary["name"] = conf.name
     if args.out:
-        days = (met["bucket_ts"].to_numpy() // 86_400_000) \
-            .astype("datetime64[D]")
-        out_tbl = pa.Table.from_pandas(met, preserve_index=False) \
-            .append_column("ds", pa.array(
-                np.datetime_as_string(days, unit="D").tolist(),
-                type=pa.string()))
-        write_partitioned(out_tbl, args.out, conf.semantic_hash())
+        _write_bucketed(met, args.out, conf.semantic_hash())
         summary["out"] = args.out
     return summary
 
@@ -261,39 +282,25 @@ def _cmd_compare(args: argparse.Namespace) -> dict:
     mismatches, SMAPE, value sketches per time bucket."""
     from .api import TQuery
     from .pipelines.stats import compare_tables
-    from .sources import scan_table
-    from .state.lineage import write_partitioned
+    from .sources import clip_ds_range, scan_table
 
     _init_ray(args.num_cpus)
     keys = args.keys.split(",")
     mapping = json.loads(args.mapping) if args.mapping else {}
     tq = TQuery(start_partition=args.start, end_partition=args.end)
-    left = scan_table(args.left_table, tq)
-    right = scan_table(args.right_table, tq)
+    # clip_ds_range: hive scans prune at the path level, but flat files
+    # would silently ignore --start/--end without a row filter
+    left = clip_ds_range(scan_table(args.left_table, tq),
+                         args.start, args.end)
+    right = clip_ds_range(scan_table(args.right_table, tq),
+                          args.start, args.end)
     _, metrics = compare_tables(left, right, keys=keys, mapping=mapping,
                                 migration_check=args.migration_check,
                                 time_bucket_minutes=args.bucket_minutes,
                                 num_partitions=args.num_partitions)
-    met = metrics.to_pandas().sort_values("bucket_ts")
-    mismatch_cols = [c for c in met.columns if c.endswith("_mismatch")]
-    total_cols = [c for c in met.columns if c.endswith("_total")]
-    summary = {
-        "kind": "compare", "buckets": len(met),
-        "rows_compared": int(met[total_cols[0]].sum()) if total_cols else 0,
-        "mismatches": {c[:-len("_mismatch")]: int(met[c].sum())
-                       for c in mismatch_cols},
-    }
+    met, summary = _metrics_summary(metrics, "compare")
     if args.out:
-        import numpy as np
-        import pyarrow as pa
-
-        days = (met["bucket_ts"].to_numpy() // 86_400_000) \
-            .astype("datetime64[D]")
-        out_tbl = pa.Table.from_pandas(met, preserve_index=False) \
-            .append_column("ds", pa.array(
-                np.datetime_as_string(days, unit="D").tolist(),
-                type=pa.string()))
-        write_partitioned(out_tbl, args.out, "compare")
+        _write_bucketed(met, args.out, "compare")
         summary["out"] = args.out
     return summary
 
@@ -365,7 +372,10 @@ def _cmd_label_join(args: argparse.Namespace) -> dict:
         raise SystemExit("label-join needs a label GroupByConf")
     _init_ray(args.num_cpus)
     tq = TQuery(start_partition=args.start, end_partition=args.end)
-    feats = scan_table(args.features_table, tq)
+    from .sources import clip_ds_range
+
+    feats = clip_ds_range(scan_table(args.features_table, tq),
+                          args.start, args.end)
     labels = scan_table(args.labels_table, TQuery())
     out = label_join(feats, labels, conf,
                      num_partitions=args.num_partitions)
@@ -409,6 +419,10 @@ def _cmd_upload(args: argparse.Namespace) -> dict:
     ck = groupby_upload(events, conf, batch_end,
                         num_partitions=args.num_partitions,
                         full_hops=args.full_hops)
+    if args.kv_out:
+        # consumed twice (checkpoint write + KV pack): pin the blocks so
+        # the scan+shuffle+aggregate pipeline doesn't execute twice
+        ck = ck.materialize()
     import pyarrow as pa
 
     def add_ds(t: pa.Table, _ds=args.end) -> pa.Table:
@@ -444,9 +458,14 @@ def _cmd_drift(args: argparse.Namespace) -> dict:
     _init_ray(args.num_cpus)
     ref = read_parquet(args.reference_table)
     cmp_ = read_parquet(args.comparison_table)
+    import pandas as pd
+
     d = drift_metrics(ref, cmp_, bins=args.bins)
-    flagged = d[(d["psi"].astype(float) > args.psi_threshold)
-                | (d["null_rate_delta"] > args.null_rate_threshold)]
+    psi = pd.to_numeric(d["psi"], errors="coerce")
+    nrd = pd.to_numeric(d["null_rate_delta"], errors="coerce")
+    flagged = d[(psi > args.psi_threshold)
+                | (nrd > args.null_rate_threshold)
+                | (d["status"] != "ok")]   # appeared/disappeared columns
     return {"kind": "drift", "rows": len(d),
             "flagged": json.loads(flagged.to_json(orient="records")),
             "psi_threshold": args.psi_threshold}

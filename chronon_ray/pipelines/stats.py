@@ -481,25 +481,48 @@ def drift_metrics(reference: ray.data.Dataset,
                 f"{sorted(df.columns)[:8]}...")
     ref = ref.set_index(on)
     cmp_ = cmp_.set_index(on)
-    kll_cols = [c[:-len("__kll")] for c in ref.columns if c.endswith("__kll")]
-    null_cols = [c[:-len(NULL_RATE_SUFFIX)] for c in ref.columns
-                 if c.endswith(NULL_RATE_SUFFIX)]
+
+    def cols_of(df):
+        kll = {c[:-len("__kll")] for c in df.columns if c.endswith("__kll")}
+        nul = {c[:-len(NULL_RATE_SUFFIX)] for c in df.columns
+               if c.endswith(NULL_RATE_SUFFIX)}
+        return kll, nul
+
+    ref_kll, ref_null = cols_of(ref)
+    cmp_kll, cmp_null = cols_of(cmp_)
+    # a finalized summary would pass the bucket_ts check but carry
+    # __percentiles instead of __kll — every psi/linf would silently be
+    # None, so a real shift could never be flagged
+    for side, df, kll in (("reference", ref, ref_kll),
+                          ("comparison", cmp_, cmp_kll)):
+        if not kll and any(c.endswith("__percentiles") for c in df.columns):
+            raise ValueError(
+                f"{side} table is a FINALIZED summary (has __percentiles, "
+                "no __kll columns) — drift needs IR mode "
+                "(summary_stats(finalize=False) / `summarize --ir`)")
     rows = []
     for b in sorted(set(ref.index) & set(cmp_.index)):
-        for c in null_cols:
-            row = {"bucket_ts": b, "column": c,
-                   "null_rate_delta": abs(float(ref.at[b, f"{c}{NULL_RATE_SUFFIX}"])
-                                          - float(cmp_.at[b, f"{c}{NULL_RATE_SUFFIX}"])),
-                   "linf": None, "psi": None}
-            if c in kll_cols:
-                a = KLL.deserialize(ref.at[b, f"{c}__kll"])
-                z = KLL.deserialize(cmp_.at[b, f"{c}__kll"])
-                row["linf"] = kll_linf(a, z, bins)
-                row["psi"] = kll_psi(a, z, bins, eps)
+        # union of both sides' columns: a column that appeared or
+        # disappeared between the periods is itself a drift signal
+        for c in sorted(ref_null | cmp_null):
+            status = ("missing_in_comparison" if c not in cmp_null
+                      else "missing_in_reference" if c not in ref_null
+                      else "ok")
+            row = {"bucket_ts": b, "column": c, "status": status,
+                   "null_rate_delta": None, "linf": None, "psi": None}
+            if status == "ok":
+                row["null_rate_delta"] = abs(
+                    float(ref.at[b, f"{c}{NULL_RATE_SUFFIX}"])
+                    - float(cmp_.at[b, f"{c}{NULL_RATE_SUFFIX}"]))
+                if c in ref_kll and c in cmp_kll:
+                    a = KLL.deserialize(ref.at[b, f"{c}__kll"])
+                    z = KLL.deserialize(cmp_.at[b, f"{c}__kll"])
+                    row["linf"] = kll_linf(a, z, bins)
+                    row["psi"] = kll_psi(a, z, bins, eps)
             rows.append(row)
     return pd.DataFrame(rows,
-                        columns=["bucket_ts", "column", "null_rate_delta",
-                                 "linf", "psi"])
+                        columns=["bucket_ts", "column", "status",
+                                 "null_rate_delta", "linf", "psi"])
 
 
 # ---------------------------------------------------------- edit distance
@@ -977,6 +1000,23 @@ def consistency_job(
         # the full-outer compare; a stable key hash keeps the two sides
         # congruent, so rates/SMAPE measure the sampled population)
         wheres = (sampled,)
+    start = jc.left.query.start_partition
+    if start is not None:
+        # start_partition only prunes hive paths; a FLAT logged table
+        # needs the same bound as a row filter — applied to BOTH sides
+        # so the compare population stays congruent
+        lo_ms = int(np.datetime64(start, "ms").astype(np.int64))
+
+        def after_start(t: pa.Table, _lo=lo_ms) -> np.ndarray:
+            import pyarrow.compute as pc
+
+            col = t["ts"]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+            return col.to_numpy(zero_copy_only=False) \
+                .astype(np.int64) >= _lo
+
+        wheres = wheres + (after_start,)
     comparison_left = EventSource(
         table=logged_table,
         query=TQuery.of(selects=selects, wheres=wheres,
@@ -986,7 +1026,12 @@ def consistency_job(
         jc, name=f"{jc.name}_consistency", left=comparison_left,
         bootstrap_parts=())
     truth = compute_join(comparison_jc, num_partitions=num_partitions)
-    logged = EventSource(table=logged_table, query=TQuery(wheres=wheres))
+    # the logged scan takes the SAME bounds (sampling + start) as the
+    # comparison left — a one-sided clip would dilute the metrics with
+    # left_null rows for the clipped-away period
+    logged = EventSource(table=logged_table,
+                         query=TQuery(wheres=wheres,
+                                      start_partition=start))
     from ..sources import scan_source
     logged_ds = scan_source(logged)
     keys = row_ids or (["ts"] + left_keys)

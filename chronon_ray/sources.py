@@ -45,6 +45,46 @@ def read_parquet(*args, **kwargs) -> ray.data.Dataset:
         _strip_schema_metadata, batch_format="pyarrow")
 
 
+def clip_ds_range(ds: ray.data.Dataset,
+                  start: Optional[str],
+                  end: Optional[str]) -> ray.data.Dataset:
+    """Row-level [start, end] day clip: by the ``ds`` column if present,
+    else by the ``ts`` day.  Hive-partitioned scans already prune at the
+    path level — this makes the same bounds hold for FLAT parquet files,
+    where ``scan_table`` has no path to prune (a no-op when both bounds
+    are None or neither column exists)."""
+    if start is None and end is None:
+        return ds
+    from .util import dataset_schema
+
+    names = dataset_schema(ds).names
+    lo_ms = (None if start is None
+             else int(np.datetime64(start, "ms").astype(np.int64)))
+    hi_ms = (None if end is None
+             else int(np.datetime64(end, "ms").astype(np.int64)) + MILLIS_DAY)
+
+    if "ds" in names:
+        def clip(t: pa.Table, _s=start, _e=end) -> pa.Table:
+            vals = t["ds"].to_pylist()
+            mask = [(v is not None
+                     and (_s is None or v >= _s)
+                     and (_e is None or v <= _e)) for v in vals]
+            return t.filter(pa.array(mask))
+    elif TS_COL in names:
+        def clip(t: pa.Table, _l=lo_ms, _h=hi_ms) -> pa.Table:
+            ts = t[TS_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = np.ones(len(t), dtype=bool)
+            if _l is not None:
+                mask &= ts >= _l
+            if _h is not None:
+                mask &= ts < _h
+            return t.filter(pa.array(mask))
+    else:
+        return ds
+    clip.__name__ = "clip_ds_range"
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def partition_paths(
     table: str,
     start: Optional[str] = None,

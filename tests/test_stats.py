@@ -792,3 +792,85 @@ def test_summary_job_chaos_resume(ray_session, tmp_path):
         .sort_values("bucket_ts").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         again[oneshot.columns.drop("ds")], oneshot.drop(columns=["ds"]))
+
+
+def test_drift_schema_evolution_reported(ray_session):
+    """A column that disappeared between periods is itself a drift
+    signal, not a KeyError."""
+    from chronon_ray.pipelines.stats import drift_metrics, summary_stats
+
+    n = 60
+    a = rd.from_arrow(pa.table({
+        "ts": pa.array(np.zeros(n, dtype=np.int64)),
+        "x": pa.array(np.arange(n, dtype=np.float64)),
+        "y": pa.array(np.arange(n, dtype=np.float64))}))
+    b = rd.from_arrow(pa.table({
+        "ts": pa.array(np.zeros(n, dtype=np.int64)),
+        "x": pa.array(np.arange(n, dtype=np.float64))}))
+    d = drift_metrics(summary_stats(a, finalize=False),
+                      summary_stats(b, finalize=False))
+    st = d.set_index("column")["status"]
+    assert st["x"] == "ok"
+    assert st["y"] == "missing_in_comparison"
+    d2 = drift_metrics(summary_stats(b, finalize=False),
+                       summary_stats(a, finalize=False))
+    assert d2.set_index("column")["status"]["y"] == "missing_in_reference"
+
+
+def test_drift_rejects_finalized_summaries(ray_session):
+    from chronon_ray.pipelines.stats import drift_metrics, summary_stats
+
+    a = rd.from_arrow(pa.table({
+        "ts": pa.array(np.zeros(10, dtype=np.int64)),
+        "x": pa.array(np.arange(10, dtype=np.float64))}))
+    fin = summary_stats(a, finalize=True)
+    ir = summary_stats(a, finalize=False)
+    with pytest.raises(ValueError, match="FINALIZED"):
+        drift_metrics(fin, ir)
+    with pytest.raises(ValueError, match="FINALIZED"):
+        drift_metrics(ir, fin)
+
+
+def test_consistency_start_partition_congruent(ray_session, tmp_path):
+    """A left start_partition clips BOTH sides of the compare: no
+    left_null dilution from pre-start logged rows."""
+    import dataclasses
+
+    from chronon_ray.api import (EventSource, GroupByConf, JoinConf,
+                                 JoinPart, TQuery, agg, window)
+    from chronon_ray.pipelines.joins import compute_join
+    from chronon_ray.pipelines.stats import consistency_job
+
+    rng = np.random.default_rng(53)
+    events_path, ev = _write_events(tmp_path, rng, n=1000)
+    events_src = EventSource(table=events_path, query=TQuery())
+    start = sorted(ev["ds"].unique())[3]
+    left_src = EventSource(
+        table=events_path,
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"},
+                        start_partition=start))
+    gb = GroupByConf(name="g", sources=(events_src,),
+                     key_columns=("user_id",),
+                     aggregations=(agg("value", "sum", [window(7, "d")]),))
+    jc = JoinConf(name="cs", left=left_src, parts=(JoinPart(group_by=gb),),
+                  row_ids=("user_id", "ts", "event_id"))
+    # logged table covers EVERY day (pre-start rows included)
+    jc_all = dataclasses.replace(
+        jc, left=dataclasses.replace(
+            left_src, query=dataclasses.replace(left_src.query,
+                                                start_partition=None)))
+    logged = compute_join(jc_all, num_partitions=8).to_pandas()
+    logged_path = str(tmp_path / "logged_all.parquet")
+    logged.to_parquet(logged_path, index=False)
+
+    _, met_ds = consistency_job(jc, logged_path,
+                                time_bucket_minutes=24 * 60)
+    met = met_ds.to_pandas()
+    col = "g_value_sum_7d"
+    start_ms = int(np.datetime64(start, "ms").astype(np.int64))
+    n_after = int((logged["ts"] >= start_ms).sum())
+    assert met[f"{col}_total"].sum() == n_after
+    assert met[f"{col}_left_null"].sum() == 0
+    assert met[f"{col}_mismatch"].sum() == 0
+    assert met["bucket_ts"].min() >= start_ms
