@@ -679,6 +679,10 @@ def compare_join(left: ray.data.Dataset,
 
     tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow"))
+    # the groupby's reduce parallelism follows the upstream block count —
+    # a single-block input (one parquet file) would serialize the merge;
+    # splitting is row-preserving (the exchange re-sorts by _part anyway)
+    tagged = tagged.repartition(num_partitions)
 
     lcols = [f"{n}{LEFT_SUFFIX}" for n, _ in value_fields]
     rcols = [f"{n}{RIGHT_SUFFIX}" for n, _ in value_fields]
@@ -902,8 +906,11 @@ def compare_metrics(
         return pd.DataFrame([row])
 
     merge_finalize.__name__ = "compare_metrics_merge"
-    return (compare_ds.map_batches(partial, batch_format="pandas")
-            .groupby("bucket_ts")
+    partials = compare_ds.map_batches(partial, batch_format="pandas")
+    # spread the per-bucket merges: partial rows are tiny (blocks ×
+    # buckets) but each bucket's sketch merge + finalize is real work
+    partials = partials.repartition(16)
+    return (partials.groupby("bucket_ts")
             .map_groups(merge_finalize, batch_format="pandas"))
 
 
