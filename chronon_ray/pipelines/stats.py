@@ -192,8 +192,12 @@ def summary_stats(
         return pd.DataFrame([row])
 
     merge_finalize.__name__ = "summary_merge"
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("bucket_ts")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # spread the per-bucket merges across workers: reduce parallelism
+    # follows the upstream block count, so a single-block input would
+    # serialize every bucket's sketch merge into one task
+    partials = partials.repartition(16)
+    return (partials.groupby("bucket_ts")
             .map_groups(merge_finalize, batch_format="pandas"))
 
 
