@@ -103,6 +103,7 @@ def summary_stats(
     k: int = 128,
     finalize: bool = True,
     percentiles: Sequence[float] = PERCENTILES_MERGED,
+    merge_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Bucketed feature-summary table (StatsCompute.dailySummary): one row
     per time bucket with per-column null counts, null rates and KLL
@@ -195,8 +196,10 @@ def summary_stats(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # spread the per-bucket merges across workers: reduce parallelism
     # follows the upstream block count, so a single-block input would
-    # serialize every bucket's sketch merge into one task
-    partials = partials.repartition(16)
+    # serialize every bucket's sketch merge into one task. Raise
+    # merge_partitions when blocks x buckets is huge (it bounds the
+    # partial-row block size on the merge side).
+    partials = partials.repartition(merge_partitions)
     return (partials.groupby("bucket_ts")
             .map_groups(merge_finalize, batch_format="pandas"))
 
@@ -761,6 +764,7 @@ def compare_metrics(
     time_bucket_minutes: int = 60,
     k: int = 128,
     percentiles: Sequence[float] = COMPARE_PERCENTILES,
+    merge_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Bucketed comparison metrics over a suffixed compare table
     (CompareMetrics.compute): one row per time bucket, columns
@@ -911,9 +915,11 @@ def compare_metrics(
 
     merge_finalize.__name__ = "compare_metrics_merge"
     partials = compare_ds.map_batches(partial, batch_format="pandas")
-    # spread the per-bucket merges: partial rows are tiny (blocks ×
-    # buckets) but each bucket's sketch merge + finalize is real work
-    partials = partials.repartition(16)
+    # spread the per-bucket merges: partial rows are small (blocks ×
+    # buckets) but each bucket's sketch merge + finalize is real work;
+    # merge_partitions bounds the merge-side block size at huge
+    # blocks x buckets
+    partials = partials.repartition(merge_partitions)
     return (partials.groupby("bucket_ts")
             .map_groups(merge_finalize, batch_format="pandas"))
 
