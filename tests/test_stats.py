@@ -874,3 +874,27 @@ def test_consistency_start_partition_congruent(ray_session, tmp_path):
     assert met[f"{col}_left_null"].sum() == 0
     assert met[f"{col}_mismatch"].sum() == 0
     assert met["bucket_ts"].min() >= start_ms
+
+
+def test_summary_ir_kv_round_trip(ray_session):
+    """SummaryJob also writes an upload table for the stats store — the
+    KV codec packs IR summaries (key = bucket_ts) and the restored table
+    still drives drift, the fetcher-side-merge analog."""
+    from chronon_ray.pipelines.stats import drift_metrics, summary_stats
+    from chronon_ray.serving import kv_export, kv_import
+
+    rng = np.random.default_rng(61)
+    n = 1000
+    mk = lambda loc: rd.from_arrow(pa.table({
+        "ts": pa.array(rng.integers(0, 2 * HOUR, n).astype(np.int64)),
+        "v": pa.array(rng.normal(loc, 1, n))}))
+    base = summary_stats(mk(0.0), finalize=False)
+    kv = kv_export(base, ["bucket_ts"])
+    restored = kv_import(kv, [pa.field("bucket_ts", pa.int64())])
+    shifted = summary_stats(mk(3.0), finalize=False)
+    d_direct = drift_metrics(base, shifted)
+    d_restored = drift_metrics(restored, shifted)
+    pd.testing.assert_frame_equal(
+        d_direct.sort_values(["bucket_ts", "column"]).reset_index(drop=True),
+        d_restored.sort_values(["bucket_ts", "column"])
+        .reset_index(drop=True))
