@@ -898,3 +898,54 @@ def test_summary_ir_kv_round_trip(ray_session):
         d_direct.sort_values(["bucket_ts", "column"]).reset_index(drop=True),
         d_restored.sort_values(["bucket_ts", "column"])
         .reset_index(drop=True))
+
+
+def test_consistency_job_multi_part_join(ray_session, tmp_path):
+    """consistency_job over a TWO-part join (temporal + snapshot
+    accuracy, key mapping, prefix): the comparison join rebuilds both
+    parts over the logged left; a perturbation planted in the SNAPSHOT
+    part's column is localized to that column."""
+    from chronon_ray.api import (Accuracy, EventSource, GroupByConf,
+                                 JoinConf, JoinPart, TQuery, agg, window)
+    from chronon_ray.pipelines.joins import compute_join
+    from chronon_ray.pipelines.stats import consistency_job
+
+    rng = np.random.default_rng(71)
+    events_path, _ = _write_events(tmp_path, rng, n=1200)
+    events_src = EventSource(table=events_path, query=TQuery())
+    left_src = EventSource(
+        table=events_path,
+        query=TQuery.of(selects={"user_id": "user_id", "ts": "ts",
+                                 "event_id": "event_id"}))
+    gb_t = GroupByConf(name="gt", sources=(events_src,),
+                       key_columns=("user_id",),
+                       aggregations=(agg("value", "sum", [window(7, "d")]),))
+    gb_s = GroupByConf(name="gs", sources=(events_src,),
+                       key_columns=("user_id",),
+                       aggregations=(agg("value", "count",
+                                         [window(7, "d")]),),
+                       accuracy=Accuracy.SNAPSHOT)
+    jc = JoinConf(name="cm2", left=left_src,
+                  parts=(JoinPart(group_by=gb_t),
+                         JoinPart(group_by=gb_s, prefix="snap")),
+                  row_ids=("user_id", "ts", "event_id"))
+    truth = compute_join(jc, num_partitions=8).to_pandas()
+    snap_col = next(c for c in truth.columns if c.startswith("snap_"))
+    logged = truth.copy(deep=True)
+    pert = logged["event_id"].to_numpy() % 5 == 0
+    logged[snap_col] = logged[snap_col].astype("Int64")
+    logged.loc[pert, snap_col] = logged.loc[pert, snap_col] + 1
+    tcol = "gt_value_sum_7d"
+    logged_path = str(tmp_path / "logged2.parquet")
+    import pyarrow as pa2
+    pa2.parquet.write_table(
+        pa2.Table.from_pandas(logged, preserve_index=False), logged_path)
+
+    _, met_ds = consistency_job(jc, logged_path,
+                                time_bucket_minutes=24 * 60)
+    met = met_ds.to_pandas()
+    truth_nonnull = truth[snap_col].notna().to_numpy()
+    assert met[f"{snap_col}_mismatch"].sum() == int(
+        (pert & truth_nonnull).sum())
+    assert met[f"{tcol}_mismatch"].sum() == 0
+    assert met[f"{tcol}_total"].sum() == len(truth)
