@@ -159,7 +159,11 @@ def test_rolling_checkpoint_randomized(ray_session, seed):
                 av, bv = av.astype(float), bv.astype(float)
                 na, nb = av.isna(), bv.isna()
                 assert (na == nb).all(), (seed, d, c)
-                np.testing.assert_allclose(av[~na], bv[~nb], rtol=1e-9,
+                # skew/kurtosis: 3rd/4th-moment merges amplify order
+                # rounding between both-correct paths (~5e-9 rel seen
+                # on fresh seeds; driver tolerance is 1e-6)
+                rt = 1e-7 if ("skew" in c or "kurtosis" in c) else 1e-9
+                np.testing.assert_allclose(av[~na], bv[~nb], rtol=rt,
                                            atol=1e-9,
                                            err_msg=f"{seed}:d{d}:{c}")
             elif av.dtype == object or bv.dtype == object:
@@ -216,7 +220,11 @@ def test_serve_equals_direct_randomized(ray_session, seed):
             assert (na == nb).all(), (seed, c)
             # atol: the two paths merge Welford IRs in different orders, so
             # a near-zero variance can differ by ~1e-11 absolute
-            np.testing.assert_allclose(av[~na], bv[~nb], rtol=1e-9,
+            # skew/kurtosis: 3rd/4th-moment merges amplify order
+            # rounding between both-correct paths (~5e-9 rel seen
+            # on fresh seeds; driver tolerance is 1e-6)
+            rt = 1e-7 if ("skew" in c or "kurtosis" in c) else 1e-9
+            np.testing.assert_allclose(av[~na], bv[~nb], rtol=rt,
                                        atol=1e-9, err_msg=f"{seed}:{c}")
         elif av.dtype == object or bv.dtype == object:
             for i, (x, y) in enumerate(zip(av, bv)):
