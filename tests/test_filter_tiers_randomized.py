@@ -32,7 +32,10 @@ def _cmp(a, b, ctx):
             av, bv = av.astype(float), bv.astype(float)
             na, nb = av.isna(), bv.isna()
             assert (na == nb).all(), (ctx, c)
-            np.testing.assert_allclose(av[~na], bv[~nb], rtol=1e-9,
+            # skew/kurtosis: higher-moment merges amplify order rounding
+            # between both-correct paths (~5e-9 rel on fresh seeds)
+            rt = 1e-7 if ("skew" in c or "kurtosis" in c) else 1e-9
+            np.testing.assert_allclose(av[~na], bv[~nb], rtol=rt,
                                        atol=1e-9, err_msg=f"{ctx}:{c}")
         elif av.dtype == object or bv.dtype == object:
             for i, (x, y) in enumerate(zip(av, bv)):
