@@ -65,11 +65,17 @@ def _bucket_of(ts_ms: np.ndarray, bucket_ms: int) -> np.ndarray:
 
 
 def _time_values(t: pa.Table, time_column: str) -> np.ndarray:
-    """Millis epoch from either a ts column or a ds date-string column."""
+    """Millis epoch from either a ts column or a ds date-string column.
+    Timestamp-typed columns are canonicalized through timestamp('ms')
+    first — a raw to_numpy().astype(int64) on datetime64[ns] would yield
+    NANOseconds and bucket everything into garbage."""
+    import pyarrow.compute as pc
     col = t[time_column]
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         days = np.array(col.to_pylist(), dtype="datetime64[D]")
         return days.astype("datetime64[ms]").astype(np.int64)
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        col = pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
@@ -123,6 +129,12 @@ def summary_stats(
     kll_cols = [c for c, m in metrics if m == "kll"]
 
     def partial(t: pa.Table) -> pa.Table:
+        # a null time value would become NaT → INT64_MIN → a garbage
+        # bucket row (and summary_job's add_ds an absurd ds partition);
+        # drop them, mirroring compare_metrics' null-time filter
+        tcol = t[time_column]
+        if tcol.null_count:
+            t = t.filter(tcol.is_valid())
         ts = _time_values(t, time_column)
         buckets = _bucket_of(ts, bucket_ms)
         uniq, codes = np.unique(buckets, return_inverse=True)
@@ -468,15 +480,60 @@ def kll_psi(reference: dict, comparison: dict, bins: int = 128,
     return float(np.sum((p - q) * np.log(p / q)))
 
 
+def _collapse_summary(df: pd.DataFrame) -> pd.DataFrame:
+    """Collapse an indexed IR-mode summary across ALL its time buckets into
+    one logical bucket (index -1): KLL IRs merge, null rates combine
+    weighted by each bucket's total count.  This is what lets
+    ``drift_metrics(align="merge")`` compare two disjoint periods."""
+    if df.empty:
+        return df
+    total = pd.to_numeric(df[f"{TOTAL_COLUMN}_count"],
+                          errors="coerce").fillna(0.0).astype(float)
+    tsum = float(total.sum())
+    out: dict = {f"{TOTAL_COLUMN}_count": np.int64(tsum)}
+    for c in df.columns:
+        if c.endswith(NULL_RATE_SUFFIX):
+            rates = pd.to_numeric(df[c], errors="coerce").astype(float)
+            ok = ~rates.isna()
+            w = float(total[ok].sum())
+            out[c] = (float((rates[ok] * total[ok]).sum() / w)
+                      if w else np.nan)
+        elif c.endswith("__kll"):
+            st = None
+            for blob in df[c]:
+                if blob is None or (isinstance(blob, float)
+                                    and np.isnan(blob)):
+                    continue
+                s = KLL.deserialize(blob)
+                st = s if st is None else KLL.merge(st, s)
+            out[c] = KLL.serialize(st) if st is not None else None
+        elif c == f"{TOTAL_COLUMN}_count":
+            pass
+        elif c.endswith("__percentiles"):
+            out[c] = None
+    return pd.DataFrame([out], index=pd.Index([-1], name=df.index.name))
+
+
 def drift_metrics(reference: ray.data.Dataset,
                   comparison: ray.data.Dataset,
                   on: str = "bucket_ts",
                   bins: int = 128,
-                  eps: float = 1e-6) -> pd.DataFrame:
+                  eps: float = 1e-6,
+                  align: str = "strict") -> pd.DataFrame:
     """Per-bucket, per-column drift between two IR-mode summaries
     (``summary_stats(..., finalize=False)``): null-rate delta for every
     column, L-inf and PSI for sketched numerics.  Summary tables are
-    bucket-cardinality small — this is a driver-side join by design."""
+    bucket-cardinality small — this is a driver-side join by design.
+
+    ``align="strict"`` (default) joins buckets on identical ``on`` values
+    and RAISES when both sides are non-empty but share no bucket — the
+    canonical cross-period comparison (last week vs this week) would
+    otherwise silently return zero rows, which reads as "no drift".
+    ``align="merge"`` collapses each side's IRs across all of its buckets
+    (KLL merge + count-weighted null rates) into one logical bucket
+    (``bucket_ts = -1``), making disjoint periods directly comparable."""
+    if align not in ("strict", "merge"):
+        raise ValueError(f"align must be 'strict' or 'merge', got {align!r}")
     ref = reference.to_pandas()
     cmp_ = comparison.to_pandas()
     for side, df in (("reference", ref), ("comparison", cmp_)):
@@ -488,6 +545,19 @@ def drift_metrics(reference: ray.data.Dataset,
                 f"{sorted(df.columns)[:8]}...")
     ref = ref.set_index(on)
     cmp_ = cmp_.set_index(on)
+    if align == "merge":
+        ref = _collapse_summary(ref)
+        cmp_ = _collapse_summary(cmp_)
+    elif (len(ref) and len(cmp_)
+          and not (set(ref.index) & set(cmp_.index))):
+        raise ValueError(
+            "drift_metrics: reference and comparison summaries share NO "
+            f"time buckets (reference {min(ref.index)}..{max(ref.index)} "
+            f"vs comparison {min(cmp_.index)}..{max(cmp_.index)}) — the "
+            "strict per-bucket join would return zero rows, which reads "
+            "as 'no drift'. Comparing two different periods needs "
+            "align='merge' (collapses each side's KLL IRs across its "
+            "buckets into one comparable logical bucket).")
 
     def cols_of(df):
         kll = {c[:-len("__kll")] for c in df.columns if c.endswith("__kll")}
@@ -663,20 +733,39 @@ def compare_join(left: ray.data.Dataset,
         raise AssertionError(f"unmatched left columns: {dropped}")
 
     key_fields = [pa.field(k, lsch.field(k).type) for k in keys]
+    ck_cols = [f"_ck{i}" for i in range(len(keys))]
     out_schema = pa.schema(
         key_fields
         + [pa.field(f"{n}{LEFT_SUFFIX}", t) for n, t in value_fields]
         + [pa.field(f"{n}{RIGHT_SUFFIX}", t) for n, t in value_fields]
+        + [pa.field(c, pa.string()) for c in ck_cols]
         + [pa.field("_side", pa.int8()), pa.field("_part", pa.int32())])
     key_types = {k: lsch.field(k).type for k in keys}
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from .groupby import canon_key_table
             suf = LEFT_SUFFIX if side == 0 else RIGHT_SUFFIX
             ren = {n: f"{n}{suf}" for n, _ in value_fields}
             t = t.rename_columns([ren.get(n, n) for n in t.column_names])
             part = block_part_hash(t, keys, num_partitions,
                                    types_by_name=key_types)
+            # canonical STRING merge keys captured while still Arrow:
+            # the per-partition pandas merge would otherwise match keys
+            # after pandas null-promotion, where distinct int64 keys
+            # above 2^53 collide to the same float64 and falsely join
+            canon = canon_key_table(t, keys, key_types)
+            for i, k in enumerate(keys):
+                col = canon[k]
+                try:
+                    scol = pc.cast(col, pa.string())
+                except pa.ArrowNotImplementedError:
+                    scol = pa.array(
+                        [None if v is None else str(v)
+                         for v in col.to_pylist()], type=pa.string())
+                t = t.append_column(ck_cols[i], scol)
             t = t.append_column("_side",
                                 pa.array(np.full(len(t), side, dtype=np.int8)))
             t = t.append_column("_part", pa.array(part.astype(np.int32)))
@@ -693,18 +782,40 @@ def compare_join(left: ray.data.Dataset,
 
     lcols = [f"{n}{LEFT_SUFFIX}" for n, _ in value_fields]
     rcols = [f"{n}{RIGHT_SUFFIX}" for n, _ in value_fields]
-    # declared output schema (no tags) — every partition emits exactly
-    # this, so blocks unify no matter how pandas promoted its slice
-    result_fields = list(out_schema)[:-2]
+    # declared output schema (no canon-key / tag columns) — every
+    # partition emits exactly this, so blocks unify no matter how pandas
+    # promoted its slice
+    result_fields = list(out_schema)[:-(2 + len(ck_cols))]
     result_schema = pa.schema(result_fields)
 
     def merge_part(g: pd.DataFrame) -> pa.Table:
-        lg = g[g["_side"] == 0][keys + lcols]
-        rg = g[g["_side"] == 1][keys + rcols]
+        # merge on the Arrow-captured canonical string keys, NOT the raw
+        # key columns: pandas float-promotion (a null anywhere in the
+        # int-key block) would falsely join distinct int64 keys > 2^53.
+        # Emitted key values are ALSO taken from the canon strings (cast
+        # back to the declared type at emit) — the promoted floats in
+        # this frame are already lossy above 2^53.
+        lg = g[g["_side"] == 0][keys + ck_cols + lcols]
+        rg = g[g["_side"] == 1][keys + ck_cols + rcols]
         lnull = lg[keys].isna().any(axis=1)
         rnull = rg[keys].isna().any(axis=1)
-        merged = lg[~lnull].merge(rg[~rnull], on=keys, how="outer")
-        out = pd.concat([merged, lg[lnull], rg[rnull]], ignore_index=True)
+        merged = lg[~lnull].drop(columns=keys).merge(
+            rg[~rnull][ck_cols + rcols], on=ck_cols, how="outer")
+        for i, k in enumerate(keys):
+            merged[k] = merged[ck_cols[i]]
+
+        def keyed(sl: pd.DataFrame) -> pd.DataFrame:
+            # null-key rows survive unmatched; per key column emit the
+            # canon string where non-null (exact), true null where null
+            # (the canon sentinel must NOT leak as a key value)
+            sl = sl.copy()
+            for i, k in enumerate(keys):
+                sl[k] = sl[ck_cols[i]].where(sl[k].notna(), None)
+            return sl.drop(columns=ck_cols)
+
+        out = pd.concat([merged.drop(columns=ck_cols),
+                         keyed(lg[lnull]), keyed(rg[rnull])],
+                        ignore_index=True)
 
         def col(f: pa.Field) -> pa.Array:
             s = out[f.name]
@@ -839,10 +950,15 @@ def compare_metrics(
                 klls["right"] = (rv, ~rnull)
             elif (pa.types.is_list(types[name])
                   or pa.types.is_large_list(types[name])):
-                pairs = [edit_distance(a, b) if (av and bv) else None
+                # the reference's edit_distance UDF receives null sides
+                # (EditDistance.scala:55-62 treats null as empty, so
+                # distance = the other side's length) and EVERY row feeds
+                # the APPROX_PERCENTILE sketch — so null sides map to
+                # empty here too, not to excluded rows
+                pairs = [edit_distance(a if av else None, b if bv else None)
                          for a, b, av, bv in zip(l, r, ~lnull, ~rnull)]
-                ins = np.array([p[0] if p else np.nan for p in pairs])
-                dele = np.array([p[1] if p else np.nan for p in pairs])
+                ins = np.array([float(p[0]) for p in pairs])
+                dele = np.array([float(p[1]) for p in pairs])
                 llen = np.array([len(v) if ok else np.nan
                                  for v, ok in zip(l, ~lnull)])
                 rlen = np.array([len(v) if ok else np.nan
@@ -854,8 +970,9 @@ def compare_metrics(
                 for i in bidx:
                     mm[i] = tuple(l.iloc[i]) != tuple(r.iloc[i])
                 sums["mismatch"] = bsum(mm)
-                klls["edit_distance_insert"] = (ins, both)
-                klls["edit_distance_delete"] = (dele, both)
+                every = np.ones(len(g), dtype=bool)
+                klls["edit_distance_insert"] = (ins, every)
+                klls["edit_distance_delete"] = (dele, every)
                 klls["left_length"] = (llen, ~lnull)
                 klls["right_length"] = (rlen, ~rnull)
             else:

@@ -72,7 +72,15 @@ def clip_ds_range(ds: ray.data.Dataset,
             return t.filter(pa.array(mask))
     elif TS_COL in names:
         def clip(t: pa.Table, _l=lo_ms, _h=hi_ms) -> pa.Table:
-            ts = t[TS_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+            import pyarrow.compute as pc
+            col = t[TS_COL]
+            if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+                # datetime64[ns] → astype(int64) would be NANOseconds and
+                # the millis bounds would silently keep everything (or
+                # nothing) — canonicalize through timestamp('ms') first,
+                # as consistency_job.after_start does
+                col = pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+            ts = col.to_numpy(zero_copy_only=False).astype(np.int64)
             mask = np.ones(len(t), dtype=bool)
             if _l is not None:
                 mask &= ts >= _l

@@ -1,0 +1,168 @@
+"""Round-5 regression pins for the ADVICE findings.
+
+1. drift_metrics on disjoint bucket ranges: strict mode raises (was a
+   silent zero-row 'no drift'), align='merge' collapses each side's IRs
+   so cross-period drift is computable.
+2. summary_stats drops null-time rows (NaT -> INT64_MIN garbage bucket).
+3. edit-distance sketches include one-side-null rows (null == empty,
+   EditDistance.scala:55-62) so percentiles match the reference.
+4. clip_ds_range handles timestamp-typed ts columns (ns vs ms).
+5. compare_join merges on Arrow-canonical keys: distinct int64 keys
+   above 2^53 no longer collide via pandas float promotion.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+HOUR = 3600_000
+
+
+def _summary_ir(df: pd.DataFrame):
+    from chronon_ray.pipelines.stats import summary_stats
+    return summary_stats(rd.from_pandas(df), finalize=False)
+
+
+def test_drift_disjoint_buckets_strict_raises(ray_session):
+    from chronon_ray.pipelines.stats import drift_metrics
+
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"ts": rng.integers(0, 2 * HOUR, 500).astype(np.int64),
+                      "v": rng.normal(0, 1, 500)})
+    b = pd.DataFrame({"ts": rng.integers(10 * HOUR, 12 * HOUR, 500)
+                      .astype(np.int64),
+                      "v": rng.normal(5, 1, 500)})
+    with pytest.raises(ValueError, match="align='merge'"):
+        drift_metrics(_summary_ir(a), _summary_ir(b))
+
+
+def test_drift_merge_mode_cross_period(ray_session):
+    from chronon_ray.pipelines.stats import drift_metrics
+
+    rng = np.random.default_rng(11)
+    w = rng.normal(3, 1, 2000)
+    a = pd.DataFrame({"ts": rng.integers(0, 4 * HOUR, 2000).astype(np.int64),
+                      "v": rng.normal(0, 1, 2000),
+                      "w": w})
+    b = pd.DataFrame({"ts": rng.integers(24 * HOUR, 28 * HOUR, 2000)
+                      .astype(np.int64),
+                      "v": rng.normal(5, 1, 2000),      # shifted
+                      "w": w})                          # unchanged
+    out = drift_metrics(_summary_ir(a), _summary_ir(b), align="merge")
+    assert len(out) > 0 and set(out["bucket_ts"]) == {-1}
+    psi = out.set_index("column")["psi"]
+    assert psi["v"] > 0.25          # real shift flagged
+    assert psi["w"] < 0.10          # stable column stays quiet
+    # merged null rates remain defined
+    assert out["null_rate_delta"].notna().all()
+
+
+def test_summary_null_ts_rows_dropped(ray_session):
+    from chronon_ray.pipelines.stats import summary_stats
+
+    t = pa.table({
+        "ts": pa.array([0, HOUR // 2, None, HOUR + 5, None],
+                       type=pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    out = summary_stats(rd.from_arrow(t), time_bucket_minutes=60).to_pandas()
+    assert sorted(out["bucket_ts"]) == [0, HOUR]
+    assert int(out["total_count"].sum()) == 3  # null-ts rows dropped
+
+
+def test_edit_distance_sketches_include_null_sides(ray_session):
+    from chronon_ray.pipelines.stats import (COMPARE_PERCENTILES,
+                                             compare_tables)
+
+    n = 12
+    ids = np.arange(n, dtype=np.int64)
+    ts = np.zeros(n, dtype=np.int64)
+    lt = pa.list_(pa.int64())
+    left_vals = [[1, 2, 3]] * 4 + [None] * 4 + [[7]] * 4
+    right_vals = [[1, 2, 3]] * 4 + [[5, 6]] * 4 + [None] * 4
+
+    def tbl(vals):
+        return pa.table({"id": pa.array(ids),
+                         "ts": pa.array(ts),
+                         "v": pa.array(vals, type=lt)})
+
+    _, met = compare_tables(rd.from_arrow(tbl(left_vals)),
+                            rd.from_arrow(tbl(right_vals)),
+                            keys=["id", "ts"])
+    row = met.to_pandas().iloc[0]
+    # reference semantics: null == empty; every row feeds the sketch
+    # inserts (into right, to make it like left): match rows 0; left-null
+    # rows 0; right-null rows len(left)=1
+    ins = np.array([0.0] * 4 + [0.0] * 4 + [1.0] * 4)
+    # deletes: match rows 0; left-null rows len(right)=2; right-null 0
+    dele = np.array([0.0] * 4 + [2.0] * 4 + [0.0] * 4)
+
+    def exact_grid(vals):
+        sv = np.sort(vals)
+        m = len(sv)
+        cw = np.arange(1, m + 1)
+        return [sv[min(int(np.searchsorted(cw, q * m, side="left")), m - 1)]
+                for q in COMPARE_PERCENTILES]
+
+    np.testing.assert_allclose(np.array(row["v_edit_distance_insert"]),
+                               exact_grid(ins))
+    np.testing.assert_allclose(np.array(row["v_edit_distance_delete"]),
+                               exact_grid(dele))
+
+
+def test_clip_ds_range_timestamp_typed_ts(ray_session):
+    from chronon_ray.sources import clip_ds_range
+
+    days = pd.to_datetime(["2024-01-09 23:59:59", "2024-01-10 00:00:00",
+                           "2024-01-11 12:00:00", "2024-01-13 00:00:00"])
+    t = pa.table({"ts": pa.array(days, type=pa.timestamp("ns")),
+                  "v": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = clip_ds_range(rd.from_arrow(t), "2024-01-10", "2024-01-12") \
+        .to_pandas()
+    assert sorted(out["v"]) == [2, 3]
+
+
+def test_compare_join_no_false_join_above_2_53(ray_session):
+    from chronon_ray.pipelines.stats import compare_join
+
+    big_a = 2 ** 53          # collides with big_b in float64
+    big_b = 2 ** 53 + 1
+    lt = pa.table({
+        "k": pa.array([big_a, 42, None], type=pa.int64()),
+        "ts": pa.array([0, 0, 0], type=pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    rt = pa.table({
+        "k": pa.array([big_b, 42, None], type=pa.int64()),
+        "ts": pa.array([0, 0, 0], type=pa.int64()),
+        "v": pa.array([10.0, 2.0, 30.0]),
+    })
+    ds, _ = compare_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                         keys=["k", "ts"], num_partitions=4)
+    # read back as ARROW — a to_pandas() here would itself float-promote
+    # the nullable int64 key column and re-collide the two big keys
+    import ray as _ray
+    blocks = [_ray.get(r) for r in ds.to_arrow_refs()]
+    tbl = pa.concat_tables([b for b in blocks if len(b)]).combine_chunks()
+    assert tbl["k"].type == pa.int64()
+    out = pd.DataFrame({
+        # dtype=object keeps the big ints exact — a default int+None
+        # column would float-promote right here in the test
+        "k": pd.Series(tbl["k"].to_pylist(), dtype=object),
+        "v_left": pd.Series(tbl["v_left"].to_pylist(), dtype=float),
+        "v_right": pd.Series(tbl["v_right"].to_pylist(), dtype=float),
+    })
+    assert len(out) == 5  # A-left-only, B-right-only, 42 matched, 2 nulls
+    a_row = out[out["k"] == big_a]
+    b_row = out[out["k"] == big_b]
+    assert len(a_row) == 1 and len(b_row) == 1   # exact keys round-trip
+    assert a_row["v_left"].iloc[0] == 1.0
+    assert pd.isna(a_row["v_right"].iloc[0])     # no false join
+    assert b_row["v_right"].iloc[0] == 10.0
+    assert pd.isna(b_row["v_left"].iloc[0])
+    m = out[out["k"] == 42]
+    assert m["v_left"].iloc[0] == 2.0 and m["v_right"].iloc[0] == 2.0
+    nulls = out[out["k"].isna()]
+    assert len(nulls) == 2                       # null keys never match
