@@ -492,6 +492,175 @@ class VideoFrameSampleStage:
 # --------------------------------------------------------------- fixtures
 
 
+class ExactMultimodalFeatureStage:
+    """Integer-exact features over the decoded multimodal columns — the
+    verifiable tail of the decode pipeline.  Emits only int64 columns
+    (channel sums / sums-of-squares / min / max, PCM sample count and
+    energy, sampled-frame sums), so a SQL oracle can hash-match them
+    bit-for-bit with no float-rounding hazard.  The float feature stages
+    are still exercised AND cross-checked here: ``img_features`` (channel
+    means/stds) and ``frame_energy`` (RMS windows) must allclose-match
+    their exact integer reconstructions or the stage raises — a decoder
+    bug cannot pass silently either way."""
+
+    def __init__(self, id_col: str = "doc_id", h: int = 16, w: int = 16,
+                 n_audio_frames: int = 16, k_frames: int = 4,
+                 frame_px: int = 8 * 8 * 3):
+        self.id_col, self.h, self.w = id_col, h, w
+        self.n_audio_frames, self.k_frames = n_audio_frames, k_frames
+        self.frame_px = frame_px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        px_per = self.h * self.w
+        pixcol = batch["pixels"]
+        if isinstance(pixcol, pa.ChunkedArray):
+            pixcol = pixcol.combine_chunks()
+        flat = pixcol.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, px_per, 3).astype(np.int64)
+        img_sum = flat.sum(axis=1)                      # (n, 3)
+        img_sumsq = (flat * flat).sum(axis=1)
+        img_min = flat.min(axis=(1, 2))
+        img_max = flat.max(axis=(1, 2))
+
+        featcol = batch["img_features"]
+        if isinstance(featcol, pa.ChunkedArray):
+            featcol = featcol.combine_chunks()
+        feats = featcol.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, 6).astype(np.float64)
+        mean_exact = img_sum / px_per
+        var_exact = img_sumsq / px_per - mean_exact ** 2
+        std_exact = np.sqrt(np.maximum(var_exact, 0.0))
+        if not (np.allclose(feats[:, :3], mean_exact, rtol=1e-4, atol=1e-3)
+                and np.allclose(feats[:, 3:], std_exact,
+                                rtol=1e-3, atol=1e-2)):
+            raise AssertionError(
+                "ImageFeatureStage float features diverge from exact "
+                "integer reconstruction — decoder or feature bug")
+
+        wav_n = np.empty(n, dtype=np.int64)
+        wav_sumsq = np.empty(n, dtype=np.int64)
+        ecol = batch["frame_energy"]
+        if isinstance(ecol, pa.ChunkedArray):
+            ecol = ecol.combine_chunks()
+        energies = ecol.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, self.n_audio_frames).astype(np.float64)
+        for i, p in enumerate(batch["wav_payload"].to_pylist()):
+            x, _rate = decode_wav(p)
+            # PCM16/32768 is exact in float32 — reverse losslessly
+            ints = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
+            wav_n[i] = len(ints)
+            wav_sumsq[i] = int((ints * ints).sum())
+            nf = self.n_audio_frames
+            edges = (np.arange(nf + 1) * len(ints)) // nf
+            sq = np.concatenate([[0.0],
+                                 np.cumsum((ints / 32768.0) ** 2)])
+            cnt = np.maximum(np.diff(edges), 1)
+            exact_e = np.sqrt(np.diff(sq[edges]) / cnt)
+            if not np.allclose(energies[i], exact_e, rtol=1e-4, atol=1e-6):
+                raise AssertionError(
+                    "AudioFrameStage energies diverge from exact "
+                    "reconstruction — WAV decode bug")
+
+        fcol = batch["frames"]
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        vflat = fcol.flatten().flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, self.k_frames * self.frame_px).astype(np.int64)
+        vid_sum = vflat.sum(axis=1)
+        vid_sumsq = (vflat * vflat).sum(axis=1)
+
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "img_sum_r": pa.array(img_sum[:, 0]),
+            "img_sum_g": pa.array(img_sum[:, 1]),
+            "img_sum_b": pa.array(img_sum[:, 2]),
+            "img_sumsq_r": pa.array(img_sumsq[:, 0]),
+            "img_sumsq_g": pa.array(img_sumsq[:, 1]),
+            "img_sumsq_b": pa.array(img_sumsq[:, 2]),
+            "img_min": pa.array(img_min),
+            "img_max": pa.array(img_max),
+            "wav_n": pa.array(wav_n),
+            "wav_sumsq": pa.array(wav_sumsq),
+            "vid_sum": pa.array(vid_sum),
+            "vid_sumsq": pa.array(vid_sumsq),
+        })
+
+
+class SynthMediaFromDocsStage:
+    """Deterministic multimodal payloads derived from a TEXT column —
+    the fixture half of the hash-verifiable decode pipeline: every
+    pixel / PCM sample / video byte is an arithmetic function of the
+    document text that a SQL oracle reproduces with
+    ``ord(substr(text, ...))`` (see ``__ray_entry__.oracle_sql()
+    ['multimodal_features']``), so the REAL decode kernels
+    (BMP/PPM parse, WAV PCM16, rawvideo slicing) are verified end-to-end
+    against an independent engine, not just against themselves.
+
+    Per row (``L = n_chars``; text must be ASCII — enforced loudly):
+
+    - image: ``side = 17 + L % 8`` square RGB, pixel at flat row-major
+      index ``j`` ((r, c, ch)) = ``byte(text[j % L])``; encoded as real
+      BMP for even ``doc_id``, real P6 PPM for odd — the format choice is
+      invisible to the oracle because both decode to identical pixels.
+    - audio: ``L + 100`` PCM16 mono samples at 8 kHz,
+      ``s[j] = byte(text[j % L]) * 129 - 16384``, WAV container.
+    - video: ``4 + L % 5`` raw RGB24 8x8 frames, frame ``f`` flat byte
+      ``q`` = ``byte(text[(f*192 + q) % L])``.
+
+    Emits ``{id_col}``, ``img_payload``/``img_meta``,
+    ``wav_payload``/``wav_meta``, ``vid_payload``/``vid_meta`` — each
+    payload/meta pair feeds the corresponding decode stage via its
+    ``payload_col`` / ``meta_col`` parameters."""
+
+    VID_W = VID_H = 8
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        img_p, img_m, wav_p, wav_m, vid_p, vid_m = [], [], [], [], [], []
+        fsz = self.VID_W * self.VID_H * 3
+        for did, text in zip(ids, texts):
+            b = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+            L = len(b)
+            side = 17 + L % 8
+            pix = b[np.arange(side * side * 3) % L].reshape(side, side, 3)
+            if int(did) % 2 == 0:
+                img_p.append(encode_bmp(pix))
+                fmt = "bmp"
+            else:
+                img_p.append(encode_ppm(pix))
+                fmt = "ppm"
+            img_m.append({"modality": "image", "format": fmt, "width": side,
+                          "height": side, "sample_rate": 0, "fps": 0.0,
+                          "n_bytes": len(img_p[-1])})
+            samples = (b[np.arange(L + 100) % L].astype(np.int64) * 129
+                       - 16384).astype(np.int16)
+            wav_p.append(encode_wav_pcm16(samples, 8000))
+            wav_m.append({"modality": "audio", "format": "wav", "width": 0,
+                          "height": 0, "sample_rate": 8000, "fps": 0.0,
+                          "n_bytes": len(wav_p[-1])})
+            nf = 4 + L % 5
+            vid = b[np.arange(nf * fsz) % L]
+            vid_p.append(vid.tobytes())
+            vid_m.append({"modality": "video", "format": "rawvideo",
+                          "width": self.VID_W, "height": self.VID_H,
+                          "sample_rate": 0, "fps": 10.0,
+                          "n_bytes": len(vid_p[-1])})
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "img_payload": pa.array(img_p, type=pa.binary()),
+            "img_meta": pa.array(img_m, type=MEDIA_META_TYPE),
+            "wav_payload": pa.array(wav_p, type=pa.binary()),
+            "wav_meta": pa.array(wav_m, type=MEDIA_META_TYPE),
+            "vid_payload": pa.array(vid_p, type=pa.binary()),
+            "vid_meta": pa.array(vid_m, type=MEDIA_META_TYPE),
+        })
+
+
 def synth_media_table(n: int, seed: int = 42,
                       modality: str = "image",
                       side: Optional[int] = None,
