@@ -262,7 +262,10 @@ def run_bench() -> dict:
         ImageFeatureStage,
         synth_media_table,
     )
-    media = rd.from_arrow(synth_media_table(1500)) \
+    from chronon_ray.functions import native_decode as _nd
+    img_formats = ("bmp", "ppm", "png", "jpeg") + \
+        (("jpeg_prog",) if _nd.available() else ())
+    media = rd.from_arrow(synth_media_table(1500, formats=img_formats)) \
         .repartition(ncpu).materialize()
     t0 = time.perf_counter()
     media.map_batches(DecodeImageStage,

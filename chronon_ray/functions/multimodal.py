@@ -16,7 +16,8 @@ Decode support matrix (no PIL/libav/soundfile in this container):
   stdlib zlib inflate, full None/Sub/Up/Average/Paeth unfilter;
 - baseline JPEG (SOF0, gray / 4:4:4 / 4:2:0 / 4:2:2, DRI/RSTn): REAL
   decode — Huffman + dequant + exact 8×8 IDCT, pure numpy (see jpeg.py;
-  progressive and arithmetic-coded JPEG raise);
+  progressive and arithmetic-coded JPEG raise in the PYTHON tier — the
+  native tier below decodes progressive/SOF2 streams);
 - remaining compressed formats (mp3/mp4/...): deterministic fake decode
   (seeded by content hash) when ``fake=True`` so plumbing stays testable;
   with ``fake=False`` they raise NotImplementedError where the real
@@ -322,6 +323,12 @@ class DecodeImageStage:
     the compiled libjpeg/libpng shim when this node can build it (see
     native_decode.py — the 100-TB throughput tier, ~90× per image) and
     falls back to pure-python otherwise; "native" requires the shim.
+    PROGRESSIVE (SOF2) JPEG decodes only on the native tier; the python
+    tier refuses it loudly (its documented boundary).  The python tier
+    also emits a one-time per-actor RuntimeWarning after
+    ``PY_TIER_WARN_BYTES`` of compressed PNG/JPEG input, pointing at
+    ``decoder="auto"`` — a 100-TB pipeline left on the oracle tier should
+    learn from its logs, not its wall-clock.
     The default is the oracle tier ON PURPOSE: on a heterogeneous cluster
     "auto" makes pixel output depend on which node's actor decoded the row
     (JPEG decoders legitimately differ by a few levels), so the fast tier
@@ -329,14 +336,26 @@ class DecodeImageStage:
     (the bench's decode entries opt in).  The tier choice happens ONCE per
     actor in ``__init__`` (actor-pool stage), never per batch."""
 
+    #: one-time per-actor warning once the pure-python PNG/JPEG tier has
+    #: chewed through this many compressed bytes (the 100-TB guardrail:
+    #: a naive pipeline left on the default tier should learn about
+    #: ``decoder="auto"`` from its logs, not from its wall-clock)
+    PY_TIER_WARN_BYTES = 32 << 20
+
     def __init__(self, out_h: int = 32, out_w: int = 32, fake: bool = True,
                  payload_col: str = "payload", meta_col: str = "meta",
-                 decoder: str = "python"):
+                 decoder: str = "python",
+                 py_tier_warn_bytes: Optional[int] = None):
         self.out_h, self.out_w, self.fake = out_h, out_w, fake
         self.payload_col, self.meta_col = payload_col, meta_col
         if decoder not in ("auto", "native", "python"):
             raise ValueError(f"decoder {decoder!r}")
         self._native = None
+        self._py_bytes = 0
+        self._warn_bytes = (self.PY_TIER_WARN_BYTES
+                            if py_tier_warn_bytes is None
+                            else py_tier_warn_bytes)
+        self._warned = False
         if decoder in ("auto", "native"):
             from . import native_decode
             if native_decode.available():
@@ -372,6 +391,23 @@ class DecodeImageStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         fmts = _formats(batch, self.meta_col)
+        if self._native is None and not self._warned:
+            self._py_bytes += sum(
+                len(p) for p, f in zip(payloads, fmts)
+                if p and (f in ("png", "jpeg", "jpg")
+                          or p[:8] == _PNG_SIG or p[:2] == b"\xFF\xD8"))
+            if self._py_bytes > self._warn_bytes:
+                import warnings
+                warnings.warn(
+                    "DecodeImageStage's pure-python PNG/JPEG tier has "
+                    f"decoded > {self._warn_bytes >> 20} MB in this actor "
+                    "— it is the bit-reproducible ORACLE tier, ~90x "
+                    "slower than the compiled one. Pass "
+                    "DecodeImageStage(decoder='auto') for the native "
+                    "libjpeg/libpng tier (pixel output may then differ "
+                    "by a few levels across heterogeneous nodes).",
+                    RuntimeWarning, stacklevel=2)
+                self._warned = True
         pix = np.stack([self._decode_one(p or b"", f)
                         for p, f in zip(payloads, fmts)])
         flat = pix.reshape(len(payloads), -1)
@@ -686,11 +722,17 @@ def synth_media_table(n: int, seed: int = 42,
                 from .jpeg import encode_jpeg_baseline
                 p = encode_jpeg_baseline(
                     pix, quality=90, subsample="420" if i % 8 else "444")
+            elif fmt == "jpeg_prog":
+                # PROGRESSIVE (SOF2) stream — only the native tier can
+                # encode (and decode) it in this container; callers that
+                # include it must run DecodeImageStage(decoder="auto")
+                from .native_decode import encode_jpeg_progressive_native
+                p = encode_jpeg_progressive_native(pix, quality=90)
             else:
                 p = {"bmp": encode_bmp, "ppm": encode_ppm,
                      "png": lambda x: encode_png(x, filter_type=i % 5)}[fmt](pix)
             meta.append({"modality": "image",
-                         "format": fmt,
+                         "format": "jpeg" if fmt == "jpeg_prog" else fmt,
                          "width": w, "height": h, "sample_rate": 0,
                          "fps": 0.0, "n_bytes": len(p)})
         elif modality == "audio":

@@ -42,6 +42,7 @@ import numpy as np
 
 _C_SRC = r"""
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 #include <setjmp.h>
 #include <stdio.h>
@@ -102,6 +103,49 @@ int cr_jpeg_decode(const unsigned char *buf, size_t len,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     if (jerr.mgr.num_warnings != 0) return 4;
+    return 0;
+}
+
+/* PROGRESSIVE (SOF2) encoder — fixture-generation path only: the
+   container has no other way to produce a progressive stream, and the
+   decode tests need one.  jpeg_simple_progression emits libjpeg's
+   standard spectral-selection/successive-approximation scan script. */
+int cr_jpeg_encode_prog(const unsigned char *rgb, int w, int h, int quality,
+                        unsigned char *out, size_t cap, size_t *outlen) {
+    struct jpeg_compress_struct cinfo;
+    struct cr_jerr jerr;
+    unsigned char *mem = NULL;
+    unsigned long memlen = 0;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = cr_error_exit;
+    jerr.mgr.emit_message = cr_emit_message;
+    jerr.mgr.output_message = cr_output_message;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        if (mem) free(mem);
+        return 1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, &mem, &memlen);
+    cinfo.image_width = (JDIMENSION)w;
+    cinfo.image_height = (JDIMENSION)h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_simple_progression(&cinfo);
+    jpeg_start_compress(&cinfo, TRUE);
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = (JSAMPROW)(rgb + (size_t)cinfo.next_scanline
+                                  * (size_t)w * 3u);
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    if ((size_t)memlen > cap) { free(mem); return 2; }
+    memcpy(out, mem, (size_t)memlen);
+    *outlen = (size_t)memlen;
+    free(mem);
     return 0;
 }
 
@@ -216,6 +260,10 @@ def _load():
             fn.restype = c_int
             fn.argtypes = [c_char_p, c_size_t, POINTER(c_ubyte), c_size_t,
                            POINTER(c_int), POINTER(c_int)]
+        enc = lib.cr_jpeg_encode_prog
+        enc.restype = c_int
+        enc.argtypes = [POINTER(c_ubyte), c_int, c_int, c_int,
+                        POINTER(c_ubyte), c_size_t, POINTER(c_size_t)]
         if not _smoke(lib):
             return None
         _lib = lib
@@ -319,3 +367,28 @@ def decode_png_native(buf: bytes) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native decode tier unavailable")
     return _decode_png(lib, buf)
+
+
+def encode_jpeg_progressive_native(pix: np.ndarray,
+                                   quality: int = 90) -> bytes:
+    """uint8 (h, w, 3) RGB → PROGRESSIVE (SOF2) JPEG bytes via libjpeg's
+    jpeg_simple_progression.  Fixture-generation only — the decode side is
+    the product surface (decode_jpeg_native handles SOF2; the pure-python
+    tier refuses it loudly as its documented boundary)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decode tier unavailable")
+    h, w, ch = pix.shape
+    if ch != 3 or pix.dtype != np.uint8:
+        raise ValueError("expected uint8 (h, w, 3) RGB")
+    pix = np.ascontiguousarray(pix)
+    cap = h * w * 3 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    outlen = c_size_t()
+    rc = lib.cr_jpeg_encode_prog(
+        pix.ctypes.data_as(POINTER(c_ubyte)), c_int(w), c_int(h),
+        c_int(quality), out.ctypes.data_as(POINTER(c_ubyte)),
+        c_size_t(cap), byref(outlen))
+    if rc:
+        raise ValueError(f"libjpeg: progressive encode failed (rc={rc})")
+    return out[:outlen.value].tobytes()

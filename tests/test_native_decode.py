@@ -164,3 +164,76 @@ def test_stage_tiers_agree_on_fixture_corpus(ray_session):
             assert np.abs(a - b).max() <= 8, (i, fmt)
         else:
             np.testing.assert_array_equal(a, b, err_msg=f"{i} {fmt}")
+
+
+# ----------------------------------------------------- progressive (SOF2)
+
+
+def test_progressive_jpeg_native_decode():
+    """The native tier decodes SOF2 streams (libjpeg handles progressive
+    natively); output is bit-stable and close to the source pixels."""
+    x = np.linspace(0, 255, 48)
+    base = np.stack(np.meshgrid(x, x), -1).sum(-1) / 2
+    pix = np.stack([base, base[::-1], base.T], -1).astype(np.uint8)
+    buf = nd.encode_jpeg_progressive_native(pix, quality=95)
+    assert b"\xff\xc2" in buf  # SOF2 marker really present
+    got = nd.decode_jpeg_native(buf)
+    assert got.shape == pix.shape
+    assert np.abs(got.astype(np.int16) - pix.astype(np.int16)).max() <= 16
+    np.testing.assert_array_equal(got, nd.decode_jpeg_native(buf))
+
+
+def test_progressive_python_tier_refuses_loudly():
+    rng = np.random.Generator(np.random.PCG64(21))
+    pix = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    buf = nd.encode_jpeg_progressive_native(pix)
+    with pytest.raises(NotImplementedError, match="FFC2"):
+        decode_jpeg_baseline(buf)
+
+
+def test_progressive_vs_baseline_same_pixels_bounded():
+    """Progressive and baseline encodings of the SAME pixels decode to
+    nearly identical output (same quant tables at same quality)."""
+    x = np.linspace(0, 255, 32)
+    base = np.stack(np.meshgrid(x, x), -1).sum(-1) / 2
+    pix = np.stack([base, base.T, base[::-1]], -1).astype(np.uint8)
+    prog = nd.decode_jpeg_native(nd.encode_jpeg_progressive_native(pix, 92))
+    seq = nd.decode_jpeg_native(encode_jpeg_baseline(pix, quality=92,
+                                                     subsample="444"))
+    assert np.abs(prog.astype(np.int16) - seq.astype(np.int16)).max() <= 24
+
+
+def test_progressive_truncation_fails_loudly():
+    rng = np.random.Generator(np.random.PCG64(22))
+    pix = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    buf = nd.encode_jpeg_progressive_native(pix)
+    with pytest.raises(ValueError):
+        nd.decode_jpeg_native(buf[:len(buf) * 2 // 3])
+
+
+def test_stage_decodes_progressive_via_native(ray_session):
+    """DecodeImageStage(decoder='native') handles a jpeg_prog fixture
+    row; the python-tier stage refuses the same row."""
+    t = synth_media_table(8, formats=("jpeg_prog",), side=20)
+    stage = DecodeImageStage(out_h=8, out_w=8, fake=False, decoder="native")
+    out = stage(t)
+    assert out["pixels"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).size == 8 * 8 * 8 * 3
+    py_stage = DecodeImageStage(out_h=8, out_w=8, fake=False,
+                                decoder="python")
+    with pytest.raises(NotImplementedError):
+        py_stage(t)
+
+
+def test_python_tier_size_guardrail_warns_once():
+    """The oracle tier warns (once) after the byte threshold, pointing at
+    decoder='auto'."""
+    t = synth_media_table(6, formats=("png",), side=32)
+    stage = DecodeImageStage(out_h=8, out_w=8, decoder="python",
+                             py_tier_warn_bytes=64)
+    with pytest.warns(RuntimeWarning, match="decoder='auto'"):
+        stage(t)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # a second batch must NOT warn again
+        stage(t)
