@@ -79,10 +79,18 @@ def _cmd_backfill(args: argparse.Namespace) -> dict:
                 f"--mode {args.mode} needs a GroupByConf; {args.conf} "
                 "compiled to a Join (its sources are embedded — drop the "
                 "--*-table flags)")
+        selected = (args.selected_parts.split(",")
+                    if getattr(args, "selected_parts", None) else None)
         summary = backfill_join(conf, args.out, args.start, args.end,
                                 step_days=args.step_days,
-                                num_partitions=args.num_partitions)
+                                num_partitions=args.num_partitions,
+                                phase=getattr(args, "phase", "all"),
+                                selected_parts=selected)
         kind = "join"
+    elif getattr(args, "phase", "all") != "all" \
+            or getattr(args, "selected_parts", None):
+        raise SystemExit("--phase / --selected-parts apply to JoinConf "
+                         f"backfills; {args.conf} compiled to a GroupBy")
     elif isinstance(conf, GroupByConf):
         kind = args.mode
         if args.mode == "snapshot":
@@ -507,6 +515,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "or tiled lambda fetch (pipelines/streaming.py)")
     b.add_argument("--step-days", type=int, default=30)
     b.add_argument("--num-partitions", type=int, default=64)
+    b.add_argument("--phase", default="all",
+                   choices=["all", "left", "parts", "final"],
+                   help="split-phase Join backfill (the reference "
+                        "join-backfill-left / join-backfill-final DAG "
+                        "nodes): 'left' caches the shared left table, "
+                        "'parts' computes per-part feature caches, "
+                        "'final' assembles from the caches")
+    b.add_argument("--selected-parts", default=None,
+                   help="comma-separated joinPart full prefixes to "
+                        "restrict --phase parts (selected_join_parts "
+                        "analog)")
     b.add_argument("--num-cpus", type=int, default=None,
                    help="force a fresh LOCAL ray session of this size "
                         "(default: connect per RAY_ADDRESS)")

@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import ray.data
 
@@ -181,6 +181,8 @@ def backfill_join(
     end: str,
     step_days: int = 30,
     num_partitions: int = 64,
+    phase: str = "all",
+    selected_parts: Optional[Sequence[str]] = None,
 ) -> dict:
     """Range-planned multi-part Join backfill with per-part cached
     intermediate tables (reference: spark/JoinBase.scala:132-227
@@ -188,12 +190,31 @@ def backfill_join(
     independent unfilledRanges, the final assembly reads the caches).
 
     Layout:
+        out_dir/left/ds=YYYY-MM-DD/                 cached left table
         out_dir/parts/<full_prefix>/ds=YYYY-MM-DD/  per-part features
         out_dir/ds=YYYY-MM-DD/                      assembled join output
 
     A re-run recomputes only missing part ranges and missing output
     partitions; a config change on one part invalidates only that part's
-    cache (semantic hash archive)."""
+    cache (semantic hash archive).
+
+    ``phase`` mirrors the reference's split-phase orchestration
+    (Driver.scala:1045-1048 join-left-table / join-final, scheduled as
+    separate DAG nodes by repo/join_backfill.py:28-139):
+
+    - ``"left"``: materialize ONLY the shared left table cache
+      (``run_left_table`` / mode=backfill-left analog).
+    - ``"parts"``: compute ONLY the per-part feature caches —
+      ``selected_parts`` (full prefixes) restricts to a subset, the
+      ``selected_join_parts`` + ``use_cached_left`` analog.  Reads the
+      left cache when complete, else scans the left source.
+    - ``"final"``: ONLY the final assembly from the existing caches
+      (mode=backfill-final analog); raises loudly if a needed part cache
+      is missing rather than silently emitting fewer feature columns.
+    - ``"all"`` (default): everything in one run, same resume semantics.
+
+    Running left → parts → final as three separate invocations produces
+    byte-identical output to one ``phase="all"`` run."""
     import os
     from dataclasses import replace as _rep
 
@@ -207,8 +228,11 @@ def backfill_join(
     from .temporal import temporal_join
     from ..sources import scan_source
 
+    if phase not in ("all", "left", "parts", "final"):
+        raise ValueError(f"phase must be all/left/parts/final, got {phase!r}")
     summary = {"parts": {}, "partitions_written": [], "skipped_output": [],
-               "part_steps_computed": 0}
+               "part_steps_computed": 0, "phase": phase,
+               "left_partitions_written": []}
     requested = PartitionRange(start, end)
     # calendar days absent from the LEFT input are not backfillable work:
     # without this intersection a resume re-plans the hole forever and the
@@ -236,8 +260,64 @@ def backfill_join(
         return t.append_column(
             "ds", pa.array(np.datetime_as_string(days, unit="D")))
 
+    # ---- shared left-table cache (JoinBackfillLeft / backfill-left)
+    import hashlib as _hl
+
+    left_dir = os.path.join(out_dir, "left")
+    left_hash = _hl.md5(repr(jc.left).encode()).hexdigest()[:16]
+
+    def _left_cache_files(rng: PartitionRange):
+        """Parquet files of the cached left for rng, or None unless EVERY
+        requested day is cache-complete under the current left hash."""
+        done_left = completed_partitions(left_dir, left_hash)
+        files = []
+        for d in rng.partitions():
+            if d not in done_left:
+                return None
+            sub = os.path.join(left_dir, f"ds={d}")
+            files.extend(os.path.join(sub, f)
+                         for f in sorted(os.listdir(sub))
+                         if f.endswith(".parquet"))
+        return files or None
+
+    def _left_with_ds(rng: PartitionRange):
+        cached = _left_cache_files(rng)
+        if cached is not None:
+            # hive-partitioned cache files carry ds only in the dir name —
+            # _add_ds re-derives it from ts (same values by construction)
+            return _read_parquet(cached).map_batches(
+                _add_ds, batch_format="pyarrow")
+        return _left_for(rng).map_batches(_add_ds, batch_format="pyarrow")
+
+    if phase in ("all", "left"):
+        archive_mismatched(left_dir, left_hash)
+        done_left = completed_partitions(left_dir, left_hash)
+        left_chunks = unfilled_ranges(requested, done_left,
+                                      input_partitions=left_input,
+                                      skip_first_hole=False)
+        for chunk in left_chunks:
+            for step in chunk.steps(step_days):
+                t0 = time.perf_counter()
+                lt = _left_for(step).map_batches(_add_ds,
+                                                 batch_format="pyarrow")
+                manifests = write_partitioned(
+                    lt, left_dir, left_hash,
+                    input_range=(step.start, step.end),
+                    metrics={"step_wall_sec":
+                             round(time.perf_counter() - t0, 3)})
+                summary["left_partitions_written"].extend(sorted(manifests))
+        if phase == "left":
+            return summary
+
     part_dirs = {}
     part_left_keys = None
+    selected = set(selected_parts) if selected_parts else None
+    if selected is not None:
+        known = {p.full_prefix for p in jc.parts}
+        unknown = selected - known
+        if unknown:
+            raise ValueError(f"unknown join parts {sorted(unknown)} "
+                             f"(have {sorted(known)})")
     for part in jc.parts:
         gb = part.group_by
         if (gb.accuracy or Accuracy.TEMPORAL) == Accuracy.SNAPSHOT:
@@ -250,13 +330,6 @@ def backfill_join(
         phash = _part_hash(jc, part)
         archive_mismatched(pdir, phash)
         done = completed_partitions(pdir, phash)
-        chunks = unfilled_ranges(requested, done,
-                                 input_partitions=left_input,
-                                 skip_first_hole=False)
-        steps = [s for c in chunks for s in c.steps(step_days)]
-        summary["parts"][prefix] = {
-            "steps": len(steps),
-            "skipped": sorted(set(done) & set(requested.partitions()))}
         r2l = part.right_to_left()
         left_key_cols = [r2l.get(k, k) for k in gb.key_columns]
         if part_left_keys is None:
@@ -264,10 +337,22 @@ def backfill_join(
         elif part_left_keys != left_key_cols:
             raise NotImplementedError(
                 "backfill_join parts must share one left key set")
+        if phase == "final" or (selected is not None
+                                and prefix not in selected):
+            summary["parts"][prefix] = {"steps": 0, "skipped": [],
+                                        "selected": False}
+            continue
+        chunks = unfilled_ranges(requested, done,
+                                 input_partitions=left_input,
+                                 skip_first_hole=False)
+        steps = [s for c in chunks for s in c.steps(step_days)]
+        summary["parts"][prefix] = {
+            "steps": len(steps),
+            "skipped": sorted(set(done) & set(requested.partitions()))}
         w_days = max_window_days(gb)
         for step in steps:
             t0 = time.perf_counter()
-            left = _left_for(step)
+            left = _left_with_ds(step)
             kt = left.map_batches(
                 lambda t, cols=tuple([*left_key_cols, "ts"]),
                 names=tuple([*gb.key_columns, "ts"]):
@@ -305,6 +390,9 @@ def backfill_join(
                          round(time.perf_counter() - t0, 3)})
             summary["part_steps_computed"] += 1
 
+    if phase == "parts":
+        return summary
+
     # ---- final assembly from cached part tables
     out_hash = jc.semantic_hash()
     archive_mismatched(out_dir, out_hash)
@@ -318,8 +406,7 @@ def backfill_join(
     for chunk in out_chunks:
         for step in chunk.steps(step_days):
             t0 = time.perf_counter()
-            left = _left_for(step).map_batches(_add_ds,
-                                               batch_format="pyarrow")
+            left = _left_with_ds(step)
             feats = []
             for part in jc.parts:
                 pdir = part_dirs[part]
@@ -331,6 +418,15 @@ def backfill_join(
                                      for f in sorted(os.listdir(sub))
                                      if f.endswith(".parquet"))
                 if not files:
+                    if phase == "final":
+                        # a final-only run must not silently assemble
+                        # fewer feature columns than the conf declares
+                        raise RuntimeError(
+                            f"backfill --phase final: no cached part "
+                            f"table for {part.full_prefix!r} in "
+                            f"{step.start}..{step.end} — run "
+                            "--phase parts (optionally --selected-parts "
+                            f"{part.full_prefix}) first")
                     continue
                 fd = _read_parquet(files)
                 fd = fd.map_batches(

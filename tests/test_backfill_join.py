@@ -150,3 +150,88 @@ def test_backfill_snapshot_groupby_single_pass(ray_session, token_dirs,
     assert len(m) == len(got) == len(exp)
     np.testing.assert_allclose(m["n_tok_sum_3d"].astype(float),
                                m["n_tok_sum_3d_exp"].astype(float), rtol=1e-9)
+
+
+def test_backfill_join_split_phases_equal_one_shot(ray_session, token_dirs,
+                                                   tmp_path):
+    """left -> parts (per-part, separately) -> final as four independent
+    invocations (the reference join_backfill.py DAG-node schedule) produce
+    byte-identical output to one phase='all' run; a final-only run with a
+    missing part cache fails loudly; resume stays intact across phases."""
+    import ray.data as rd
+
+    jc = _join_conf(token_dirs)
+    from chronon_ray.sources import list_partitions
+
+    left_parts = list_partitions(token_dirs["left_dir"])
+    start, end = left_parts[2], left_parts[4]
+    days = [start, left_parts[3], end]
+
+    one_dir = str(tmp_path / "oneshot")
+    s_all = backfill_join(jc, one_dir, start, end, num_partitions=8)
+    assert sorted(s_all["partitions_written"]) == days
+    # phase='all' now also materializes the shared left cache
+    for d in days:
+        assert os.path.isdir(os.path.join(one_dir, "left", f"ds={d}"))
+
+    split_dir = str(tmp_path / "split")
+    # final with no caches: loud, names the missing part
+    with pytest.raises(RuntimeError, match="gb_sum"):
+        backfill_join(jc, split_dir, start, end, num_partitions=8,
+                      phase="final")
+
+    s_left = backfill_join(jc, split_dir, start, end, num_partitions=8,
+                           phase="left")
+    assert sorted(s_left["left_partitions_written"]) == days
+    assert s_left["partitions_written"] == []
+    assert not os.path.isdir(os.path.join(split_dir, "parts"))
+
+    # per-part scheduling: each part as its own invocation
+    s_p1 = backfill_join(jc, split_dir, start, end, num_partitions=8,
+                         phase="parts", selected_parts=["gb_sum"])
+    assert s_p1["parts"]["p2_gb_cnt"] == {"steps": 0, "skipped": [],
+                                          "selected": False}
+    assert s_p1["part_steps_computed"] == 1
+    with pytest.raises(RuntimeError, match="p2_gb_cnt"):
+        backfill_join(jc, split_dir, start, end, num_partitions=8,
+                      phase="final")
+    s_p2 = backfill_join(jc, split_dir, start, end, num_partitions=8,
+                         phase="parts", selected_parts=["p2_gb_cnt"])
+    assert s_p2["part_steps_computed"] == 1
+    # unknown part name is loud
+    with pytest.raises(ValueError, match="unknown join parts"):
+        backfill_join(jc, split_dir, start, end, num_partitions=8,
+                      phase="parts", selected_parts=["nope"])
+
+    s_fin = backfill_join(jc, split_dir, start, end, num_partitions=8,
+                          phase="final")
+    assert sorted(s_fin["partitions_written"]) == days
+    assert s_fin["part_steps_computed"] == 0
+
+    def read_all(base):
+        files = [os.path.join(base, f"ds={d}", f) for d in days
+                 for f in sorted(os.listdir(os.path.join(base, f"ds={d}")))
+                 if f.endswith(".parquet")]
+        return rd.read_parquet(files).to_pandas() \
+            .sort_values(["doc_id", "ts"]).reset_index(drop=True)
+
+    g, x = read_all(split_dir), read_all(one_dir)
+    assert list(g.columns) == list(x.columns)
+    assert len(g) == len(x)
+    for c in g.columns:
+        a, b = g[c].to_numpy(), x[c].to_numpy()
+        if a.dtype.kind == "f":
+            an, bn = np.isnan(a.astype(float)), np.isnan(b.astype(float))
+            assert (an == bn).all(), c
+            np.testing.assert_allclose(a[~an].astype(float),
+                                       b[~bn].astype(float), err_msg=c)
+        else:
+            assert (a == b).all(), c
+
+    # resume across phases: a re-run of every phase is a full no-op
+    for ph in ("left", "parts", "final"):
+        s = backfill_join(jc, split_dir, start, end, num_partitions=8,
+                          phase=ph)
+        assert s["part_steps_computed"] == 0
+        assert s["partitions_written"] == []
+        assert s["left_partitions_written"] == []

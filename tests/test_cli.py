@@ -410,3 +410,47 @@ def test_cli_summarize_ir_and_drift(cli_env, capsys, tmp_path):
     assert same["flagged"] == []
     assert any(f["column"] == "metric" and f["psi"] > 0.25
                for f in shift["flagged"])
+
+
+def test_backfill_join_split_phase_cli(cli_env, capsys):
+    """`backfill --phase left|parts|final` as three CLI invocations
+    (join-backfill-left / join-backfill-final DAG-node analog) matches the
+    one-shot output; --phase on a GroupBy conf is a loud dispatch error."""
+    out_dir = os.path.join(cli_env["base"], "join_phased")
+    base = ["backfill", "--conf", cli_env["join_conf"], "--out", out_dir,
+            "--start", cli_env["start"], "--end", cli_env["end"],
+            "--num-partitions", "4"]
+    got = _run(base + ["--phase", "left"], capsys)
+    assert got["phase"] == "left"
+    assert len(got["left_partitions_written"]) == 3
+    assert got["partitions_written"] == []
+    got = _run(base + ["--phase", "parts",
+                       "--selected-parts", "cli_part"], capsys)
+    assert got["part_steps_computed"] == 1
+    got = _run(base + ["--phase", "final"], capsys)
+    assert len(got["partitions_written"]) == 3
+    # identical to the one-shot output of test_backfill_join_conf's dir
+    one_dir = os.path.join(cli_env["base"], "join_out")
+    if os.path.isdir(one_dir):
+        import pyarrow.parquet as pq
+
+        def rows(base_dir):
+            import pandas as pd
+            days = sorted(d for d in os.listdir(base_dir)
+                          if d.startswith("ds="))
+            frames = [pq.read_table(os.path.join(base_dir, d, f)).to_pandas()
+                      for d in days
+                      for f in sorted(os.listdir(os.path.join(base_dir, d)))
+                      if f.endswith(".parquet")]
+            df = pd.concat(frames, ignore_index=True)
+            return df.sort_values(list(df.columns)[:2]) \
+                .reset_index(drop=True)
+
+        a, b = rows(out_dir), rows(one_dir)
+        assert a.equals(b)
+    with pytest.raises(SystemExit):
+        main(["backfill", "--conf", cli_env["gb_conf"], "--out", "/tmp/x",
+              "--start", cli_env["start"], "--end", cli_env["end"],
+              "--left-table", cli_env["left"],
+              "--right-table", cli_env["right"], "--phase", "left"])
+    capsys.readouterr()
