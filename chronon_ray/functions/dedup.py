@@ -277,7 +277,7 @@ class _MinHashTagged:
         self.a, self.b = _perm_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pandas()
+        texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -1074,37 +1074,57 @@ class _NgramEmit:
     Pre-aggregated inside the batch (a doc's text lives in one row, so a
     (gram, doc) pair never spans batches — the emitted rows are globally
     unique), which is the map-side combine that keeps the shuffle at
-    distinct-gram volume instead of occurrence volume."""
+    distinct-gram volume instead of occurrence volume.
+
+    Arrow in / Arrow out: tokenization is ``utf8_lower`` +
+    ``split_pattern_regex`` (the complement of the old ``[a-z0-9]+``
+    findall — identical token streams), gram strings assemble via
+    ``binary_join_element_wise`` over shifted takes of the flat word
+    array, and the per-(doc, gram) combine is an Arrow ``group_by`` —
+    no pandas object columns anywhere in the emit path."""
 
     def __init__(self, text_col: str, id_col: str, n: int):
-        import re
         self.__name__ = type(self).__name__
         self.text_col, self.id_col, self.n = text_col, id_col, n
-        self.word_re = re.compile(r"[a-z0-9]+")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch[self.text_col].fillna("").str.lower()
-        ids = batch[self.id_col].reset_index(drop=True)
-        words = t.reset_index(drop=True).str.findall(self.word_re.pattern) \
-            .explode()
-        words = words[words.notna()]
-        parts = [words]
-        for k in range(1, self.n):
-            parts.append(words.groupby(level=0).shift(-k))
-        ok = pd.concat([p.notna() for p in parts], axis=1).all(axis=1)
-        if not ok.any():
-            return pd.DataFrame({"gram": pd.Series([], dtype=str),
-                                 "doc": pd.Series([], dtype=np.int64),
-                                 "cnt": pd.Series([], dtype=np.int64)})
-        g = parts[0][ok]
-        for p in parts[1:]:
-            g = g + " " + p[ok]
-        cc = g.groupby([g.index, g]).size()
-        return pd.DataFrame({
-            "gram": cc.index.get_level_values(1),
-            "doc": ids.to_numpy()[cc.index.get_level_values(0)],
-            "cnt": cc.to_numpy().astype(np.int64),
-        })
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids_arr = batch[self.id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc": pa.array([], ids_arr.type),
+                          "cnt": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(pc.cast(pc.utf8_lower(texts), pa.string()), "")
+        toks = pc.split_pattern_regex(texts, "[^a-z0-9]+")
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "")
+        ne = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(ne)])
+        wc = cs[offs[1:]] - cs[offs[:-1]]          # words per doc
+        W = flat.filter(nonempty)                  # compacted word array
+        new_off = np.concatenate([[0], np.cumsum(wc)])
+        m = np.maximum(wc - self.n + 1, 0)         # grams per doc
+        total = int(m.sum())
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(wc)), m)
+        cum = np.concatenate([[0], np.cumsum(m)[:-1]])
+        starts = (np.arange(total) - cum[doc_idx]) + new_off[doc_idx]
+        cols = [W.take(pa.array(starts + k)) for k in range(self.n)]
+        gram = (cols[0] if self.n == 1
+                else pc.binary_join_element_wise(*cols, " "))
+        t = pa.table({"gram": gram, "doc": ids_arr.take(pa.array(doc_idx))})
+        agg = t.group_by(["doc", "gram"]).aggregate([("gram", "count")])
+        return pa.table({"gram": agg["gram"], "doc": agg["doc"],
+                         "cnt": pc.cast(agg["gram_count"], pa.int64())})
 
 
 def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
@@ -1128,7 +1148,7 @@ def dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
         # the distinct-(gram, doc) stream is ~n words per word of text
         num_partitions = auto_partitions(ds, expansion=float(n))
     grams = ds.map_batches(_NgramEmit(text_col, id_col, n),
-                           batch_format="pandas")
+                           batch_format="pyarrow")
     return _dup_gram_pipeline(grams, id_col, num_partitions)
 
 
@@ -1197,8 +1217,19 @@ def _char_window_hashes(texts: "pd.Series", L: int):
 
     Returns (H int64 window hashes, doc_idx window→row index, starts global
     char offset per window, lens chars per row, c flat uint32 codepoints,
-    offs per-row char offsets) — or None when the batch has no windows."""
-    enc = texts.str.encode("utf-32-le").to_numpy()
+    offs per-row char offsets) — or None when the batch has no windows.
+
+    Accepts a pandas Series, a pyarrow (Chunked)Array, or a list of str —
+    the Arrow emit stages feed arrays straight from the batch with no
+    pandas conversion."""
+    if hasattr(texts, "str"):  # pandas Series
+        enc = texts.str.encode("utf-32-le").to_numpy()
+    else:
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
+        enc = np.empty(len(texts), dtype=object)
+        for i, s in enumerate(texts):
+            enc[i] = (s or "").encode("utf-32-le")
     lens = np.fromiter((len(x) >> 2 for x in enc), dtype=np.int64,
                        count=len(enc))
     n = int(lens.sum())
@@ -1230,31 +1261,48 @@ def _char_window_hashes(texts: "pd.Series", L: int):
     return H, doc_idx, starts, lens, c32, offs
 
 
+def _pair_counts(gram: np.ndarray, ids: np.ndarray):
+    """Distinct (gram, id) pairs with occurrence counts — one lexsort +
+    run-length scan, no pandas object columns in the hot emit path."""
+    if ids.dtype.kind in "iu":
+        key2 = ids
+    else:  # lexsort is unreliable on object dtype — factorize first
+        _, key2 = np.unique(ids, return_inverse=True)
+    order = np.lexsort((key2, gram))
+    g, k = gram[order], key2[order]
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = (g[1:] != g[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(g))).astype(np.int64)
+    return g[starts], ids[order][starts], cnt
+
+
 class _CharGramEmit:
     """Distinct (char-L-gram rolling hash, doc, cnt) rows per batch —
-    see `_char_window_hashes` for the vectorized hashing scheme."""
+    see `_char_window_hashes` for the vectorized hashing scheme.
+    Arrow in / Arrow out; counting is a numpy lexsort run-length."""
 
     def __init__(self, text_col: str, id_col: str, L: int):
         self.__name__ = type(self).__name__
         self.text_col, self.id_col, self.L = text_col, id_col, L
 
-    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        texts = pdf[self.text_col].fillna("")
-        empty = pd.DataFrame({"gram": pd.Series([], dtype=np.int64),
-                              "doc": pd.Series([], dtype=np.int64),
-                              "cnt": pd.Series([], dtype=np.int64)})
-        hw = _char_window_hashes(texts, self.L)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_arr = batch[self.id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc": pa.array([], ids_arr.type),
+                          "cnt": pa.array([], pa.int64())})
+        hw = _char_window_hashes(batch[self.text_col], self.L)
         if hw is None:
             return empty
         H, doc_idx, _, _, _, _ = hw
-        ids = pdf[self.id_col].to_numpy()[doc_idx]
-        cc = pd.DataFrame({"gram": H, "doc": ids}) \
-            .groupby(["gram", "doc"], sort=False).size()
-        return pd.DataFrame({
-            "gram": cc.index.get_level_values(0).to_numpy(),
-            "doc": cc.index.get_level_values(1).to_numpy(),
-            "cnt": cc.to_numpy().astype(np.int64),
-        })
+        ids = ids_arr.to_numpy(zero_copy_only=False)[doc_idx]
+        g, d, cnt = _pair_counts(H, ids)
+        return pa.table({"gram": pa.array(g),
+                         "doc": pa.array(d, type=ids_arr.type),
+                         "cnt": pa.array(cnt)})
 
 
 def char_dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
@@ -1269,7 +1317,7 @@ def char_dup_ngram_stats(ds: ray.data.Dataset, text_col: str, id_col: str,
     if num_partitions is None:
         num_partitions = auto_partitions(ds, expansion=8.0)
     grams = ds.map_batches(_CharGramEmit(text_col, id_col, L),
-                           batch_format="pandas")
+                           batch_format="pyarrow")
     return _dup_gram_pipeline(grams, id_col, num_partitions)
 
 
@@ -1308,7 +1356,7 @@ def remove_dup_spans(
     if num_partitions is None:
         num_partitions = auto_partitions(ds, expansion=8.0)
     grams = ds.map_batches(_CharGramEmit(text_col, id_col, L),
-                           batch_format="pandas")
+                           batch_format="pyarrow")
 
     def cross_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("gram", sort=False)["doc"]
@@ -1333,17 +1381,26 @@ def remove_dup_spans(
         def __init__(self):
             self._t = None
 
-        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             if self._t is None:
                 self._t = ray.get(ref)
             gsort, cdocs = self._t
-            texts = pdf[text_col].fillna("")
-            ids = pdf[id_col].to_numpy()
+            ids_arr = t[id_col]
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            ids = ids_arr.to_numpy(zero_copy_only=False)
+            texts = t[text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            texts = pc.fill_null(pc.cast(texts, pa.string()), "")
             hw = _char_window_hashes(texts, L)
             if hw is None:
-                return pd.DataFrame({
-                    id_col: ids, text_col: texts.to_numpy(),
-                    "n_chars_removed": np.zeros(len(ids), dtype=np.int64)})
+                return pa.table({
+                    id_col: ids_arr, text_col: texts,
+                    "n_chars_removed": pa.array(
+                        np.zeros(len(ids), dtype=np.int64))})
             H, doc_idx, starts, lens, c32, offs = hw
             if len(gsort):
                 ix = np.minimum(np.searchsorted(gsort, H), len(gsort) - 1)
@@ -1368,12 +1425,13 @@ def remove_dup_spans(
                 kept_codes[bounds[i]:bounds[i + 1]].tobytes()
                 .decode("utf-32-le")
                 for i in range(len(ids))]
-            return pd.DataFrame({
-                id_col: ids,
-                text_col: new_texts,
-                "n_chars_removed": (lens - kept_per_doc).astype(np.int64)})
+            return pa.table({
+                id_col: ids_arr,
+                text_col: pa.array(new_texts, type=pa.string()),
+                "n_chars_removed": pa.array(
+                    (lens - kept_per_doc).astype(np.int64))})
 
-    return ds.map_batches(CutSpans, batch_format="pandas",
+    return ds.map_batches(CutSpans, batch_format="pyarrow",
                           concurrency=(1, 8))
 
 
@@ -1393,38 +1451,41 @@ def _remove_dup_spans_shuffled(
     to the broadcast path."""
 
     class WindowRows:
-        """(gram, doc, pos) per window, tagged kind=0."""
+        """(gram, doc, pos) per window, tagged kind=0. Arrow in/out."""
 
         def __init__(self):
             self.__name__ = type(self).__name__
 
-        def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-            texts = pdf[text_col].fillna("")
-            hw = _char_window_hashes(texts, L)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_arr = t[id_col]
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            hw = _char_window_hashes(t[text_col], L)
             if hw is None:
-                return pd.DataFrame({
-                    "gram": pd.Series(dtype=np.int64),
-                    "doc": pd.Series(dtype=np.int64),
-                    "pos": pd.Series(dtype=np.int64),
-                    "_kind": pd.Series(dtype=np.int8)})
+                return pa.table({
+                    "gram": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "_kind": pa.array([], pa.int8())})
             H, doc_idx, starts, lens, _, offs = hw
             local_pos = starts - offs[doc_idx]
-            return pd.DataFrame({
-                "gram": H,
-                "doc": pdf[id_col].to_numpy()[doc_idx],
-                "pos": local_pos.astype(np.int64),
-                "_kind": np.zeros(len(H), dtype=np.int8)})
+            return pa.table({
+                "gram": pa.array(H),
+                "doc": pa.array(
+                    ids_arr.to_numpy(zero_copy_only=False)[doc_idx]),
+                "pos": pa.array(local_pos.astype(np.int64)),
+                "_kind": pa.array(np.zeros(len(H), dtype=np.int8))})
 
-    def tag_dup(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "gram": pdf["gram"].to_numpy(),
-            "doc": pdf["cdoc"].to_numpy(),
-            "pos": np.full(len(pdf), -1, dtype=np.int64),
-            "_kind": np.ones(len(pdf), dtype=np.int8)})
+    def tag_dup(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gram": t["gram"],
+            "doc": t["cdoc"],
+            "pos": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            "_kind": pa.array(np.ones(len(t), dtype=np.int8))})
 
     tag_dup.__name__ = "tag_dup_grams"
-    u = ds.map_batches(WindowRows(), batch_format="pandas") \
-        .union(dup_ds.map_batches(tag_dup, batch_format="pandas"))
+    u = ds.map_batches(WindowRows(), batch_format="pyarrow") \
+        .union(dup_ds.map_batches(tag_dup, batch_format="pyarrow"))
     u = _partition_by_hash(u, ["gram"], num_partitions)
 
     def foreign_intervals(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1442,24 +1503,25 @@ def _remove_dup_spans_shuffled(
     intervals = u.groupby("_part").map_groups(foreign_intervals,
                                               batch_format="pandas")
 
-    def tag_iv(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc": pdf["doc"].to_numpy(), "pos": pdf["pos"].to_numpy(),
-            text_col: pd.array([None] * len(pdf), dtype="string"),
-            "_kind": np.zeros(len(pdf), dtype=np.int8)})
+    def tag_iv(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": t["doc"], "pos": t["pos"],
+            text_col: pa.nulls(len(t), type=pa.string()),
+            "_kind": pa.array(np.zeros(len(t), dtype=np.int8))})
 
     tag_iv.__name__ = "tag_intervals"
 
-    def tag_docs(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc": pdf[id_col].to_numpy(),
-            "pos": np.full(len(pdf), -1, dtype=np.int64),
-            text_col: pdf[text_col].astype("string"),
-            "_kind": np.ones(len(pdf), dtype=np.int8)})
+    def tag_docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc": t[id_col],
+            "pos": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            text_col: pc.cast(t[text_col], pa.string()),
+            "_kind": pa.array(np.ones(len(t), dtype=np.int8))})
 
     tag_docs.__name__ = "tag_docs"
-    u2 = intervals.map_batches(tag_iv, batch_format="pandas") \
-        .union(ds.map_batches(tag_docs, batch_format="pandas"))
+    u2 = intervals.map_batches(tag_iv, batch_format="pyarrow") \
+        .union(ds.map_batches(tag_docs, batch_format="pyarrow"))
     u2 = _partition_by_hash(u2, ["doc"], num_partitions)
 
     def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
