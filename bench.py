@@ -268,9 +268,15 @@ def run_bench() -> dict:
     media = rd.from_arrow(synth_media_table(1500, formats=img_formats)) \
         .repartition(ncpu).materialize()
     t0 = time.perf_counter()
+    # decoder='native' when the fixture contains progressive rows: on a
+    # node where the shim can't build, 'auto' would silently fall back to
+    # the python tier and die mid-decode on SOF2 — 'native' fails loudly
+    # at actor init instead
     media.map_batches(DecodeImageStage,
                       fn_constructor_kwargs={"fake": False,
-                                             "decoder": "auto"},
+                                             "decoder": "native"
+                                             if "jpeg_prog" in img_formats
+                                             else "auto"},
                       batch_format="pyarrow", batch_size=64,
                       concurrency=(1, 8)) \
         .map_batches(ImageFeatureStage, batch_format="pyarrow",

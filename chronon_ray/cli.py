@@ -468,7 +468,8 @@ def _cmd_drift(args: argparse.Namespace) -> dict:
     cmp_ = read_parquet(args.comparison_table)
     import pandas as pd
 
-    d = drift_metrics(ref, cmp_, bins=args.bins)
+    d = drift_metrics(ref, cmp_, bins=args.bins,
+                      align=getattr(args, "align", "strict"))
     psi = pd.to_numeric(d["psi"], errors="coerce")
     nrd = pd.to_numeric(d["null_rate_delta"], errors="coerce")
     flagged = d[(psi > args.psi_threshold)
@@ -671,6 +672,11 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--reference-table", required=True)
     dr.add_argument("--comparison-table", required=True)
     dr.add_argument("--bins", type=int, default=128)
+    dr.add_argument("--align", default="strict", choices=["strict", "merge"],
+                    help="bucket alignment: strict joins identical "
+                         "bucket_ts values; merge collapses each side's "
+                         "IRs across its buckets (cross-period drift, "
+                         "e.g. last week vs this week)")
     dr.add_argument("--psi-threshold", type=float, default=0.25)
     dr.add_argument("--null-rate-threshold", type=float, default=0.05)
     dr.add_argument("--num-cpus", type=int, default=None)

@@ -350,6 +350,7 @@ class DecodeImageStage:
         self.payload_col, self.meta_col = payload_col, meta_col
         if decoder not in ("auto", "native", "python"):
             raise ValueError(f"decoder {decoder!r}")
+        self._requested = decoder
         self._native = None
         self._py_bytes = 0
         self._warn_bytes = (self.PY_TIER_WARN_BYTES
@@ -398,15 +399,25 @@ class DecodeImageStage:
                           or p[:8] == _PNG_SIG or p[:2] == b"\xFF\xD8"))
             if self._py_bytes > self._warn_bytes:
                 import warnings
-                warnings.warn(
-                    "DecodeImageStage's pure-python PNG/JPEG tier has "
-                    f"decoded > {self._warn_bytes >> 20} MB in this actor "
-                    "— it is the bit-reproducible ORACLE tier, ~90x "
-                    "slower than the compiled one. Pass "
-                    "DecodeImageStage(decoder='auto') for the native "
-                    "libjpeg/libpng tier (pixel output may then differ "
-                    "by a few levels across heterogeneous nodes).",
-                    RuntimeWarning, stacklevel=2)
+                if self._requested == "python":
+                    msg = ("DecodeImageStage's pure-python PNG/JPEG tier "
+                           f"has decoded > {self._warn_bytes >> 20} MB in "
+                           "this actor — it is the bit-reproducible ORACLE "
+                           "tier, ~90x slower than the compiled one. Pass "
+                           "DecodeImageStage(decoder='auto') for the "
+                           "native libjpeg/libpng tier (pixel output may "
+                           "then differ by a few levels across "
+                           "heterogeneous nodes).")
+                else:  # decoder='auto' that FELL BACK on this node
+                    msg = ("DecodeImageStage(decoder='auto') fell back to "
+                           "the pure-python tier on this node — the "
+                           "native shim failed to build (needs cc + "
+                           "libjpeg/libpng headers) — and has decoded > "
+                           f"{self._warn_bytes >> 20} MB at ~90x slower "
+                           "than the native tier. Fix the node's "
+                           "toolchain, or set CHRONON_NATIVE_CACHE to a "
+                           "prebuilt shim location.")
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
                 self._warned = True
         pix = np.stack([self._decode_one(p or b"", f)
                         for p, f in zip(payloads, fmts)])

@@ -32,6 +32,20 @@ from ..state.partitions import PartitionRange, shift_ds, unfilled_ranges
 MILLIS_DAY = 86_400_000
 
 
+def _partition_files(base_dir: str, days) -> list[str]:
+    """Parquet files under ``base_dir/ds=<d>`` for every day PRESENT —
+    the one cache-listing loop shared by the left-table and part-table
+    readers (two hand-rolled copies could drift)."""
+    files = []
+    for d in days:
+        sub = os.path.join(base_dir, f"ds={d}")
+        if os.path.isdir(sub):
+            files.extend(os.path.join(sub, f)
+                         for f in sorted(os.listdir(sub))
+                         if f.endswith(".parquet"))
+    return files
+
+
 def max_window_days(conf: GroupByConf) -> Optional[int]:
     """None = some window unbounded → scan all history (Extensions.scala
     WindowOps; GroupBy.scala:565-580)."""
@@ -230,6 +244,15 @@ def backfill_join(
 
     if phase not in ("all", "left", "parts", "final"):
         raise ValueError(f"phase must be all/left/parts/final, got {phase!r}")
+    if selected_parts and phase != "parts":
+        # restricting any other phase would either be silently ignored
+        # (left/final) or — far worse — assemble final output MISSING the
+        # unselected parts' feature columns and mark those partitions
+        # complete forever (phase='all')
+        raise ValueError(
+            "selected_parts applies only to phase='parts' (the "
+            "selected_join_parts analog computes part caches; the final "
+            f"assembly always needs every part) — got phase={phase!r}")
     summary = {"parts": {}, "partitions_written": [], "skipped_output": [],
                "part_steps_computed": 0, "phase": phase,
                "left_partitions_written": []}
@@ -270,15 +293,10 @@ def backfill_join(
         """Parquet files of the cached left for rng, or None unless EVERY
         requested day is cache-complete under the current left hash."""
         done_left = completed_partitions(left_dir, left_hash)
-        files = []
-        for d in rng.partitions():
-            if d not in done_left:
-                return None
-            sub = os.path.join(left_dir, f"ds={d}")
-            files.extend(os.path.join(sub, f)
-                         for f in sorted(os.listdir(sub))
-                         if f.endswith(".parquet"))
-        return files or None
+        days = rng.partitions()
+        if any(d not in done_left for d in days):
+            return None
+        return _partition_files(left_dir, days) or None
 
     def _left_with_ds(rng: PartitionRange):
         cached = _left_cache_files(rng)
@@ -409,14 +427,7 @@ def backfill_join(
             left = _left_with_ds(step)
             feats = []
             for part in jc.parts:
-                pdir = part_dirs[part]
-                files = []
-                for d in step.partitions():
-                    sub = os.path.join(pdir, f"ds={d}")
-                    if os.path.isdir(sub):
-                        files.extend(os.path.join(sub, f)
-                                     for f in sorted(os.listdir(sub))
-                                     if f.endswith(".parquet"))
+                files = _partition_files(part_dirs[part], step.partitions())
                 if not files:
                     if phase == "final":
                         # a final-only run must not silently assemble

@@ -166,3 +166,91 @@ def test_compare_join_no_false_join_above_2_53(ray_session):
     assert m["v_left"].iloc[0] == 2.0 and m["v_right"].iloc[0] == 2.0
     nulls = out[out["k"].isna()]
     assert len(nulls) == 2                       # null keys never match
+
+
+# ---- adversarial-review findings (round-5 pass 1)
+
+
+def test_backfill_selected_parts_requires_parts_phase(ray_session,
+                                                      tmp_path):
+    """selected_parts with phase='all' would assemble final output
+    MISSING the unselected parts' feature columns and mark those
+    partitions complete forever — now a loud error for every phase but
+    'parts'."""
+    from chronon_ray.api import (EventSource, GroupByConf, JoinConf,
+                                 JoinPart, TQuery, agg, window)
+    from chronon_ray.pipelines.backfill import backfill_join
+    from chronon_ray.testing.tokengen import ensure_fixture
+
+    paths = ensure_fixture("t1")
+    ev = EventSource(table=paths["events_dir"], query=TQuery())
+    gb = GroupByConf(name="g", sources=(ev,), key_columns=("doc_id",),
+                     aggregations=(agg("n_tok", "sum", [window(7, "d")]),))
+    jc = JoinConf(name="sel", left=ev, parts=(JoinPart(group_by=gb),))
+    for phase in ("all", "left", "final"):
+        with pytest.raises(ValueError, match="selected_parts"):
+            backfill_join(jc, str(tmp_path / "o"), "2024-01-02",
+                          "2024-01-03", phase=phase,
+                          selected_parts=["g"])
+
+
+def test_drift_empty_side_raises(ray_session):
+    from chronon_ray.pipelines.stats import drift_metrics
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"ts": rng.integers(0, HOUR, 300).astype(np.int64),
+                      "v": rng.normal(0, 1, 300)})
+    # a ZERO-ROW summary that still has the right columns (e.g. every
+    # input row had a null time) must not read as "no drift"
+    def empty_side():
+        # via Arrow so the zero-row frame KEEPS its schema (from_pandas
+        # of an empty frame would drop the columns and hit the earlier
+        # bucket_ts check instead — also loud, different message)
+        df = _summary_ir(a).to_pandas().iloc[:0]
+        return rd.from_arrow(pa.Table.from_pandas(df))
+
+    with pytest.raises(ValueError, match="EMPTY"):
+        drift_metrics(_summary_ir(a), empty_side())
+    with pytest.raises(ValueError, match="EMPTY"):
+        drift_metrics(empty_side(), _summary_ir(a), align="merge")
+
+
+def test_cli_drift_align_flag(ray_session, tmp_path, capsys):
+    """The CLI can reach cross-period drift via --align merge (strict
+    raises with guidance)."""
+    import json as _json
+
+    from chronon_ray.cli import main
+    from chronon_ray.pipelines.stats import summary_stats
+
+    rng = np.random.default_rng(5)
+    for name, lo in (("ref", 0), ("cmp", 48)):
+        df = pd.DataFrame({
+            "ts": rng.integers(lo * HOUR, (lo + 4) * HOUR, 800)
+            .astype(np.int64),
+            "v": rng.normal(5 if name == "cmp" else 0, 1, 800)})
+        summary_stats(rd.from_pandas(df), finalize=False).to_pandas() \
+            .to_parquet(str(tmp_path / f"{name}.parquet"), index=False)
+    argv = ["drift", "--reference-table", str(tmp_path / "ref.parquet"),
+            "--comparison-table", str(tmp_path / "cmp.parquet")]
+    with pytest.raises(ValueError, match="align='merge'"):
+        main(argv)
+    capsys.readouterr()
+    assert main(argv + ["--align", "merge"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0
+    assert any(f["column"] == "v" for f in out["flagged"])
+
+
+def test_auto_fallback_warning_names_the_real_problem(monkeypatch):
+    """decoder='auto' that FELL BACK must not advise 'pass auto'."""
+    from chronon_ray.functions import native_decode
+    from chronon_ray.functions.multimodal import (DecodeImageStage,
+                                                  synth_media_table)
+
+    monkeypatch.setattr(native_decode, "available", lambda: False)
+    t = synth_media_table(6, formats=("png",), side=32)
+    stage = DecodeImageStage(out_h=8, out_w=8, decoder="auto",
+                             py_tier_warn_bytes=64)
+    with pytest.warns(RuntimeWarning, match="fell back"):
+        stage(t)
