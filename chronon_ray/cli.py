@@ -81,6 +81,14 @@ def _cmd_backfill(args: argparse.Namespace) -> dict:
                 "--*-table flags)")
         selected = (args.selected_parts.split(",")
                     if getattr(args, "selected_parts", None) else None)
+        if selected and getattr(args, "phase", "all") != "parts":
+            # mirror the library guard as a clean usage error (a bare
+            # ValueError would reach the user as a traceback)
+            raise SystemExit(
+                "--selected-parts requires --phase parts (the final "
+                "assembly always needs every part; with the default "
+                "--phase all it would silently drop the unselected "
+                "parts' feature columns)")
         summary = backfill_join(conf, args.out, args.start, args.end,
                                 step_days=args.step_days,
                                 num_partitions=args.num_partitions,

@@ -539,14 +539,14 @@ def drift_metrics(reference: ray.data.Dataset,
     # an EMPTY side (mistyped path, fully-null time column) must not read
     # as "no drift" — checked FIRST because Ray's to_pandas drops the
     # columns of a zero-row frame, which would hit the schema check below
-    # with a misleading message
-    for side, df, other in (("reference", ref, cmp_),
-                            ("comparison", cmp_, ref)):
-        if len(df) == 0 and len(other) > 0:
+    # with a misleading "no bucket_ts column" message (also when BOTH
+    # sides are empty, e.g. one upstream bug hitting both periods)
+    for side, df in (("reference", ref), ("comparison", cmp_)):
+        if len(df) == 0:
             raise ValueError(
-                f"drift_metrics: the {side} summary is EMPTY while the "
-                "other side has rows — check the table path / time "
-                "column; an empty side would silently report no drift.")
+                f"drift_metrics: the {side} summary is EMPTY — check the "
+                "table path / time column; an empty side cannot yield a "
+                "drift verdict and must not read as 'no drift'.")
     for side, df in (("reference", ref), ("comparison", cmp_)):
         if on not in df.columns:
             raise ValueError(

@@ -454,3 +454,11 @@ def test_backfill_join_split_phase_cli(cli_env, capsys):
               "--left-table", cli_env["left"],
               "--right-table", cli_env["right"], "--phase", "left"])
     capsys.readouterr()
+
+
+def test_cli_selected_parts_requires_parts_phase(cli_env, capsys):
+    with pytest.raises(SystemExit, match="--phase parts"):
+        main(["backfill", "--conf", cli_env["join_conf"], "--out", "/tmp/x",
+              "--start", cli_env["start"], "--end", cli_env["end"],
+              "--selected-parts", "cli_part"])
+    capsys.readouterr()

@@ -203,9 +203,10 @@ def test_drift_empty_side_raises(ray_session):
     # a ZERO-ROW summary that still has the right columns (e.g. every
     # input row had a null time) must not read as "no drift"
     def empty_side():
-        # via Arrow so the zero-row frame KEEPS its schema (from_pandas
-        # of an empty frame would drop the columns and hit the earlier
-        # bucket_ts check instead — also loud, different message)
+        # NOTE: Ray's to_pandas drops the COLUMNS of any zero-row
+        # dataset regardless of construction path — the EMPTY guard
+        # fires on row count BEFORE any schema check, which is exactly
+        # why it must come first in drift_metrics
         df = _summary_ir(a).to_pandas().iloc[:0]
         return rd.from_arrow(pa.Table.from_pandas(df))
 
@@ -213,6 +214,10 @@ def test_drift_empty_side_raises(ray_session):
         drift_metrics(_summary_ir(a), empty_side())
     with pytest.raises(ValueError, match="EMPTY"):
         drift_metrics(empty_side(), _summary_ir(a), align="merge")
+    # BOTH sides empty (one upstream bug hitting both periods) is also
+    # the EMPTY diagnosis, not a misleading 'no bucket_ts column'
+    with pytest.raises(ValueError, match="EMPTY"):
+        drift_metrics(empty_side(), empty_side())
 
 
 def test_cli_drift_align_flag(ray_session, tmp_path, capsys):
