@@ -118,3 +118,54 @@ def test_synth_rejects_non_ascii():
                   "text": pa.array(["héllo wörld"])})
     with pytest.raises(UnicodeEncodeError):
         SynthMediaFromDocsStage()(t)
+
+
+@pytest.mark.parametrize("seed", [901, 902, 903])
+def test_randomized_formula_differential(seed):
+    """Random ASCII docs (lengths 1..120, full printable range) through
+    the real synth->decode->feature chain vs a DIRECT numpy computation
+    of the pixel/sample/frame formulas — independent of both the fixture
+    corpus and the DuckDB oracle."""
+    import string
+
+    from chronon_ray.functions.multimodal import ExactMultimodalFeatureStage
+    rng = np.random.default_rng(seed)
+    chars = np.array(list(string.printable[:95]))  # printable ASCII
+    docs, ids = [], []
+    for i in range(30):
+        L = int(rng.integers(1, 121))
+        docs.append("".join(rng.choice(chars, L)))
+        ids.append(int(rng.integers(0, 10**6)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(docs)})
+    out = t
+    for s in _stages():
+        out = s(out)
+
+    for i, (did, text) in enumerate(zip(ids, docs)):
+        b = np.frombuffer(text.encode("ascii"), dtype=np.uint8) \
+            .astype(np.int64)
+        L = len(b)
+        side = 17 + L % 8
+        # image: formula pixels -> nearest resize to 16x16 -> channel sums
+        src = b[np.arange(side * side * 3) % L].reshape(side, side, 3)
+        ri = (np.arange(16) * side) // 16
+        ci = (np.arange(16) * side) // 16
+        pix = src[ri][:, ci].reshape(256, 3)
+        assert out["img_sum_r"][i].as_py() == int(pix[:, 0].sum())
+        assert out["img_sum_g"][i].as_py() == int(pix[:, 1].sum())
+        assert out["img_sum_b"][i].as_py() == int(pix[:, 2].sum())
+        assert out["img_sumsq_b"][i].as_py() == int((pix[:, 2] ** 2).sum())
+        assert out["img_min"][i].as_py() == int(pix.min())
+        assert out["img_max"][i].as_py() == int(pix.max())
+        # audio: PCM16 samples
+        a = b[np.arange(L + 100) % L] * 129 - 16384
+        assert out["wav_n"][i].as_py() == L + 100
+        assert out["wav_sumsq"][i].as_py() == int((a * a).sum())
+        # video: 4 sampled 8x8 frames
+        nf = 4 + L % 5
+        vid = b[np.arange(nf * 192) % L].reshape(nf, 192)
+        fi = np.minimum((np.arange(4) * nf) // 4, nf - 1)
+        sel = vid[fi].reshape(-1)
+        assert out["vid_sum"][i].as_py() == int(sel.sum())
+        assert out["vid_sumsq"][i].as_py() == int((sel * sel).sum())
