@@ -259,3 +259,33 @@ def test_auto_fallback_warning_names_the_real_problem(monkeypatch):
                              py_tier_warn_bytes=64)
     with pytest.warns(RuntimeWarning, match="fell back"):
         stage(t)
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_collapse_summary_matches_single_bucket_summary(ray_session, seed):
+    """Property: merging a summary's per-bucket IRs across buckets
+    (align='merge' machinery) equals summarizing the same rows in ONE
+    bucket — exact for null rates and totals, quantile-close for KLL."""
+    from chronon_ray.aggregators.sketches import KLL
+    from chronon_ray.pipelines.stats import _collapse_summary, summary_stats
+
+    rng = np.random.default_rng(seed)
+    n = 4000
+    df = pd.DataFrame({
+        "ts": rng.integers(0, 6 * HOUR, n).astype(np.int64),
+        "v": np.where(rng.random(n) < 0.2, np.nan, rng.normal(10, 3, n)),
+    })
+    bucketed = summary_stats(rd.from_pandas(df), finalize=False) \
+        .to_pandas().set_index("bucket_ts")
+    collapsed = _collapse_summary(bucketed).iloc[0]
+    one = pd.DataFrame({"ts": np.zeros(n, dtype=np.int64), "v": df["v"]})
+    single = summary_stats(rd.from_pandas(one), finalize=False) \
+        .to_pandas().iloc[0]
+    assert int(collapsed["total_count"]) == int(single["total_count"]) == n
+    np.testing.assert_allclose(collapsed["v__null_rate"],
+                               single["v__null_rate"], rtol=1e-12)
+    qa = KLL.quantiles(KLL.deserialize(collapsed["v__kll"]),
+                       [0.1, 0.5, 0.9])
+    qb = KLL.quantiles(KLL.deserialize(single["v__kll"]),
+                       [0.1, 0.5, 0.9])
+    np.testing.assert_allclose(qa, qb, rtol=0.1, atol=0.5)
