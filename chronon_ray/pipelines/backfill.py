@@ -545,6 +545,23 @@ def backfill_incremental(
             how = "bootstrapped"
         tmp = _ck_dir(ds) + f".tmp.{os.getpid()}"
         ck.write_parquet(tmp)
+        if not os.path.isdir(tmp) or not any(
+                f.endswith(".parquet") for f in os.listdir(tmp)):
+            # ZERO-ROW checkpoint (bootstrap/roll window holds no events
+            # — e.g. a backfill starting before the first event day):
+            # write_parquet creates nothing, so persist the typed empty
+            # state explicitly; reads and next-day rolls then see the
+            # normal checkpoint schema
+            import pyarrow.parquet as _pq
+
+            from ..util import dataset_schema as _dss
+            from .upload import empty_checkpoint_table
+
+            os.makedirs(tmp, exist_ok=True)
+            ev_sch = _dss(_events_range(shift_ds(ds, -w_days), prev))
+            _pq.write_table(
+                empty_checkpoint_table(conf, ev_sch, full_hops=True),
+                os.path.join(tmp, "part-0.parquet"))
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
             json.dump({"config_hash": config_hash, "batch_end_ts": end_ms},
                       f)

@@ -182,12 +182,36 @@ def _py_irs_from_frame(bp: BoundPart, subf: pd.DataFrame):
     return out
 
 
+def empty_checkpoint_table(conf: GroupByConf, events_schema: pa.Schema,
+                           full_hops: bool = True) -> pa.Table:
+    """Zero-row table with the exact schema :func:`groupby_upload` emits —
+    the persisted representation of "no events before this boundary"
+    (e.g. an incremental-backfill bootstrap window that predates the
+    first event day; found by the round-5 fresh-seed chaos sweep).
+    ``ir_frame_to_arrow`` types every IR column from its declared Arrow
+    field, so this schema is identical to a real checkpoint's."""
+    keys = list(conf.key_columns)
+    parts, synth, _out, schema = _prepare_parts(conf, events_schema)
+    agg = RowAggregator(parts, schema)
+    windowed = [bp for bp in agg.bound if not bp.part.window.unbounded]
+    irf = agg.partial_frame(schema.empty_table(),
+                            np.array([], dtype=np.int64), 0)
+    key_arrays = {k: pa.array([], type=schema.field(k).type) for k in keys}
+    out = agg.ir_frame_to_arrow(irf, key_arrays)
+    for bp in windowed:
+        out = out.append_column(f"{bp.name}__tailhops",
+                                pa.array([], type=pa.binary()))
+    out = out.append_column("_batch_end_ts", pa.array([], type=pa.int64()))
+    return out.append_column("_full_hops", pa.array([], type=pa.bool_()))
+
+
 def groupby_upload(
     events: ray.data.Dataset,
     conf: GroupByConf,
     batch_end_ts: int,
     num_partitions: Optional[int] = None,
     full_hops: bool = False,
+    events_schema: Optional[pa.Schema] = None,
 ) -> ray.data.Dataset:
     """events (keys + ts + inputs) → one FinalBatchIr row per key (see
     module docstring). Only events with ``ts < batch_end_ts`` contribute.
@@ -201,7 +225,10 @@ def groupby_upload(
     from ..util import auto_partitions, dataset_schema
 
     keys = list(conf.key_columns)
-    schema = dataset_schema(events)
+    # pass events_schema when `events` is a transform over a possibly
+    # EMPTY scan (zero-row pipelines report schema None)
+    schema = (events_schema if events_schema is not None
+              else dataset_schema(events))
     parts, synth, _out_names, schema = _prepare_parts(conf, schema)
     if num_partitions is None:
         num_partitions = auto_partitions(events)
@@ -751,12 +778,19 @@ def roll_checkpoint(
     day_ir = groupby_upload(day_events.map_batches(day_cut,
                                                    batch_format="pyarrow"),
                             conf, new_end_ts, num_partitions=num_partitions,
-                            full_hops=True)
+                            full_hops=True,
+                            events_schema=dataset_schema(day_events))
 
     # materialize once: the flag take(1) below and the strip/union consumer
     # would otherwise each execute a lazy checkpoint pipeline (in the
     # day-over-day rolling loop that is the whole previous day's roll)
+    _stash = getattr(ir_table, "_chronon_schema", None)
     ir_table = ir_table.materialize()
+    if _stash is not None \
+            and getattr(ir_table, "_chronon_schema", None) is None:
+        # a ZERO-ROW checkpoint materializes to empty blocks with unknown
+        # schema — carry the reader's stashed schema across
+        ir_table._chronon_schema = _stash
     schema = dataset_schema(ir_table)
     if "_full_hops" in schema.names:
         # rolling a collapsed checkpoint would merge windowed IRs that can
@@ -823,10 +857,13 @@ def roll_checkpoint(
                 pickle.dumps(acc[g]) if acc.get(g) else None  # {} → None
                 for g in merged.index
             ]
-        ir_schema = dataset_schema(ir_table)
+        # ir_key_types is captured from the DRIVER-computed schema — a
+        # dataset_schema(ir_table) here would smuggle the driver Dataset
+        # handle into the worker UDF and re-execute a schema pipeline per
+        # group call (and crash outright on a zero-row checkpoint)
         key_arrays = {
             k: pa.array(kdf[k].to_numpy(dtype=object)[merged.index],
-                        type=ir_schema.field(k).type)
+                        type=ir_key_types[k])
             for k in keys
         }
         out = agg.ir_frame_to_arrow(merged.reset_index(), key_arrays)

@@ -40,9 +40,23 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
 def read_parquet(*args, **kwargs) -> ray.data.Dataset:
     """`ray.data.read_parquet` + schema-metadata strip (fuses with the
     read task; ~free). Use this everywhere instead of the raw reader so
-    downstream exchanges unify hashable schemas."""
-    return ray.data.read_parquet(*args, **kwargs).map_batches(
-        _strip_schema_metadata, batch_format="pyarrow")
+    downstream exchanges unify hashable schemas.
+
+    The stripped schema is also stashed on the returned Dataset
+    (``_chronon_schema``): a ZERO-ROW parquet input produces zero blocks
+    through the map, Ray then reports schema None, and
+    ``util.dataset_schema`` falls back to the stash — an empty
+    checkpoint / empty day-range read keeps its real schema."""
+    raw = ray.data.read_parquet(*args, **kwargs)
+    out = raw.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    try:
+        rs = raw.schema()
+        base = getattr(rs, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            out._chronon_schema = base.remove_metadata()
+    except Exception:
+        pass
+    return out
 
 
 def clip_ds_range(ds: ray.data.Dataset,
@@ -120,6 +134,19 @@ def partition_paths(
             continue
         picked.append(os.path.join(table, d))
     return picked
+
+
+def _any_partition_schema(table: str, partition_col: str):
+    """Arrow schema from the FIRST parquet footer of any partition of a
+    hive-layout table dir — used to type empty-range scans."""
+    import pyarrow.parquet as pq
+    for d in sorted(os.listdir(table)):
+        if d.startswith(f"{partition_col}="):
+            sub = os.path.join(table, d)
+            for f in sorted(os.listdir(sub)):
+                if f.endswith(".parquet"):
+                    return pq.read_schema(os.path.join(sub, f))
+    return None
 
 
 def list_partitions(table: str, partition_col: str = DS_COL) -> list[str]:
@@ -226,6 +253,30 @@ def scan_table(
     is_partitioned_dir = not (os.path.isfile(table) or table.endswith(".parquet")) \
         and any(d.startswith(f"{query.partition_column}=")
                 for d in os.listdir(table))
+    if is_partitioned_dir and not paths:
+        # the range matched NO partitions: read_parquet over zero files
+        # yields a dataset with UNKNOWN schema, and every downstream
+        # dataset_schema() / union crashes. Return an empty dataset with
+        # the table's real schema (one footer read) so an empty day range
+        # behaves like any other empty-but-typed scan — e.g. an
+        # incremental-backfill bootstrap window before the first event
+        # day, found by the round-5 fresh-seed chaos sweep.
+        sch = _any_partition_schema(table, query.partition_column)
+        if sch is not None:
+            fields = {f.name: f for f in sch}
+            fields.setdefault(query.partition_column,
+                              pa.field(query.partition_column, pa.string()))
+            names = (read_cols if read_cols
+                     else [f.name for f in sch] + (
+                         [] if query.partition_column in sch.names
+                         else [query.partition_column]))
+            empty = pa.schema([fields[n] for n in names
+                               if n in fields]).empty_table()
+            # render EAGERLY: a lazy map_batches over a zero-row dataset
+            # reports Unknown schema (no block ever reaches the UDF), so
+            # downstream dataset_schema() would still crash
+            rendered = _Render(query, keep_columns, synthesize_eod_ts)(empty)
+            return ray.data.from_arrow(rendered)
     if is_partitioned_dir:
         from ray.data.datasource.partitioning import PathPartitionFilter
 

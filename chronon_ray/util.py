@@ -23,8 +23,21 @@ def drop_null_key_rows(t: pa.Table, keys) -> pa.Table:
 
 
 def dataset_schema(ds: ray.data.Dataset) -> pa.Schema:
-    """Arrow schema of a Dataset regardless of block type (Arrow or pandas)."""
+    """Arrow schema of a Dataset regardless of block type (Arrow or pandas).
+
+    A ZERO-ROW pipeline reports schema None after any map (no block ever
+    reaches the UDF); `sources.read_parquet` stashes the input schema on
+    the Dataset for exactly this case, so empty checkpoint / empty
+    day-range reads keep their real schema instead of crashing here."""
     sch = ds.schema()
+    if sch is None:
+        stash = getattr(ds, "_chronon_schema", None)
+        if isinstance(stash, pa.Schema):
+            return stash
+        raise ValueError(
+            "dataset has unknown schema (a zero-row pipeline?) — read "
+            "inputs through chronon_ray.sources.read_parquet / scan_table "
+            "so empty ranges stay typed")
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base

@@ -289,3 +289,84 @@ def test_collapse_summary_matches_single_bucket_summary(ray_session, seed):
     qb = KLL.quantiles(KLL.deserialize(single["v__kll"]),
                        [0.1, 0.5, 0.9])
     np.testing.assert_allclose(qa, qb, rtol=0.1, atol=0.5)
+
+
+# ---- wave-5 fresh-seed find: empty bootstrap window (backfill predates
+# the first event day)
+
+
+def test_scan_table_empty_range_keeps_schema(ray_session, tmp_path):
+    """A hive-pruned scan matching NO partitions returns a zero-row
+    dataset with the table's REAL schema (was: Unknown schema, crashing
+    every downstream dataset_schema/union)."""
+    import pyarrow.parquet as pq
+
+    from chronon_ray.api import TQuery
+    from chronon_ray.sources import scan_table
+    from chronon_ray.util import dataset_schema
+
+    d = tmp_path / "tbl" / "ds=2024-02-01"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"doc_id": pa.array(["a"], pa.string()),
+                             "ts": pa.array([0], pa.int64()),
+                             "v": pa.array([1.5], pa.float64())}),
+                   str(d / "part-0.parquet"))
+    ds = scan_table(str(tmp_path / "tbl"),
+                    TQuery(start_partition="2024-01-01",
+                           end_partition="2024-01-05", time_column="ts"))
+    sch = dataset_schema(ds)
+    assert {"doc_id", "ts", "v"} <= set(sch.names)
+    assert ds.count() == 0
+
+
+def test_incremental_backfill_before_first_event_day(ray_session,
+                                                     tmp_path):
+    """Bootstrap window with ZERO events: the checkpoint chain must write
+    a typed empty checkpoint, roll through empty days, and serve the
+    first real day — end to end (found by the round-5 fresh-seed chaos
+    sweep; three distinct crash layers fixed)."""
+    import pyarrow.compute as pc
+
+    from chronon_ray.api import GroupByConf, UNBOUNDED, agg, window
+    from chronon_ray.pipelines.backfill import backfill_incremental
+    from chronon_ray.sources import list_partitions
+    from chronon_ray.state.partitions import shift_ds
+    from chronon_ray.testing.tokengen import (gen_events, gen_queries,
+                                              write_partitioned as wp)
+
+    ev = gen_events(2000, n_keys=40)
+    q = gen_queries(400, ev, n_keys=40)
+    sh = 10 * 86_400_000
+
+    def shift(t):
+        t = t.set_column(t.column_names.index("ts"), "ts",
+                         pc.add(t["ts"], sh))
+        dsv = pd.to_datetime(t["ts"].to_numpy(zero_copy_only=False),
+                             unit="ms").strftime("%Y-%m-%d")
+        if "ds" in t.column_names:
+            t = t.set_column(t.column_names.index("ds"), "ds",
+                             pa.array(dsv))
+        return t
+
+    left = str(tmp_path / "l")
+    right = str(tmp_path / "r")
+    wp(shift(q), left)
+    wp(shift(ev), right)
+    lp = list_partitions(right)
+    conf = GroupByConf(name="eb", sources=(), key_columns=("doc_id",),
+                       aggregations=(agg("n_tok", "sum", [window(3, "d")]),
+                                     agg("n_tok", "average", [UNBOUNDED])))
+    start = shift_ds(lp[0], -3)  # predates the first event day
+    s = backfill_incremental(left, right, conf, str(tmp_path / "out"),
+                             str(tmp_path / "ck"), start, lp[1],
+                             num_partitions=4)
+    assert s["checkpoints"][start] == "bootstrapped"
+    assert all(how == "rolled" for d, how in s["checkpoints"].items()
+               if d != start)
+    assert lp[0] in s["partitions_written"] \
+        or lp[1] in s["partitions_written"]
+    # resume: second run is a no-op
+    s2 = backfill_incremental(left, right, conf, str(tmp_path / "out"),
+                              str(tmp_path / "ck"), start, lp[1],
+                              num_partitions=4)
+    assert s2["partitions_written"] == []
